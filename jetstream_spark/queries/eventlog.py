@@ -1,0 +1,329 @@
+"""Event-log queries — the reference's own query semantics, batch-expressed.
+
+The reference's query surface is: time-range scan from a cursor + predicate
+filter (collection/DID set-membership) + ordered delivery (SURVEY.md §1.5,
+operators S14/S17/S18), plus per-key ordered processing (S25). These are
+declared here over the driver's `events` table (event_id, ts, user_id,
+event_type, value, props) — `event_type` plays the role of `collection`,
+`user_id` of `did`, `ts` of `time_us`.
+
+Streaming-window analogues (tumbling window, sessionization) are included in
+their batch form; the Structured-Streaming forms live in
+jetstream_spark/streaming/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jetstream_spark.queries.spec import QuerySpec
+from jetstream_spark.tables import table
+
+# Mid-range cursor (events span 2024-01-01 .. 2024-01-30).
+CURSOR_TS = "2024-01-15 00:00:00"
+WANTED_TYPES = ("click", "purchase")
+WANTED_USERS = tuple(range(0, 2000, 7))  # a "wantedDids"-style membership set
+
+
+# --- S14: replay scan — time-range scan from cursor, key-only predicates ----
+def q_replay_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay from a cursor: `WHERE ts >= cursor` + subscription filters.
+
+    Reference: pkg/consumer/persist.go:143-204 (ReplayEvents) — iterator
+    LowerBound=cursor inclusive, filters evaluated on key fields only.
+    Spark analogue: parquet predicate pushdown + column pruning mean the
+    value columns are never materialized for filtered-out rows (P1/P2).
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("ts") >= F.lit(CURSOR_TS).cast("timestamp"))
+        & F.col("event_type").isin(*WANTED_TYPES)
+    ).select(
+        "event_id",
+        F.unix_micros("ts").alias("time_us"),
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+Q_REPLAY_ORACLE = f"""
+SELECT event_id, epoch_us(ts) AS time_us, user_id, event_type, round(value, 6) AS value
+FROM events
+WHERE ts >= TIMESTAMP '{CURSOR_TS}'
+  AND event_type IN ('click', 'purchase')
+"""
+
+
+# --- S17: subscription predicate filter with bypass rule --------------------
+def q_subscribe_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection+DID filter with the reference's bypass rule: events of a
+    kind that has no collection pass the collection filter unconditionally
+    (server.go:119-123 — account/identity events reach all subscribers).
+    Here 'error' events play the account/identity role.
+    """
+    ev = table(spark, sf_dir, "events")
+    type_ok = F.col("event_type").isin(*WANTED_TYPES) | (F.col("event_type") == "error")
+    user_ok = F.col("user_id").isin(*WANTED_USERS)
+    return ev.where(type_ok & user_ok).select("event_id", "user_id", "event_type")
+
+
+_users_sql = ", ".join(str(u) for u in WANTED_USERS)
+Q_SUBSCRIBE_ORACLE = f"""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE (event_type IN ('click', 'purchase') OR event_type = 'error')
+  AND user_id IN ({_users_sql})
+"""
+
+
+# --- S18: per-subscriber monotonic cursor (dedup guarantee) ------------------
+def q_monotonic_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events strictly after the subscriber's max-seen cursor, delivered in
+    per-key order with a strictly increasing per-subscriber sequence
+    (server.go:131-134: never deliver time_us <= sub.seq; seq advances on
+    enqueue). Batch form: WHERE time_us > cursor + ordered row_number."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")  # total order: (time, tiebreak) — §1.5
+    return (
+        ev.where(F.unix_micros("ts") > F.unix_micros(F.lit(CURSOR_TS).cast("timestamp")))
+        .withColumn("deliver_seq", F.row_number().over(w))
+        .select("deliver_seq", "event_id", F.unix_micros("ts").alias("time_us"))
+    )
+
+
+Q_MONOTONIC_ORACLE = f"""
+SELECT row_number() OVER (ORDER BY ts, event_id) AS deliver_seq,
+       event_id, epoch_us(ts) AS time_us
+FROM events
+WHERE epoch_us(ts) > epoch_us(TIMESTAMP '{CURSOR_TS}')
+"""
+
+
+# --- S25: per-key ordered processing ------------------------------------------
+def q_per_key_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parallel-scheduler contract (pkg/client/schedulers/parallel/
+    parallel.go:92-152): same key strictly ordered, different keys
+    independent. Spark: one shuffle on the key, per-key row_number."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("seq_in_user"),
+    )
+
+
+Q_PER_KEY_ORACLE = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_in_user
+FROM events
+"""
+
+
+# --- tumbling window (batch form) ----------------------------------------------
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling aggregation — batch form of the streaming
+    window(ts, '1 hour') operator in jetstream_spark.streaming."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+
+
+Q_TUMBLING_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS events,
+       round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- sessionization (gap-based session windows, batch form) ---------------------
+SESSION_GAP_S = 1800
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (30 min inactivity closes a session) —
+    batch form of session_window(); lag + cumulative-sum session ids.
+    One shuffle on user_id; both window functions reuse the partitioning."""
+    ev = table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order_w))
+    new_session = F.when(gap.isNull() | (gap > SESSION_GAP_S * 1_000_000), 1).otherwise(0)
+    sess_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sess = ev.withColumn("session_id", F.sum(new_session).over(sess_w))
+    dur_us = F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("session_events"),
+        # integer division: float-divide-then-cast rounds differently across engines
+        (dur_us - F.pmod(dur_us, F.lit(1_000_000))).cast("long").alias("session_duration_us_floor"),
+    ).withColumn("session_duration_s", (F.col("session_duration_us_floor") / 1_000_000).cast("long")).drop(
+        "session_duration_us_floor"
+    )
+
+
+Q_SESSION_ORACLE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       count(*) AS session_events,
+       (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS session_duration_s
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+# --- as-of join --------------------------------------------------------------------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at or
+    before it. Spark has no ASOF JOIN operator; the scale-correct plan is a
+    single shuffle on user_id over the unioned stream + a running `last()`
+    — no join blow-up, no range-join quadratic risk.
+
+    Clicks are first deduped to one per (user_id, ts) (max event_id) so tie
+    resolution matches the oracle's ASOF semantics deterministically.
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+
+    unioned = clicks.select(
+        "user_id", "ts", F.lit(0).alias("is_purchase"), F.col("click_event_id"), F.lit(None).cast("long").alias("event_id")
+    ).unionByName(
+        purchases.select(
+            "user_id", "ts", F.lit(1).alias("is_purchase"), F.lit(None).cast("long").alias("click_event_id"), "event_id"
+        )
+    )
+    # clicks sort before purchases at equal ts → click at ts == purchase ts matches (ASOF >=)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("matched_click", F.last("click_event_id", ignorenulls=True).over(w))
+    return (
+        matched.where((F.col("is_purchase") == 1) & F.col("matched_click").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            "user_id",
+            F.col("matched_click").alias("click_event_id"),
+        )
+    )
+
+
+Q_ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id AS purchase_event_id,
+       p.user_id  AS user_id,
+       c.click_event_id AS click_event_id
+FROM purchases p
+ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# --- JSON extraction (schema-free record payload, §1.3) ---------------------------
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the opaque JSON payload — the reference keeps
+    records as raw JSON (models.go:23) and never parses them; the engine
+    reads them on demand with get_json_object (↔ Variant at scale)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+Q_JSON_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- funnel: temporal semi join ------------------------------------------------------
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users whose first click precedes their first purchase (funnel step
+    analysis) — min-aggregates then a broadcastable comparison, no row-level
+    temporal join needed."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return firsts.select(
+        F.count(F.lit(1)).alias("users_total"),
+        F.count(F.when(F.col("first_click").isNotNull(), 1)).alias("users_clicked"),
+        F.count(
+            F.when(F.col("first_click") < F.col("first_purchase"), 1)
+        ).alias("users_converted"),
+    )
+
+
+Q_FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS users_total,
+       count(CASE WHEN first_click IS NOT NULL THEN 1 END) AS users_clicked,
+       count(CASE WHEN first_click < first_purchase THEN 1 END) AS users_converted
+FROM firsts
+"""
+
+
+QUERIES = [
+    QuerySpec("replay_scan", q_replay_scan, Q_REPLAY_ORACLE, "S14: cursor time-range scan + filters", ("eventlog",)),
+    QuerySpec("subscribe_filter", q_subscribe_filter, Q_SUBSCRIBE_ORACLE, "S17: subscription filter with bypass rule", ("eventlog",)),
+    QuerySpec("monotonic_delivery", q_monotonic_delivery, Q_MONOTONIC_ORACLE, "S18: monotonic cursor delivery", ("eventlog",)),
+    QuerySpec("per_key_ordering", q_per_key_ordering, Q_PER_KEY_ORACLE, "S25: per-key ordered processing", ("eventlog",)),
+    QuerySpec("tumbling_window_hourly", q_tumbling_window, Q_TUMBLING_ORACLE, "tumbling window agg (batch form)", ("window", "eventlog")),
+    QuerySpec("sessionization", q_sessionization, Q_SESSION_ORACLE, "gap-based session windows (batch form)", ("window", "eventlog")),
+    QuerySpec("asof_join_purchases", q_asof_join, Q_ASOF_ORACLE, "as-of join via union+running-last (no join blow-up)", ("join", "eventlog")),
+    QuerySpec("json_props_stats", q_json_props, Q_JSON_ORACLE, "schema-on-read JSON payload stats", ("scalar", "eventlog")),
+    QuerySpec("conversion_funnel", q_conversion_funnel, Q_FUNNEL_ORACLE, "funnel via conditional min-agg", ("eventlog",)),
+]

@@ -1,0 +1,152 @@
+"""Multimodal-column plumbing (SURVEY.md §2.3).
+
+Images/audio/video are opaque `binary` columns plus a typed metadata struct.
+The decode libraries aren't in this container, so the *decode kernel* is
+stubbed (deterministic fake derived from metadata, or NotImplementedError
+when a real decode is requested) — but everything Spark-side is real:
+schema, binary columns, Arrow batch shape, mapInPandas signatures,
+partitioning. The `documents` table provides deterministic bytes
+(utf-8 of text, ASCII-only) so byte-level kernels are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jetstream_spark.queries.spec import QuerySpec
+from jetstream_spark.tables import table
+
+FRAME_STEP = 16  # "video frame sampling": one frame per 16 bytes
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media table: opaque binary payload + typed metadata.
+    This is the canonical multimodal layout: payload BINARY, meta STRUCT."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            (F.col("n_chars") % 64 + 1).cast("int").alias("width"),
+            (F.col("doc_id") % 48 + 1).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata projection over binary media columns — the pure
+    built-in layer (no Python)."""
+    media = _media_df(spark, sf_dir)
+    return media.select(
+        "doc_id",
+        F.octet_length("payload").alias("payload_bytes"),
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        (F.col("meta.width") * F.col("meta.height")).alias("n_pixels"),
+    )
+
+
+Q_MM_META_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS payload_bytes,
+       'image/fake' AS media_type,
+       CAST(n_chars % 64 + 1 AS INT) AS width,
+       CAST(doc_id % 48 + 1 AS INT) AS height,
+       CAST((n_chars % 64 + 1) * (doc_id % 48 + 1) AS INT) AS n_pixels
+FROM documents
+"""
+
+
+def decode_media(payload: bytes, media_type: str, *, allow_stub: bool = True):
+    """The decode kernel. Real image/audio decode libs are absent from this
+    container — calling with allow_stub=False raises, marking exactly where
+    a real `PIL.Image.open` / `soundfile.read` would slot in."""
+    if not allow_stub:
+        raise NotImplementedError(
+            "real media decode requires image/audio libs not present in this container"
+        )
+    # deterministic fake: the payload bytes themselves are the "pixels"
+    return payload
+
+
+def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over decoded media via mapInPandas — vectorized
+    per Arrow batch, the real shape of an image-embedding/resize kernel.
+    Stats are over the stub-decoded bytes (ASCII text ⇒ oracle-checkable)."""
+    import numpy as np
+
+    media = _media_df(spark, sf_dir)
+
+    def extract(batches):
+        for pdf in batches:
+            stats = []
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
+                pixels = np.frombuffer(decode_media(bytes(payload), mt), dtype=np.uint8)
+                # no rounding here: Python rounds half-to-even, SQL rounds
+                # half-up — rounding happens in Spark below to match DuckDB
+                stats.append((len(pixels), float(pixels.mean()), int(pixels.min()), int(pixels.max())))
+            out = pd.DataFrame(stats, columns=["n_bytes", "mean_byte", "min_byte", "max_byte"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    flat = media.select("doc_id", "payload", F.col("meta.media_type").alias("media_type"))
+    raw = flat.mapInPandas(
+        extract, schema="doc_id long, n_bytes long, mean_byte double, min_byte int, max_byte int"
+    )
+    return raw.withColumn("mean_byte", F.round("mean_byte", 4))
+
+
+Q_MM_BYTES_ORACLE = """
+WITH c AS (
+  SELECT doc_id, ascii(substr(text, i, 1)) AS code
+  FROM documents, unnest(generate_series(1, len(text))) AS u(i)
+)
+SELECT doc_id,
+       count(*) AS n_bytes,
+       round(avg(code), 4) AS mean_byte,
+       CAST(min(code) AS INT) AS min_byte,
+       CAST(max(code) AS INT) AS max_byte
+FROM c GROUP BY doc_id
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every 16th byte of the payload is a "frame"; emits
+    per-doc frame count + first/last frame values. mapInPandas keeps one
+    Arrow batch per task — the same shape as real video frame extraction."""
+    import numpy as np
+
+    media = _media_df(spark, sf_dir)
+
+    def sample(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = np.frombuffer(bytes(payload), dtype=np.uint8)
+                frames = px[::FRAME_STEP]
+                rows.append((int(doc_id), len(frames), int(frames[0]), int(frames[-1])))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "first_frame", "last_frame"])
+
+    return media.select("doc_id", "payload").mapInPandas(
+        sample, schema="doc_id long, n_frames int, first_frame int, last_frame int"
+    )
+
+
+Q_MM_FRAMES_ORACLE = f"""
+SELECT doc_id,
+       CAST(ceil(len(text) / {FRAME_STEP}.0) AS INT) AS n_frames,
+       CAST(ascii(substr(text, 1, 1)) AS INT) AS first_frame,
+       CAST(ascii(substr(text, (CAST(ceil(len(text) / {FRAME_STEP}.0) AS INT) - 1) * {FRAME_STEP} + 1, 1)) AS INT) AS last_frame
+FROM documents
+"""
+
+
+QUERIES = [
+    QuerySpec("multimodal_metadata", q_multimodal_metadata, Q_MM_META_ORACLE, "binary payload + typed metadata projection", ("multimodal",)),
+    QuerySpec("multimodal_byte_stats", q_multimodal_byte_stats, Q_MM_BYTES_ORACLE, "mapInPandas feature extraction over decoded media", ("multimodal",)),
+    QuerySpec("multimodal_frame_sample", q_multimodal_frame_sample, Q_MM_FRAMES_ORACLE, "frame sampling over binary payloads", ("multimodal",)),
+]

@@ -1,0 +1,160 @@
+"""Similarity search over the `embeddings` table (SURVEY.md §2.3).
+
+Two tiers:
+
+- brute-force top-k (correctness baseline, oracle-checked): broadcast the
+  query matrix, score every base vector with vectorized numpy block
+  products inside mapInPandas (Arrow batches, float64), take top-k per
+  query with a window. Cost is O(N·Q) but embarrassingly parallel — each
+  partition scores independently, only k rows per query survive the
+  shuffle (partial top-k would be the next refinement).
+
+- LSH-bucketed ANN (the 100 TB path, rows-only check): random-hyperplane
+  signatures put near vectors in the same bucket; search touches only the
+  probed buckets. Approximate by construction — declared without an SQL
+  oracle (the driver records a rows-only check; recall is measured in
+  tests against the brute-force baseline instead).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jetstream_spark.queries.spec import QuerySpec
+from jetstream_spark.tables import table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+
+
+def _query_matrix(spark: SparkSession, sf_dir: str):
+    emb = table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, vec_id, cosine) for all base vectors × all query vectors."""
+    q_ids, q_mat = _query_matrix(spark, sf_dir)
+    q_norms = np.linalg.norm(q_mat, axis=1)
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
+    emb = table(spark, sf_dir, "embeddings")
+
+    def score(batches):
+        ids, mat, norms = bq.value
+        for pdf in batches:
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            b_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            b_norms = np.linalg.norm(b_mat, axis=1)
+            cos = (b_mat @ mat.T) / np.outer(b_norms, norms)  # (batch, Q)
+            n, q = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, n),
+                    "vec_id": np.tile(b_ids, q),
+                    "cosine": cos.T.ravel(),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, vec_id long, cosine double"
+    )
+
+
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for each of the 10 query vectors
+    (self-match excluded); deterministic tiebreak (cosine desc, vec_id)."""
+    scores = _scores_df(spark, sf_dir).where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+Q_ANN_ORACLE = f"""
+WITH scores AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scores
+)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# --- LSH-bucketed ANN (scale path; approximate, no SQL oracle) -------------------
+LSH_PLANES = 8  # 2^8 = 256 buckets
+LSH_SEED = 7
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: base vectors hashed into 256 sign-buckets;
+    each query probes only its own bucket, then exact-rescoring within it.
+    Approximate (recall measured vs brute force in tests). At 100 TB the
+    bucket id becomes the partition key — a probe touches one partition."""
+    dim = 64
+    rng = np.random.RandomState(LSH_SEED)
+    planes = rng.randn(LSH_PLANES, dim)
+    q_ids, q_mat = _query_matrix(spark, sf_dir)
+    q_norms = np.linalg.norm(q_mat, axis=1)
+    q_buckets = (np.sign(q_mat @ planes.T) > 0) @ (1 << np.arange(LSH_PLANES))
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norms, q_buckets, planes))
+    emb = table(spark, sf_dir, "embeddings")
+
+    def probe(batches):
+        ids, mat, norms, buckets, pl = bq.value
+        for pdf in batches:
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            b_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            b_buckets = (np.sign(b_mat @ pl.T) > 0) @ (1 << np.arange(LSH_PLANES))
+            b_norms = np.linalg.norm(b_mat, axis=1)
+            out_q, out_v, out_c = [], [], []
+            for qi in range(len(ids)):
+                mask = (b_buckets == buckets[qi]) & (b_ids != ids[qi])
+                if mask.any():
+                    cos = (b_mat[mask] @ mat[qi]) / (b_norms[mask] * norms[qi])
+                    out_q.append(np.full(mask.sum(), ids[qi]))
+                    out_v.append(b_ids[mask])
+                    out_c.append(cos)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_v),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    scores = emb.select("vec_id", "embedding").mapInPandas(
+        probe, schema="query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+QUERIES = [
+    QuerySpec("ann_brute_force_topk", q_ann_brute_force, Q_ANN_ORACLE, "exact cosine top-k (numpy block products)", ("similarity",)),
+    QuerySpec("ann_lsh_topk", q_ann_lsh, None, "random-hyperplane LSH ANN (approximate scale path)", ("similarity",)),
+]

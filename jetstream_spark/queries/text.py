@@ -1,0 +1,219 @@
+"""Text-analysis operators over the `documents` table (SURVEY.md §2.3).
+
+All hot-path expressions are JVM-side built-ins (split/filter/aggregate
+higher-order functions, regexp) — no Python UDFs — so they stay inside
+whole-stage codegen and scale linearly with input splits. Each query's oracle
+recomputes the identical arithmetic in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jetstream_spark.queries.spec import QuerySpec
+from jetstream_spark.tables import table
+
+# Tokenization contract shared by every text op (and mirrored in oracles):
+# lowercase, split on runs of non-alphanumerics, drop empties.
+_TOKEN_RE = "[^a-z0-9]+"
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.filter(F.split(F.lower(F.col(col)), _TOKEN_RE), lambda x: x != F.lit(""))
+
+
+_TOKENS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+# --- token counting -----------------------------------------------------------
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/punct token count + a BPE-ish subword estimate
+    (~chars/4 per word-piece convention) per document."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        # BPE-ish: every token contributes ceil(len/4) subword units
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.ceil(F.length(x) / F.lit(4.0)).cast("int")
+        ).alias("n_subwords"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+Q_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       len({_TOKENS_SQL}) AS n_tokens,
+       CAST(list_aggregate(list_transform({_TOKENS_SQL}, x -> CAST(ceil(len(x) / 4.0) AS INT)), 'sum') AS INT) AS n_subwords,
+       len(list_distinct({_TOKENS_SQL})) AS n_distinct_tokens
+FROM documents
+"""
+
+
+# --- quality scoring ------------------------------------------------------------
+_STOPWORDS = ("the", "a", "and", "of", "to", "is", "in", "it")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: length, mean token length, stopword ratio,
+    alphanumeric ratio — the standard pre-training quality-filter features."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    char_len = F.length("text")
+    alnum_len = F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+    mean_tok_len = F.when(
+        n_tok > 0, F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)) / n_tok
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
+    alnum_ratio = F.when(char_len > 0, alnum_len.cast("double") / char_len).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alnum_ratio, 6).alias("alnum_ratio"),
+        # composite score: long-enough, not stopword-soup, mostly-alnum
+        F.round(
+            F.least(n_tok / F.lit(50.0), F.lit(1.0)) * (1 - stop_ratio) * alnum_ratio, 6
+        ).alias("quality_score"),
+    )
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+Q_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tok,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop,
+         length(text) AS char_len,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_len,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT)
+              ELSE 0 END AS tok_chars
+  FROM t
+)
+SELECT doc_id,
+       n_tok AS n_tokens,
+       round(CASE WHEN n_tok > 0 THEN tok_chars * 1.0 / n_tok ELSE 0.0 END, 6) AS mean_token_len,
+       round(CASE WHEN n_tok > 0 THEN n_stop * 1.0 / n_tok ELSE 0.0 END, 6) AS stopword_ratio,
+       round(CASE WHEN char_len > 0 THEN alnum_len * 1.0 / char_len ELSE 0.0 END, 6) AS alnum_ratio,
+       round(least(n_tok / 50.0, 1.0)
+             * (1 - CASE WHEN n_tok > 0 THEN n_stop * 1.0 / n_tok ELSE 0.0 END)
+             * CASE WHEN char_len > 0 THEN alnum_len * 1.0 / char_len ELSE 0.0 END, 6) AS quality_score
+FROM m
+"""
+
+
+# --- language identification (n-gram/stopword heuristic) ---------------------------
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "les", "des", "et", "une"),
+    "de": ("der", "die", "und", "das", "nicht"),
+}
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: count per-language marker hits, argmax
+    with fixed precedence (en > es > fr > de), 'und' when no hits."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    def marker_hits(markers: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        # single-arg lambda: a 2-arg lambda would be read as (element, index)
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    hit_cols = {lang: marker_hits(markers) for lang, markers in _LANG_MARKERS.items()}
+    hits = [hit_cols[lg].alias(f"hits_{lg}") for lg in _LANG_MARKERS]
+    base = docs.select("doc_id", *hits)
+    h = {lg: F.col(f"hits_{lg}") for lg in _LANG_MARKERS}
+    best = F.greatest(*h.values())
+    guess = (
+        F.when(best == 0, "und")
+        .when(h["en"] == best, "en")
+        .when(h["es"] == best, "es")
+        .when(h["fr"] == best, "fr")
+        .otherwise("de")
+    )
+    return base.select("doc_id", *[f"hits_{lg}" for lg in _LANG_MARKERS], guess.alias("lang_guess"))
+
+
+def _marker_sql(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter({_TOKENS_SQL}, x -> list_contains({arr}, x)))"
+
+
+Q_LANG_ID_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_marker_sql('en')} AS hits_en,
+         {_marker_sql('es')} AS hits_es,
+         {_marker_sql('fr')} AS hits_fr,
+         {_marker_sql('de')} AS hits_de
+  FROM documents
+)
+SELECT doc_id, hits_en, hits_es, hits_fr, hits_de,
+       CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und'
+            WHEN hits_en = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'en'
+            WHEN hits_es = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'es'
+            WHEN hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'fr'
+            ELSE 'de' END AS lang_guess
+FROM h
+"""
+
+
+# --- document fingerprinting ---------------------------------------------------------
+_POLY_MOD = 1_000_000_007
+_POLY_MUL = 31
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fingerprints per doc: md5 of whitespace-normalized text, and a
+    31-polynomial rolling hash over its characters mod 1e9+7 (the classic
+    Rabin-Karp shape; multiplications stay < 2^35 so ANSI long arithmetic
+    never overflows)."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
+    chars = F.filter(F.split(norm, ""), lambda x: x != F.lit(""))
+    poly = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(_POLY_MUL) + F.ascii(x)) % F.lit(_POLY_MOD),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("md5_fingerprint"),
+        poly.alias("poly_fingerprint"),
+    )
+
+
+Q_FINGERPRINT_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS md5_fingerprint,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(list_filter(regexp_split_to_array(norm, ''), c -> c <> ''),
+                                     c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc * {_POLY_MUL} + x) % {_POLY_MOD}
+       ) AS poly_fingerprint
+FROM n
+"""
+
+
+QUERIES = [
+    QuerySpec("text_token_count", q_token_count, Q_TOKEN_COUNT_ORACLE, "token + subword counting", ("text",)),
+    QuerySpec("text_quality_score", q_quality_score, Q_QUALITY_ORACLE, "quality-filter features", ("text",)),
+    QuerySpec("text_lang_id", q_lang_id, Q_LANG_ID_ORACLE, "stopword-marker language ID", ("text",)),
+    QuerySpec("text_fingerprint", q_fingerprint, Q_FINGERPRINT_ORACLE, "md5 + rolling-hash fingerprints", ("text",)),
+]

@@ -1,0 +1,53 @@
+"""Loaders for the driver-generated parquet tables (TESTDATA.md).
+
+All queries read through these helpers so that scan-level concerns live in one
+place: column pruning happens naturally via select-downstream, predicate
+pushdown via filter-downstream (verify with .explain: PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Plain parquet scan — Catalyst handles pruning/pushdown.
+
+    `events.parquet` stores TIMESTAMP(NANOS) which the Spark parquet reader
+    rejects by default; we read nanos as long and rebuild a microsecond
+    timestamp (truncation matches DuckDB's epoch_us on TIMESTAMP_NS).
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for spark.sql() queries."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
