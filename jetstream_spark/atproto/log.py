@@ -1,0 +1,124 @@
+"""S11/S13/S14 — the persisted event log.
+
+Reference: PebbleDB KV, key `{time_us}_{did}_{collection}` (persist.go:101-108),
+24 h TTL via range-delete (persist.go:120-137), replay via key-ordered
+iterator from the cursor (persist.go:143-204).
+
+Spark layout: hour-bucketed Parquet, sorted by time_us within files.
+
+  key leads with time_us     → partition column hour_bucket = time_us/3600e6
+                               (partition pruning ≈ iterator LowerBound, P2)
+  key carries did/collection → top-level columns (predicate pushdown +
+                               column pruning ≈ key-only filtering, P1 —
+                               the value columns are never materialized for
+                               filtered-out rows)
+  range-delete TTL           → partition-directory drop (P9)
+
+At 100 TB this layout is the whole ballgame: a replay from cursor touches
+only the hour directories ≥ cursor's hour, reads only the envelope columns
+the filters need, and streams in file order. Writing sorted-by-time_us
+within partitions keeps parquet row-group min/max stats tight, so even
+intra-hour seeks skip row groups.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jetstream_spark.atproto.sequencer import SequencerState, sequence_events
+
+US_PER_HOUR = 3_600_000_000
+DEFAULT_TTL_US = 24 * US_PER_HOUR  # --event-ttl default (main.go:73-78)
+
+
+def write_events(df: DataFrame, log_dir: str) -> None:
+    """Append sequenced envelopes to the hour-partitioned log (S11)."""
+    (
+        df.withColumn("hour_bucket", F.expr(f"time_us div {US_PER_HOUR}"))
+        .sortWithinPartitions("time_us")
+        .write.mode("append")
+        .partitionBy("hour_bucket")
+        .parquet(log_dir)
+    )
+
+
+def ingest_batch(frames_normalized: DataFrame, log_dir: str, wall_clock_us: int | None = None) -> int:
+    """Sequence a normalized batch and append it to the log, persisting
+    sequencer state (the batch path of the standing pipeline §3.1).
+    Returns the new last_time_us."""
+    state = SequencerState.load(log_dir)
+    sequenced, last = sequence_events(
+        frames_normalized, state.last_time_us, wall_clock_us=wall_clock_us
+    )
+    write_events(sequenced.drop("_seq"), log_dir)
+    state.last_time_us = last
+    state.save(log_dir)
+    return last
+
+
+def read_log(spark: SparkSession, log_dir: str) -> DataFrame:
+    return spark.read.parquet(log_dir)
+
+
+def replay(
+    spark: SparkSession,
+    log_dir: str,
+    cursor: int | None = None,
+    wanted_collections: list[str] | None = None,
+    wanted_dids: list[str] | None = None,
+) -> DataFrame:
+    """S14 replay scan + S17 subscription filters, cursor-inclusive
+    (persist.go:153), time-ordered delivery.
+
+    The hour_bucket >= cursor/3600e6 predicate prunes partitions before
+    any file is opened; time_us >= cursor pushes into row-group stats.
+    """
+    df = read_log(spark, log_dir)
+    if cursor is not None:
+        df = df.where(
+            (F.col("hour_bucket") >= cursor // US_PER_HOUR) & (F.col("time_us") >= cursor)
+        )
+    df = apply_subscription_filters(df, wanted_collections, wanted_dids)
+    return df.drop("hour_bucket").orderBy("time_us")
+
+
+def apply_subscription_filters(
+    df: DataFrame,
+    wanted_collections: list[str] | None = None,
+    wanted_dids: list[str] | None = None,
+) -> DataFrame:
+    """S17 semantics (server.go:118-129): collection filter applies only to
+    events that HAVE a collection — account/identity events pass regardless
+    (README: 'all subscribers receive Account and Identity events');
+    empty filter set = match-all."""
+    if wanted_collections:
+        df = df.where(
+            F.col("commit").isNull() | F.col("commit.collection").isin(*wanted_collections)
+        )
+    if wanted_dids:
+        df = df.where(F.col("did").isin(*wanted_dids))
+    return df
+
+
+def trim_events(spark: SparkSession, log_dir: str, now_us: int, ttl_us: int = DEFAULT_TTL_US) -> int:
+    """S13 TTL retention: drop whole hour partitions older than now-TTL —
+    the partition-drop analogue of Pebble's DeleteRange (persist.go:130, P9).
+    Only FULLY expired buckets are dropped (bucket end < cutoff), matching
+    the reference's conservative key-range bound. Returns #partitions dropped.
+    """
+    cutoff_bucket = (now_us - ttl_us) // US_PER_HOUR  # buckets < this are fully expired
+    dropped = 0
+    if not os.path.isdir(log_dir):
+        return 0
+    for entry in os.listdir(log_dir):
+        if not entry.startswith("hour_bucket="):
+            continue
+        bucket = int(entry.split("=", 1)[1])
+        if bucket < cutoff_bucket:
+            shutil.rmtree(os.path.join(log_dir, entry))
+            dropped += 1
+    return dropped

@@ -1,0 +1,118 @@
+"""S10/H1 — global strictly-monotonic `time_us` assignment.
+
+The reference creates total order with ONE goroutine and a mutex clock
+(consumer.go:311-342, clock.go:34-56): every event funnels through a single
+thread. That works at firehose rates but is the one non-scalable point.
+
+Spark version — two-phase distributed sequencing, no single-partition stage:
+
+  1. range-repartition + sort within partitions on a deterministic key
+     (SURVEY §1.5 option b: the tiebreak makes assignment reproducible;
+     the reference's own order is arrival order, i.e. weaker),
+  2. one cheap job counts rows per partition → cumulative offsets
+     (driver-side array of numPartitions longs — trivially small),
+  3. an Arrow-batched pass assigns
+     time_us = base + global_rank, where
+     base = max(last_time_us + 1, wall_clock_us)
+     — the exact clock-bump rule of clock.go:51-53 lifted from per-event
+     to per-batch granularity.
+
+State (`last_time_us`) persists to a JSON sidecar next to the log —
+the analogue of the reference's cursor record (persist.go:19-23, S12) —
+so monotonicity survives restart (tested in tests/test_atproto.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATE_FILE = "_sequencer_state.json"
+
+
+@dataclass
+class SequencerState:
+    last_time_us: int = 0
+
+    @classmethod
+    def load(cls, log_dir: str) -> "SequencerState":
+        path = os.path.join(log_dir, STATE_FILE)
+        if os.path.exists(path):
+            with open(path) as f:
+                return cls(**json.load(f))
+        return cls()
+
+    def save(self, log_dir: str) -> None:
+        os.makedirs(log_dir, exist_ok=True)
+        path = os.path.join(log_dir, STATE_FILE)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_time_us": self.last_time_us}, f)
+        os.replace(tmp, path)  # atomic, like pebble.Sync for the cursor (persist.go:57)
+
+
+def sequence_events(
+    df: DataFrame,
+    last_time_us: int = 0,
+    order_cols: tuple[str, ...] = ("_seq", "did"),
+    wall_clock_us: int | None = None,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Assign strictly monotonic `time_us` to every row.
+
+    Returns (sequenced_df, new_last_time_us). The returned DataFrame is
+    persisted (unpersist after writing) — both the count job and the
+    assignment read the same materialization, so the rank↔offset mapping
+    cannot drift between jobs.
+    """
+    if wall_clock_us is None:
+        wall_clock_us = int(time.time() * 1_000_000)
+    base = max(last_time_us + 1, wall_clock_us)
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["cnt"] for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    total = acc
+    boffsets = df.sparkSession.sparkContext.broadcast(offsets)
+    bbase = base
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in ordered.schema.fields)
+    out_schema += ", time_us bigint"
+
+    def assign(batches):
+        import pandas as pd  # noqa: F401
+
+        local_idx = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(time_us=pd.Series([], dtype="int64"))
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            if local_idx is None:
+                local_idx = boffsets.value.get(pid, 0)
+            start = bbase + local_idx
+            pdf = pdf.copy()
+            pdf["time_us"] = range(start, start + len(pdf))
+            local_idx += len(pdf)
+            yield pdf
+
+    sequenced = (
+        ordered.mapInPandas(assign, schema=out_schema)
+        .drop("_pid")
+    )
+    return sequenced, base + total - 1 if total else last_time_us

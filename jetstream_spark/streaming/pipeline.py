@@ -1,0 +1,87 @@
+"""M3 — the standing ingest query (SURVEY.md §3.1, Spark shape).
+
+  source (S1/S2) → normalize (S3-S9) → foreachBatch: sequence (S10/H1)
+  → hour-partitioned log append (S11); checkpointLocation = cursor (S12).
+
+The source here is a file-backed frame stream (JSON files in a drop
+directory, read with RAW_FRAME_SCHEMA) — the same shape a websocket→
+file/Kafka bridge produces. A real firehose source would be a Spark 4
+Python DataSourceStreamReader whose partitions decode CAR/CBOR (S5/S8,
+the H3 stub); everything downstream of the schema is identical.
+
+Exactly-once: Spark checkpoints source offsets per microbatch; the
+sequencer state file carries last_time_us. foreachBatch can re-run a
+batch after a crash (offsets committed after the batch), so the batch
+write is idempotized by batch_id: a replayed batch_id is skipped —
+the same overwrite-idempotent recovery the reference gets from
+re-ingesting from the last synced cursor (P8, persist.go:110 vs 57).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from jetstream_spark.atproto.log import ingest_batch
+from jetstream_spark.atproto.normalize import normalize_frames
+from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
+
+BATCH_STATE_FILE = "_ingest_batches.json"
+
+
+def _load_done_batches(log_dir: str) -> set[int]:
+    path = os.path.join(log_dir, BATCH_STATE_FILE)
+    if os.path.exists(path):
+        with open(path) as f:
+            return set(json.load(f))
+    return set()
+
+
+def _mark_batch_done(log_dir: str, batch_id: int) -> None:
+    done = _load_done_batches(log_dir)
+    done.add(batch_id)
+    path = os.path.join(log_dir, BATCH_STATE_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(done), f)
+    os.replace(tmp, path)
+
+
+def read_frame_stream(spark: SparkSession, frames_dir: str, max_files_per_trigger: int = 100) -> DataFrame:
+    """S1: the frame source. maxFilesPerTrigger is the ingest throttle
+    (the analogue of --max-queue-size backpressure, P6/P7)."""
+    return (
+        spark.readStream.schema(RAW_FRAME_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(frames_dir)
+    )
+
+
+def start_ingest(
+    spark: SparkSession,
+    frames_dir: str,
+    log_dir: str,
+    checkpoint_dir: str,
+    wall_clock_us: int | None = None,
+) -> StreamingQuery:
+    """Launch the standing pipeline. Blocking control stays with the caller
+    (query.processAllAvailable() in tests, awaitTermination() in prod)."""
+    frames = read_frame_stream(spark, frames_dir)
+    normalized = normalize_frames(frames)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in _load_done_batches(log_dir):
+            return  # crash-replayed batch: already appended, skip (exactly-once)
+        if batch_df.isEmpty():
+            return
+        ingest_batch(batch_df, log_dir, wall_clock_us=wall_clock_us)
+        _mark_batch_done(log_dir, batch_id)
+
+    return (
+        normalized.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -1,0 +1,151 @@
+"""M4 — live subscription delivery with replay→live cutover (S15-S20, H2).
+
+A subscriber session is the reference's HandleSubscribe lifecycle
+(server.go:240-356) re-expressed:
+
+  1. parse+validate → Subscription (S21, subscribe.py)
+  2. if cursor set: batch replay LOOP over the persisted log — each round
+     scans [cursor, head], applies filters + the monotonic seq guard,
+     advances the cursor, and re-checks distance to the live head
+     (server.go:305-337);
+  3. once within the cutover threshold, attach to the live stream: a
+     streaming query over the log directory (the log is the serialized
+     single-writer order, so tailing it preserves total order) with the
+     same filter stack; the seq guard makes the handover gapless and
+     duplicate-free (S18) — overlap between the last replay round and the
+     stream's first batch is filtered, exactly like server.go:131-134.
+
+Delivery lands in per-subscriber sinks (in tests: memory sink / collected
+lists; in prod: the websocket edge, which is outside Spark — H4). The
+wire frame (S16) is computed once upstream via to_wire.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from jetstream_spark.atproto.log import apply_subscription_filters
+from jetstream_spark.atproto.subscribe import Subscription
+from jetstream_spark.atproto.wire import to_wire
+
+
+def backfill(
+    spark: SparkSession,
+    log_dir: str,
+    sub: Subscription,
+    server_head_us: Callable[[], int],
+    deliver: Callable[[list], None],
+    max_rounds: int = 100,
+    batch_limit: int = 50_000,
+) -> int:
+    """Replay loop (server.go:305-337): scan from cursor, deliver, advance,
+    until within the cutover window of the live head. Returns delivered count.
+
+    batch_limit plays the role of the replay rate limiter (persist.go:149,
+    10× sub rate): it bounds how much one round materializes.
+    """
+    delivered = 0
+    for _ in range(max_rounds):
+        batch = to_wire(sub.replay_batch(spark, log_dir).limit(batch_limit)).orderBy("time_us").collect()
+        if batch:
+            deliver(batch)
+            delivered += len(batch)
+            sub.advance(batch[-1]["time_us"])
+        if sub.caught_up(server_head_us()) or not batch:
+            break
+    return delivered
+
+
+def live_stream(
+    spark: SparkSession,
+    log_dir: str,
+    sub: Subscription,
+    max_files_per_trigger: int = 100,
+) -> DataFrame:
+    """The live tail: stream new log files as they are committed, with the
+    subscriber's filter stack + monotonic guard. One shared upstream
+    (the log) serves every subscriber — serialize-once (P3) holds because
+    to_wire is computed from the stored envelope, not per subscriber."""
+    stream = (
+        spark.readStream.schema(
+            "did string, time_us bigint, type string, "
+            "commit struct<rev:string,type:string,collection:string,rkey:string,record:string,cid:string>, "
+            "account struct<active:boolean,did:string,seq:bigint,time:string,status:string>, "
+            "identity struct<did:string,handle:string,seq:bigint,time:string>, "
+            "hour_bucket bigint"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(log_dir)
+        .drop("hour_bucket")
+    )
+    filtered = apply_subscription_filters(
+        stream,
+        sub.wanted_collections or None,
+        sub.wanted_dids or None,
+    )
+    # S18 monotonic guard: drop anything at or below the replay watermark
+    filtered = filtered.where(F.col("time_us") > F.lit(sub.seq))
+    return to_wire(filtered)
+
+
+def start_subscription(
+    spark: SparkSession,
+    log_dir: str,
+    sub: Subscription,
+    server_head_us: Callable[[], int],
+    deliver: Callable[[list], None],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Full lifecycle: backfill (if cursor set) then live tail.
+
+    The live tail streams the log directory, but parquet part-files are
+    discovered in file order, not time order — a single appended ingest
+    batch can straddle two triggers, which would make a naive
+    deliver-the-microbatch loop drop the late files at the monotonic
+    guard. So the microbatch is used as a TICK: each trigger delivers an
+    ordered incremental replay (sub.seq, last_committed_time_us] — the
+    sequencer state is written only after its batch is fully in the log
+    (log.py ingest_batch), so that upper bound is a consistent snapshot.
+    Gapless + duplicate-free delivery follows from the seq guard exactly
+    as in the reference (server.go:131-134); ordering comes from the
+    replay sort, mirroring how the reference's live path inherits the
+    sequencer's single-writer order (§3.1).
+    """
+    from jetstream_spark.atproto import log as eventlog
+    from jetstream_spark.atproto.sequencer import SequencerState
+
+    if sub.cursor is not None:
+        backfill(spark, log_dir, sub, server_head_us, deliver)
+    # minimal tick stream: only new-file arrival matters, so read just the
+    # cheapest column — the delivery query below re-reads with pruning
+    tick = (
+        spark.readStream.schema("time_us bigint, hour_bucket bigint")
+        .option("maxFilesPerTrigger", 1000)
+        .parquet(log_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        hi = SequencerState.load(log_dir).last_time_us
+        if hi <= sub.seq:
+            return
+        df = eventlog.replay(
+            spark,
+            log_dir,
+            cursor=sub.seq + 1,
+            wanted_collections=sub.wanted_collections or None,
+            wanted_dids=sub.wanted_dids or None,
+        ).where(F.col("time_us") <= hi)
+        rows = to_wire(df).orderBy("time_us").collect()
+        if rows:
+            deliver(rows)
+            sub.advance(rows[-1]["time_us"])
+
+    return (
+        tick.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
