@@ -35,11 +35,14 @@ def q_replay_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     LowerBound=cursor inclusive, filters evaluated on key fields only.
     Spark analogue: parquet predicate pushdown + column pruning mean the
     value columns are never materialized for filtered-out rows (P1/P2).
+    The cursor predicate is applied in the raw long domain (events_since)
+    so it actually reaches the scan.
     """
-    ev = table(spark, sf_dir, "events")
+    from jetstream_spark.tables import events_since
+
+    ev = events_since(spark, sf_dir, CURSOR_TS)
     return ev.where(
-        (F.col("ts") >= F.lit(CURSOR_TS).cast("timestamp"))
-        & F.col("event_type").isin(*WANTED_TYPES)
+        F.col("event_type").isin(*WANTED_TYPES)
     ).select(
         "event_id",
         F.unix_micros("ts").alias("time_us"),

@@ -43,6 +43,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def events_since(spark: SparkSession, sf_dir: str, cursor_ts: str) -> DataFrame:
+    """events with `ts >= cursor`, filtered in the RAW nanos-long domain so
+    the predicate pushes into the parquet scan (a filter wrapped in
+    timestamp_micros(ts div 1000) is opaque to pushdown — at 100 TB that
+    is a full scan vs row-group skipping). ts_ns >= cursor_us*1000 is
+    exactly equivalent to (ts_ns div 1000) >= cursor_us."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cursor_us = F.unix_micros(F.lit(cursor_ts).cast("timestamp"))
+    return raw.where(F.col("ts") >= cursor_us * 1000).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
 
