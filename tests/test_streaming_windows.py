@@ -1,0 +1,120 @@
+"""Streaming window + stateful operator tests: stream the events table in
+two chunks, compare the windowed results against the batch equivalents."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from jetstream_spark.streaming.windows import monotonic_per_key, session_counts, tumbling_counts
+from jetstream_spark.tables import table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def events_stream_dir(spark, tmp_path):
+    """events table split into two parquet chunk files in a stream dir."""
+    ev = table(spark, SF_DIR, "events")
+    d = str(tmp_path / "events_stream")
+    os.makedirs(d)
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(str(tmp_path / "c0"))
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(str(tmp_path / "c1"))
+    for i, src in enumerate(("c0", "c1")):
+        for f in os.listdir(str(tmp_path / src)):
+            if f.endswith(".parquet"):
+                shutil.copy(str(tmp_path / src / f), os.path.join(d, f"chunk{i}.parquet"))
+    return d
+
+
+@pytest.mark.timeout(300)
+def test_tumbling_window_stream_matches_batch(spark, events_stream_dir, tmp_path):
+    ev_schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = spark.readStream.schema(ev_schema).option("maxFilesPerTrigger", 1).parquet(events_stream_dir)
+    windowed = tumbling_counts(stream)
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["events"], r["value_sum"])
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    batch = (
+        table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("events"), F.round(F.sum("value"), 4).alias("value_sum"))
+    )
+    want = {(str(r["h"]), r["event_type"]): (r["events"], r["value_sum"]) for r in batch.collect()}
+    assert got == want
+
+
+@pytest.mark.timeout(300)
+def test_session_window_stream_runs(spark, events_stream_dir, tmp_path):
+    ev_schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = spark.readStream.schema(ev_schema).parquet(events_stream_dir)
+    q = (
+        session_counts(stream).writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM session_test").collect()
+    assert rows
+    total = sum(r["session_events"] for r in rows)
+    assert total == table(spark, SF_DIR, "events").count()
+
+
+@pytest.mark.timeout(300)
+def test_monotonic_per_key_stateful(spark, tmp_path):
+    """S18 streaming form: duplicates and regressions within/across batches
+    are dropped per key; state survives across microbatches."""
+    import json
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = [{"key": "a", "time_us": 1}, {"key": "a", "time_us": 3}, {"key": "b", "time_us": 5}]
+    b2 = [
+        {"key": "a", "time_us": 2},   # below a's max → dropped
+        {"key": "a", "time_us": 3},   # duplicate → dropped
+        {"key": "a", "time_us": 7},   # advances
+        {"key": "b", "time_us": 5},   # duplicate → dropped
+        {"key": "b", "time_us": 9},
+    ]
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in b1)
+
+    stream = spark.readStream.schema("key string, time_us bigint").option("maxFilesPerTrigger", 1).json(src)
+    q = (
+        monotonic_per_key(stream)
+        .writeStream.format("memory")
+        .queryName("mono_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(os.path.join(src, "b2.jsonl"), "w") as f:
+            f.writelines(json.dumps(r) + "\n" for r in b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        ((r["key"], r["time_us"]) for r in spark.sql("SELECT * FROM mono_test").collect())
+    )
+    assert rows == [("a", 1), ("a", 3), ("a", 7), ("b", 5), ("b", 9)]
