@@ -34,6 +34,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rejects by default; we read nanos as long and rebuild a microsecond
     timestamp (truncation matches DuckDB's epoch_us on TIMESTAMP_NS).
     """
+    # parquet timestamps are naive; DuckDB reads them naively. Rendering
+    # (year/date_format) must not depend on the caller session's timezone,
+    # so pin UTC — idempotent, safe on any session the driver hands us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 

@@ -1,0 +1,94 @@
+"""Skew-salted join equivalence, observe metrics, ANN recall, liveness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jetstream_spark.operators.observability import LivenessMonitor, with_stage_metrics
+from jetstream_spark.operators.skew import salted_join
+from jetstream_spark.queries.similarity import TOP_K, q_ann_brute_force, q_ann_lsh
+from jetstream_spark.tables import table
+from tests.conftest import SF_DIR
+
+
+def test_salted_join_equivalence(spark):
+    """Salting must not change the result set — verified on a skewed key
+    distribution (90% of lineitem rows share one supplier in this frame)."""
+    li = table(spark, SF_DIR, "lineitem").withColumn(
+        "skew_key", F.when(F.col("l_orderkey") % 10 != 0, F.lit(1)).otherwise(F.col("l_suppkey"))
+    )
+    sup = table(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("skew_key"), "s_name", "s_nationkey"
+    )
+    plain = li.join(sup, "skew_key").groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("rev")
+    )
+    salted = salted_join(li, sup, "skew_key", salt_partitions=8).groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("rev")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    nation = table(spark, SF_DIR, "nation")
+    region = table(spark, SF_DIR, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    plain = nation.join(region, "n_regionkey", "left").select("n_nationkey", "r_name")
+    salted = salted_join(nation, region, "n_regionkey", 4, how="left").select(
+        "n_nationkey", "r_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_observe_metrics(spark):
+    li = table(spark, SF_DIR, "lineitem")
+    observed, obs = with_stage_metrics(li, "normalize")
+    n = observed.count()
+    metrics = obs.get
+    assert metrics["events_processed"] == n
+    assert metrics["bytes_estimate"] > 0
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    """The approximate path must overlap the exact top-k meaningfully —
+    recall floor asserted so bucket-config regressions get caught."""
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in q_ann_brute_force(spark, SF_DIR).collect()
+    }
+    approx = {(r["query_id"], r["vec_id"]) for r in q_ann_lsh(spark, SF_DIR).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall:.2f}"
+    # every LSH hit must rank within the query's bucket — sanity: no self-matches
+    assert all(q != v for q, v in approx)
+
+
+def test_liveness_monitor_tracks_progress(spark, tmp_path):
+    import json
+    import os
+    import time as _t
+
+    mon = LivenessMonitor(stall_limit_s=3600)
+    spark.streams.addListener(mon)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "x.jsonl"), "w") as f:
+        f.write(json.dumps({"k": 1}) + "\n")
+    stream = spark.readStream.schema("k bigint").json(src)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("liveness_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        deadline = _t.time() + 10
+        while q.id not in {qid for qid in mon.last_progress} and _t.time() < deadline:
+            _t.sleep(0.2)
+        assert str(q.id) in {str(k) for k in mon.last_progress}, "listener saw no progress"
+        assert not mon.stalled()
+    finally:
+        q.stop()
+        spark.streams.removeListener(mon)
