@@ -38,14 +38,55 @@ HEADLINE = [
 ]
 
 
+def bench_ingest_pipeline(spark, sf_dir: str) -> tuple[float, int]:
+    """The jetstream standing pipeline at bench scale: events rows recast
+    as commit frames → normalize → distributed sequencer → wire frames →
+    noop sink. Returns (seconds, events). The events/s figure is the
+    comparable number to the reference's capacity limits (BASELINE.md:
+    5k/s live delivery, 50k/s replay per subscriber)."""
+    from pyspark.sql import functions as F
+
+    from jetstream_spark.atproto.normalize import normalize_frames
+    from jetstream_spark.atproto.sequencer import sequence_events
+    from jetstream_spark.atproto.wire import to_wire
+    from jetstream_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    frames = ev.select(
+        F.lit("commit").alias("kind"),
+        F.concat(F.lit("did:plc:user"), F.col("user_id")).alias("did"),
+        F.col("event_id").alias("seq"),
+        F.concat(F.lit("rev"), F.col("event_id")).alias("rev"),
+        F.lit(False).alias("too_big"),
+        F.array(
+            F.struct(
+                F.lit("create").alias("action"),
+                F.concat(F.lit("app.bsky.feed.post/rkey"), F.col("event_id")).alias("path"),
+                F.concat(F.lit("bafy"), F.col("event_id")).alias("cid"),
+                F.col("props").alias("record_json"),
+                F.concat(F.lit("bafy"), F.col("event_id")).alias("record_cid"),
+            )
+        ).alias("ops"),
+        F.lit(None).cast("struct<active:boolean,did:string,seq:bigint,time:string,status:string>").alias("account"),
+        F.lit(None).cast("struct<did:string,handle:string,seq:bigint,time:string>").alias("identity"),
+    )
+    n = ev.count()
+    t0 = time.time()
+    normalized = normalize_frames(frames)
+    sequenced, _ = sequence_events(normalized, last_time_us=0, wall_clock_us=1_000_000)
+    to_wire(sequenced).write.format("noop").mode("overwrite").save()
+    return time.time() - t0, n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("jetstream_spark_bench")
     specs = all_queries()
 
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + codegen + parquet footer caches + Python UDF workers
     specs["q1_pricing_summary"].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    specs["multimodal_frame_sample"].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -53,7 +94,11 @@ def main() -> None:
         specs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    ingest_sec, ingest_events = bench_ingest_pipeline(spark, sf_dir)
+    timings["ingest_pipeline"] = round(ingest_sec, 3)
+
     total = round(sum(timings.values()), 3)
+    timings["ingest_events_per_sec"] = round(ingest_events / ingest_sec, 1)  # rate, not in total
     print(
         json.dumps(
             {

@@ -15,10 +15,10 @@ from jetstream_spark.queries.spec import QuerySpec
 
 def all_queries() -> dict[str, QuerySpec]:
     # imports deferred so a syntax error in one domain doesn't break the rest
-    from jetstream_spark.queries import dedup, eventlog, multimodal, relational, relational2, similarity, text
+    from jetstream_spark.queries import dedup, eventlog, multimodal, relational, relational2, relational3, similarity, text
 
     registry: dict[str, QuerySpec] = {}
-    for module in (relational, relational2, eventlog, dedup, similarity, text, multimodal):
+    for module in (relational, relational2, relational3, eventlog, dedup, similarity, text, multimodal):
         for spec in module.QUERIES:
             assert spec.name not in registry, f"duplicate query name {spec.name}"
             registry[spec.name] = spec
