@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the load-bearing invariants
+(SURVEY.md §1.5, §5.2 item 3) — randomized batch sizes, wall clocks,
+cursor rewinds, and filter sets."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from jetstream_spark.atproto import log as eventlog
+from jetstream_spark.atproto.normalize import normalize_frames
+from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
+from jetstream_spark.atproto.sequencer import sequence_events
+from jetstream_spark.atproto.subscribe import Subscription
+from tests.fixtures import make_frames
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@pytest.fixture(scope="module")
+def normalized(spark):
+    frames = spark.createDataFrame(make_frames(25), schema=RAW_FRAME_SCHEMA)
+    return normalize_frames(frames).cache()
+
+
+@SLOW
+@given(
+    last=st.integers(min_value=0, max_value=10**15),
+    wall=st.integers(min_value=1, max_value=10**15),
+    parts=st.integers(min_value=1, max_value=8),
+)
+def test_sequencer_monotonic_for_any_state(normalized, last, wall, parts):
+    """Strict monotonicity and continuity hold for ANY prior state and wall
+    clock, including a wall clock far behind the persisted state
+    (clock.go:51-53's bump rule generalized)."""
+    df, new_last = sequence_events(
+        normalized, last_time_us=last, wall_clock_us=wall, num_partitions=parts
+    )
+    times = sorted(r["time_us"] for r in df.select("time_us").collect())
+    assert times[0] > last, "must start above prior state"
+    assert times[0] >= wall or times[0] == last + 1
+    assert all(b == a + 1 for a, b in zip(times, times[1:])), "dense, strictly increasing"
+    assert new_last == times[-1]
+
+
+@SLOW
+@given(
+    batch_limits=st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=6),
+    rewind=st.integers(min_value=0, max_value=50),
+)
+def test_replay_rounds_never_dup_never_gap(spark, tmp_path_factory, normalized, batch_limits, rewind):
+    """S18: whatever the per-round batch limits and however far the cursor
+    is rewound between rounds, delivery is exactly-once in order."""
+    log_dir = str(tmp_path_factory.mktemp("proplog"))
+    eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1_000_000)
+    sub = Subscription(cursor=0)
+    delivered: list[int] = []
+    i = 0
+    while True:
+        limit = batch_limits[i % len(batch_limits)]
+        i += 1
+        batch = sub.replay_batch(spark, log_dir).limit(limit).collect()
+        if not batch:
+            break
+        delivered.extend(r["time_us"] for r in batch)
+        sub.advance(batch[-1]["time_us"])
+        sub.cursor = max(0, sub.cursor - rewind)  # adversarial rewind
+        if i > 200:
+            pytest.fail("replay did not converge")
+    full = [r["time_us"] for r in eventlog.replay(spark, log_dir).collect()]
+    assert delivered == full
+
+
+@SLOW
+@given(collections=st.sets(st.sampled_from(
+    ["app.bsky.feed.post", "app.bsky.feed.like", "app.bsky.graph.follow"]), max_size=3))
+def test_filter_partition_property(spark, tmp_path_factory, normalized, collections):
+    """For any wanted-collections set: commit events split exactly into
+    (matching ∪ non-matching), acc/id events always delivered
+    (server.go:119-129 semantics; empty set = match-all)."""
+    log_dir = str(tmp_path_factory.mktemp("filtlog"))
+    eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1_000_000)
+    everything = eventlog.replay(spark, log_dir).collect()
+    got = eventlog.replay(
+        spark, log_dir, wanted_collections=sorted(collections) or None
+    ).collect()
+    if not collections:
+        assert len(got) == len(everything)
+        return
+    expected = [
+        r
+        for r in everything
+        if r["type"] != "com" or r["commit"]["collection"] in collections
+    ]
+    assert [r["time_us"] for r in got] == [r["time_us"] for r in expected]
