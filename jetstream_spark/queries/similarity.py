@@ -160,7 +160,70 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- embedding vector ops (scalar outputs — oracle-safe) -------------------------
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-op surface: L2 norm, mean component, min/max — pure HOF
+    arithmetic on array<float>, JVM-side."""
+    emb = table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    sq = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
+    s = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(s / F.size("embedding"), 6).alias("mean_component"),
+        F.round(F.array_max(dbl), 6).alias("max_component"),
+    )
+
+
+Q_EMB_NORMS_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6) AS l2_norm,
+       round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum') / len(embedding), 6) AS mean_component,
+       round(list_aggregate(CAST(embedding AS DOUBLE[]), 'max'), 6) AS max_component
+FROM embeddings
+"""
+
+
+def q_embedding_downproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction by adjacent-pair averaging (64 -> 32) —
+    the cheap linear projection shape; output summarized as scalars."""
+    emb = table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda i: (F.element_at(dbl, i * 2 + 1) + F.element_at(dbl, i * 2 + 2)) / 2.0,
+    )
+    sq = F.aggregate(proj, F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.select(
+        "vec_id",
+        F.lit(32).alias("proj_dim"),
+        F.round(F.sqrt(sq), 6).alias("proj_l2_norm"),
+        F.round(F.element_at(proj, 1), 6).alias("proj_first"),
+    )
+
+
+Q_EMB_DOWNPROJECT_ORACLE = """
+WITH p AS (
+  SELECT vec_id,
+         list_transform(generate_series(0, 31),
+                        i -> (CAST(embedding[i * 2 + 1] AS DOUBLE) + CAST(embedding[i * 2 + 2] AS DOUBLE)) / 2.0) AS proj
+  FROM embeddings
+)
+SELECT vec_id,
+       32 AS proj_dim,
+       round(sqrt(list_aggregate(list_transform(proj, x -> x * x), 'sum')), 6) AS proj_l2_norm,
+       round(proj[1], 6) AS proj_first
+FROM p
+"""
+
+
 QUERIES = [
     QuerySpec("ann_brute_force_topk", q_ann_brute_force, Q_ANN_ORACLE, "exact cosine top-k (numpy block products)", ("similarity",)),
     QuerySpec("ann_lsh_topk", q_ann_lsh, None, "random-hyperplane LSH ANN (approximate scale path)", ("similarity",)),
+    QuerySpec("embedding_norms", q_embedding_norms, Q_EMB_NORMS_ORACLE, "vector norm/stats ops", ("similarity",)),
+    QuerySpec("embedding_downproject", q_embedding_downproject, Q_EMB_DOWNPROJECT_ORACLE, "adjacent-pair dim reduction", ("similarity",)),
 ]
