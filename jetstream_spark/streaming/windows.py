@@ -63,6 +63,13 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str], watermark_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins; state for a key
+    is dropped once the watermark passes it (bounded state — the S13-style
+    retention bound applied to dedup state)."""
+    return events.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 # --- stateful per-key monotonic filter (S18's true streaming form) --------------
 _STATE_SCHEMA = "max_seq bigint"
 _OUT_SCHEMA = "key string, time_us bigint"

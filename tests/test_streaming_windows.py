@@ -118,3 +118,62 @@ def test_monotonic_per_key_stateful(spark, tmp_path):
         ((r["key"], r["time_us"]) for r in spark.sql("SELECT * FROM mono_test").collect())
     )
     assert rows == [("a", 1), ("a", 3), ("a", 7), ("b", 5), ("b", 9)]
+
+
+@pytest.mark.timeout(300)
+def test_sliding_window_stream(spark, events_stream_dir, tmp_path):
+    from jetstream_spark.streaming.windows import sliding_counts
+
+    ev_schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = spark.readStream.schema(ev_schema).parquet(events_stream_dir)
+    q = (
+        sliding_counts(stream, size="1 hour", slide="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cks"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sliding_test").collect()
+    assert rows
+    # every event lands in exactly 2 overlapping windows (1h window, 30m slide)
+    total = sum(r["events"] for r in rows)
+    assert total == 2 * table(spark, SF_DIR, "events").count()
+
+
+@pytest.mark.timeout(300)
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    import json
+
+    from jetstream_spark.streaming.windows import dedup_stream
+
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+    rows = [
+        {"k": "a", "ts": "2024-01-01 10:00:00"},
+        {"k": "a", "ts": "2024-01-01 10:00:01"},  # dup key within watermark
+        {"k": "b", "ts": "2024-01-01 10:00:02"},
+    ]
+    with open(os.path.join(src, "d1.jsonl"), "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in rows)
+    stream = (
+        spark.readStream.schema("k string, ts timestamp").json(src)
+    )
+    q = (
+        dedup_stream(stream, ["k"], watermark_col="ts", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["k"] for r in spark.sql("SELECT k FROM dedup_stream_test").collect())
+    assert got == ["a", "b"]
