@@ -5,10 +5,14 @@ DuckDB, then compares row count, column names, and an order-insensitive
 value hash (columns sorted by name, rows sorted, values canonicalized).
 
 Usage: python tools/verify_oracle.py [sf_dir] [query_name ...]
+       VANILLA=1 python tools/verify_oracle.py ...   # driver simulation:
+       plain default SparkSession instead of the tuned one (catches any
+       accidental dependence on session config)
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -52,7 +56,12 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    spark = get_spark("verify_oracle")
+    if os.environ.get("VANILLA"):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("verify_vanilla").getOrCreate()
+    else:
+        spark = get_spark("verify_oracle")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
