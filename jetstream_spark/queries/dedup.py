@@ -113,12 +113,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "shingles", "sorted_sh").cache()
     prefix_len = F.size("sorted_sh") - F.ceil(F.size("sorted_sh") * F.lit(JACCARD_T)).cast("int") + 1
     prefixes = sh.select(
-        "doc_id", F.explode(F.slice("sorted_sh", 1, prefix_len)).alias("p")
-    ).select("doc_id", F.col("p.s").alias("s"))
+        "doc_id", F.size("sorted_sh").alias("n"), F.explode(F.slice("sorted_sh", 1, prefix_len)).alias("p")
+    ).select("doc_id", "n", F.col("p.s").alias("s"))
     a = prefixes.alias("a")
     b = prefixes.alias("b")
+    # length filter: J(A,B) ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t — prunes size-mismatched
+    # pairs before the expensive distinct+verify
     candidates = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") >= F.col("b.n") * F.lit(JACCARD_T))
+            & (F.col("b.n") >= F.col("a.n") * F.lit(JACCARD_T)),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
