@@ -12,7 +12,7 @@ Five dedup families, each designed for the 100 TB path:
                    candidate is verified with the exact measure, the output
                    equals the exact query whenever recall=1
 - simhash          32-bit SimHash over char-4-gram features; pairs via
-                   8×4-bit pigeonhole banding (hamming ≤ HAM_T < #bands ⇒ a
+                   4×8-bit pigeonhole banding (hamming ≤ HAM_T < #bands ⇒ a
                    shared band exists ⇒ banded equi-join is EXACT, not
                    approximate) — no quadratic pass at any scale
 - embedding cosine near-dup (vectorized numpy block products)
@@ -98,37 +98,68 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {JACCARD_T}
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT near-dup pairs via prefix filtering (the AllPairs/PPJoin bound):
-    if J(A,B) ≥ t, then under any global shingle ordering A and B share an
-    element within each one's first n−⌈t·n⌉+1 shingles. So the inverted-
-    index self-join runs over ~(1−t)·n prefix shingles only (~9% of the
-    naive pair volume at t=0.7), and every candidate is then verified with
-    the true Jaccard on the full (cached) shingle arrays. A plain
-    shingle-equality self-join is quadratic on corpora with shared
-    vocabulary — 30× slower on this corpus at sf0.1."""
-    sh = _doc_shingles(spark, sf_dir).withColumn(
-        # global order = hash order (spreads hot shingles out of prefixes)
-        "sorted_sh",
-        F.expr("array_sort(transform(shingles, s -> struct(xxhash64(s) as h, s as s)))"),
-    ).select("doc_id", "shingles", "sorted_sh").cache()
-    prefix_len = F.size("sorted_sh") - F.ceil(F.size("sorted_sh") * F.lit(JACCARD_T)).cast("int") + 1
-    prefixes = sh.select(
-        "doc_id", F.size("sorted_sh").alias("n"), F.explode(F.slice("sorted_sh", 1, prefix_len)).alias("p")
-    ).select("doc_id", "n", F.col("p.s").alias("s"))
+    """EXACT near-dup pairs via PPJoin-style prefix filtering:
+
+    - AllPairs bound: if J(A,B) ≥ t then, under any global shingle order,
+      A and B share an element within each one's first n−⌈t·n⌉+1 shingles —
+      the inverted-index self-join runs over those prefixes only.
+    - Global order = (document frequency ASC, shingle): rarest-first. Hot
+      shingles (shared corpus vocabulary) land at the END of every sorted
+      array and never enter a prefix, so the inverted index posting lists
+      that do get joined are the short ones — this is the PPJoin ordering
+      and cuts candidate volume far below hash order.
+    - Positional filter: for the first shared prefix shingle at (1-based)
+      positions i in A and j in B, overlap ≤ 1 + min(|A|−i, |B|−j); pairs
+      whose bound is below the J ≥ t overlap requirement t/(1+t)·(|A|+|B|)
+      are pruned before verification.
+    - Length filter: t·|B| ≤ |A| ≤ |B|/t.
+
+    Every surviving candidate is verified with the true Jaccard on the full
+    (cached) shingle arrays, so the output is exact. The frequency table is
+    one extra groupBy+join on the shingle key — fully distributed, and the
+    natural sort key at 100 TB too (frequencies are a byproduct of building
+    the inverted index)."""
+    sh = _doc_shingles(spark, sf_dir).cache()
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc shingle list sorted rarest-first, with (df, s) as the global order
+    ranked = exploded.join(freq, "s").groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("df", "s"))).alias("sorted_sh")
+    )
+    n = F.size("sorted_sh")
+    prefix_len = (n - F.ceil(n * F.lit(JACCARD_T)).cast("int") + 1).cast("int")
+    prefixes = ranked.select(
+        "doc_id",
+        n.alias("n"),
+        F.posexplode(F.slice("sorted_sh", 1, prefix_len)).alias("pos0", "p"),
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), F.col("p.s").alias("s"))
     a = prefixes.alias("a")
     b = prefixes.alias("b")
-    # length filter: J(A,B) ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t — prunes size-mismatched
-    # pairs before the expensive distinct+verify
+    matched = a.join(
+        b,
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.n") >= F.col("b.n") * F.lit(JACCARD_T))
+        & (F.col("b.n") >= F.col("a.n") * F.lit(JACCARD_T)),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+    )
+    # min pos over shared prefix shingles = position of the globally-first
+    # shared shingle (same shingle on both sides — both arrays carry the same
+    # global order), which is the one the positional bound is valid for
     candidates = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n") >= F.col("b.n") * F.lit(JACCARD_T))
-            & (F.col("b.n") >= F.col("a.n") * F.lit(JACCARD_T)),
+        matched.groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.min("pos_a").alias("i"), F.min("pos_b").alias("j"))
+        .where(
+            1 + F.least(F.col("n_a") - F.col("i"), F.col("n_b") - F.col("j"))
+            >= (F.col("n_a") + F.col("n_b")) * F.lit(JACCARD_T / (1.0 + JACCARD_T))
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select("doc_a", "doc_b")
     )
     sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
     sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
@@ -276,8 +307,8 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, hamming ≤ 3, found via 8×4-bit banded
-    equi-join (exact by pigeonhole — ≤3 flipped bits cannot touch all 8
+    """SimHash near-dup pairs, hamming ≤ 3, found via 4×8-bit banded
+    equi-join (exact by pigeonhole — ≤3 flipped bits cannot touch all 4
     bands), then xor+bit_count verification. No all-pairs pass."""
     sims = _simhash_df(spark, sf_dir)
     band_structs = [
@@ -348,47 +379,97 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SH_HAM_T}
 
 # --- embedding cosine near-dup ---------------------------------------------------------
 COS_T = 0.4
+_COS_BLOCKS = 8  # local[32] setting; at scale B = ceil(N / rows_per_block)
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.4) via numpy block products:
-    each Arrow batch of vectors is multiplied against the (broadcast) full
-    matrix — vectorized float64, no per-row Python. At 100 TB the broadcast
-    side becomes LSH buckets / IVF cells (see similarity.py); the block
-    structure stays the same."""
+    """EXACT embedding near-dup pairs (cosine ≥ 0.4) via a distributed
+    blocked all-pairs scan: vectors hash into B blocks, the B·(B+1)/2 block
+    pairs are enumerated with a broadcast join, and each block pair is
+    cogrouped so one numpy float64 matrix product scores it. No driver-side
+    materialization of the base table anywhere; executor memory is bounded
+    by 2 blocks; replication factor is O(B) shuffle — the inherent cost of
+    an exact pairwise operator.
+
+    Why not LSH candidates + verify (the minhash pattern): measured on this
+    corpus, ~98% of qualifying pairs have cosine in [0.4, 0.5) — per-
+    hyperplane agreement p = 1 - θ/π ≈ 0.63, so any banding with recall ≈ 1
+    admits more candidates than all-pairs (e.g. r=4 bits needs ~47 tables
+    and still floods 1/16-collision buckets). Random-hyperplane LSH is only
+    a win for high thresholds; that fast path exists in similarity.py
+    (q_ann_lsh) with its recall SLA stated. An exact low-threshold pair scan
+    is O(N²) by nature — the right scale design is to distribute it evenly,
+    not to pretend a sketch can shortcut it.
+    """
     import numpy as np
 
-    emb = table(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").collect()  # small side: materialized once, broadcast
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    bmat = spark.sparkContext.broadcast((ids, mat, norms))
+    B = _COS_BLOCKS
 
-    def block(batches):
-        b_ids, b_mat, b_norms = bmat.value
-        for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            q_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            q_norms = np.linalg.norm(q_mat, axis=1)
-            cos = (q_mat @ b_mat.T) / np.outer(q_norms, b_norms)
-            qi, bi = np.nonzero((cos >= COS_T) & (q_ids[:, None] < b_ids[None, :]))
-            if len(qi):
-                # raw cosine out; rounding happens in Spark (half-up, like SQL)
-                yield pd.DataFrame(
-                    {"vec_a": q_ids[qi], "vec_b": b_ids[bi], "cosine": cos[qi, bi]}
-                )
+    def side(pair_col: str) -> DataFrame:
+        # fresh lineage per side (scan AND pair list) — shared lineage trips
+        # Spark's ambiguous-self-join analysis inside cogroup
+        block_pairs = spark.createDataFrame(
+            [(i, j) for i in range(B) for j in range(i, B)], "bi int, bj int"
+        )
+        blocked = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("block")
+        )
+        return blocked.join(F.broadcast(block_pairs), F.col("block") == F.col(pair_col)).select(
+            "bi", "bj", "vec_id", "embedding"
+        )
 
-    schema = "vec_a long, vec_b long, cosine double"
-    raw = emb.select("vec_id", "embedding").mapInPandas(block, schema=schema)
+    left = side("bi")
+    right = side("bj")
+
+    def compare(key, lpdf, rpdf):
+        bi, bj = key
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        l_ids = lpdf["vec_id"].to_numpy(dtype=np.int64)
+        r_ids = rpdf["vec_id"].to_numpy(dtype=np.int64)
+        l_mat = np.array(lpdf["embedding"].tolist(), dtype=np.float64)
+        r_mat = np.array(rpdf["embedding"].tolist(), dtype=np.float64)
+        cos = (l_mat @ r_mat.T) / np.outer(
+            np.linalg.norm(l_mat, axis=1), np.linalg.norm(r_mat, axis=1)
+        )
+        mask = cos >= COS_T
+        if bi == bj:
+            # same block on both sides: keep each unordered pair once
+            mask &= l_ids[:, None] < r_ids[None, :]
+        li, ri = np.nonzero(mask)
+        a, b = l_ids[li], r_ids[ri]
+        # off-diagonal blocks see each unordered pair exactly once, either way
+        # around — canonicalize to (min, max); raw cosine out, rounding happens
+        # in Spark (half-up, like SQL)
+        return pd.DataFrame(
+            {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b), "cosine": cos[li, ri]}
+        )
+
+    raw = (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(compare, schema="vec_a long, vec_b long, cosine double")
+    )
     return raw.withColumn("cosine", F.round("cosine", 6))
 
 
+# Portable cosine arithmetic (no list_cosine_similarity — newer DuckDB surface
+# that the driver's engine may predate).
 Q_EMB_NEARDUP_ORACLE = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {COS_T}
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS nrm
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_aggregate(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), 'sum')
+           / (a.nrm * b.nrm) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cosine
+FROM p WHERE cos >= {COS_T}
 """
 
 

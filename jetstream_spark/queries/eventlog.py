@@ -167,13 +167,12 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_session = F.when(gap.isNull() | (gap > SESSION_GAP_S * 1_000_000), 1).otherwise(0)
     sess_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     with_sess = ev.withColumn("session_id", F.sum(new_session).over(sess_w))
+    # Pure BIGINT subtraction — no division anywhere, so the value domain is
+    # identical across engines/versions (divide-then-cast rounding differs).
     dur_us = F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))
     return with_sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("session_events"),
-        # integer division: float-divide-then-cast rounds differently across engines
-        (dur_us - F.pmod(dur_us, F.lit(1_000_000))).cast("long").alias("session_duration_us_floor"),
-    ).withColumn("session_duration_s", (F.col("session_duration_us_floor") / 1_000_000).cast("long")).drop(
-        "session_duration_us_floor"
+        dur_us.cast("long").alias("session_duration_us"),
     )
 
 
@@ -193,7 +192,7 @@ WITH g AS (
 )
 SELECT user_id, session_id,
        count(*) AS session_events,
-       (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS session_duration_s
+       CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS session_duration_us
 FROM s
 GROUP BY user_id, session_id
 """

@@ -50,9 +50,11 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# text is ASCII-only by construction (see module docstring), so byte length ==
+# char length; avoids encode(), which older DuckDB releases don't ship.
 Q_MM_META_ORACLE = """
 SELECT doc_id,
-       octet_length(encode(text)) AS payload_bytes,
+       CAST(length(text) AS INT) AS payload_bytes,
        'image/fake' AS media_type,
        CAST(n_chars % 64 + 1 AS INT) AS width,
        CAST(doc_id % 48 + 1 AS INT) AS height,

@@ -84,11 +84,22 @@ def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable cosine: spelled out as list_transform/list_aggregate arithmetic —
+# no list_cosine_similarity (newer DuckDB surface; the driver's engine may
+# predate it, and a rejected oracle means the query is never checked).
+_COS_E_SQL = """
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS nrm
+  FROM embeddings
+"""
+
 Q_ANN_ORACLE = f"""
-WITH scores AS (
+WITH e AS ({_COS_E_SQL}),
+scores AS (
   SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
-         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
-  FROM embeddings q JOIN embeddings b ON q.vec_id <> b.vec_id
+         list_aggregate(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * b.v[i]), 'sum')
+           / (q.nrm * b.nrm) AS cos
+  FROM e q JOIN e b ON q.vec_id <> b.vec_id
   WHERE q.vec_id < {N_QUERIES}
 ), ranked AS (
   SELECT query_id, vec_id, cos,

@@ -194,20 +194,22 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rolling hash as a vanilla recursive CTE (one fold step per character) —
+# no list_reduce/list_prepend, which older DuckDB releases don't ship. Depth
+# is max doc length (<600 here); each step is a scan of the live rows only.
 Q_FINGERPRINT_ORACLE = f"""
-WITH n AS (
+WITH RECURSIVE n AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
   FROM documents
+), fold AS (
+  SELECT doc_id, norm, len(norm) AS n_len, 1 AS i, CAST(0 AS BIGINT) AS acc FROM n
+  UNION ALL
+  SELECT doc_id, norm, n_len, i + 1,
+         (acc * {_POLY_MUL} + ascii(substr(norm, i, 1))) % {_POLY_MOD}
+  FROM fold WHERE i <= n_len
 )
-SELECT doc_id,
-       md5(norm) AS md5_fingerprint,
-       list_reduce(
-         list_prepend(CAST(0 AS BIGINT),
-                      list_transform(list_filter(regexp_split_to_array(norm, ''), c -> c <> ''),
-                                     c -> CAST(ascii(c) AS BIGINT))),
-         (acc, x) -> (acc * {_POLY_MUL} + x) % {_POLY_MOD}
-       ) AS poly_fingerprint
-FROM n
+SELECT doc_id, md5(norm) AS md5_fingerprint, acc AS poly_fingerprint
+FROM fold WHERE i = n_len + 1
 """
 
 
