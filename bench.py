@@ -73,8 +73,9 @@ def bench_ingest_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     n = ev.count()
     t0 = time.time()
     normalized = normalize_frames(frames)
-    sequenced, _ = sequence_events(normalized, last_time_us=0, wall_clock_us=1_000_000)
+    sequenced, _, cached = sequence_events(normalized, last_time_us=0, wall_clock_us=1_000_000)
     to_wire(sequenced).write.format("noop").mode("overwrite").save()
+    cached.unpersist()
     return time.time() - t0, n
 
 

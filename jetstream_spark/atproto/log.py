@@ -46,17 +46,84 @@ def write_events(df: DataFrame, log_dir: str) -> None:
     )
 
 
-def ingest_batch(frames_normalized: DataFrame, log_dir: str, wall_clock_us: int | None = None) -> int:
+def _remove_batch_files(log_dir: str, batch_id: int) -> None:
+    """Delete every log file a prior (possibly partial) commit of this batch
+    produced — file names carry the batch id, so the batch's footprint is
+    exactly enumerable."""
+    prefix = f"b{batch_id}-"
+    if not os.path.isdir(log_dir):
+        return
+    for entry in os.listdir(log_dir):
+        if not entry.startswith("hour_bucket="):
+            continue
+        part_dir = os.path.join(log_dir, entry)
+        for fn in os.listdir(part_dir):
+            if fn.startswith(prefix):
+                os.remove(os.path.join(part_dir, fn))
+
+
+def _commit_batch(df: DataFrame, log_dir: str, batch_id: int) -> None:
+    """Idempotent batch append: stage the batch under a batch-id directory,
+    delete any files a previous attempt of the SAME batch left in the log,
+    then move the staged files in under batch-tagged names. Re-running any
+    prefix of this sequence converges to the same final state — the parquet
+    analogue of the reference's overwrite-idempotent Pebble keys
+    (persist.go:101-108, P8), which plain `mode("append")` does not give.
+    Spark ignores `_`-prefixed directories, so the staging area is invisible
+    to log readers. On a cluster this role belongs to the FileSystem commit
+    protocol or a transactional table format; local-FS rename here."""
+    staging = os.path.join(log_dir, "_staging", f"batch-{batch_id}")
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        df.withColumn("hour_bucket", F.expr(f"time_us div {US_PER_HOUR}"))
+        .sortWithinPartitions("time_us")
+        .write.mode("overwrite")
+        .partitionBy("hour_bucket")
+        .parquet(staging)
+    )
+    _remove_batch_files(log_dir, batch_id)
+    for entry in sorted(os.listdir(staging)):
+        if not entry.startswith("hour_bucket="):
+            continue
+        src_dir = os.path.join(staging, entry)
+        dst_dir = os.path.join(log_dir, entry)
+        os.makedirs(dst_dir, exist_ok=True)
+        files = sorted(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
+        for i, fn in enumerate(files):
+            os.replace(os.path.join(src_dir, fn), os.path.join(dst_dir, f"b{batch_id}-{i}.parquet"))
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def ingest_batch(
+    frames_normalized: DataFrame,
+    log_dir: str,
+    wall_clock_us: int | None = None,
+    batch_id: int | None = None,
+) -> int:
     """Sequence a normalized batch and append it to the log, persisting
     sequencer state (the batch path of the standing pipeline §3.1).
-    Returns the new last_time_us."""
+    Returns the new last_time_us.
+
+    With batch_id set, the append is idempotent under crash-replay: a
+    re-run first removes the batch's own files (delete-before-rewrite), so
+    every crash point — after staging, after the move, after the state
+    save — converges to exactly one copy of the batch with strictly
+    monotonic time_us (a replay after the state save re-assigns from
+    last+1; the old copy is deleted first). Without batch_id the write is a
+    plain append (one-shot/test usage)."""
     state = SequencerState.load(log_dir)
-    sequenced, last = sequence_events(
+    sequenced, last, cached = sequence_events(
         frames_normalized, state.last_time_us, wall_clock_us=wall_clock_us
     )
-    write_events(sequenced.drop("_seq"), log_dir)
-    state.last_time_us = last
-    state.save(log_dir)
+    try:
+        if batch_id is None:
+            write_events(sequenced.drop("_seq"), log_dir)
+        else:
+            _commit_batch(sequenced.drop("_seq"), log_dir, batch_id)
+        state.last_time_us = last
+        state.save(log_dir)
+    finally:
+        cached.unpersist()
     return last
 
 

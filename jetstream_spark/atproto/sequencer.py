@@ -62,14 +62,15 @@ def sequence_events(
     order_cols: tuple[str, ...] = ("_seq", "did"),
     wall_clock_us: int | None = None,
     num_partitions: int | None = None,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame]:
     """Assign strictly monotonic `time_us` to every row.
 
-    Returns (sequenced_df, new_last_time_us). The returned DataFrame is
-    persisted (unpersist after writing) — both the count job and the
-    assignment read the same materialization, so the rank↔offset mapping
-    cannot drift between jobs.
-    """
+    Returns (sequenced_df, new_last_time_us, cached_df). cached_df is the
+    persisted intermediate both the count job and the assignment read — the
+    shared materialization is what keeps the rank↔offset mapping from
+    drifting between jobs. The CALLER owns its lifetime: unpersist it after
+    materializing sequenced_df (write/collect), or cached blocks accumulate
+    for the session lifetime in a standing pipeline."""
     if wall_clock_us is None:
         wall_clock_us = int(time.time() * 1_000_000)
     base = max(last_time_us + 1, wall_clock_us)
@@ -115,4 +116,4 @@ def sequence_events(
         ordered.mapInPandas(assign, schema=out_schema)
         .drop("_pid")
     )
-    return sequenced, base + total - 1 if total else last_time_us
+    return sequenced, base + total - 1 if total else last_time_us, ordered

@@ -99,12 +99,17 @@ class SubscribeServer:
         host: str = "127.0.0.1",
         port: int = 0,
         max_sub_rate: float = MAX_SUB_RATE,
+        hub=None,
     ):
         self.spark = spark
         self.log_dir = log_dir
         self.host = host
         self.port = port
         self.max_sub_rate = max_sub_rate
+        # optional LiveTailHub (serving/hub.py): when set, the live phase is
+        # fed by the ONE shared streaming tail instead of per-sub polling —
+        # the reference's single-live-pipeline topology (server.go:187-238)
+        self.hub = hub
         self.registry = Registry()
         self._server: asyncio.AbstractServer | None = None
 
@@ -122,6 +127,31 @@ class SubscribeServer:
             wanted_dids=sub.wanted_dids or None,
         )
         return to_wire(df.limit(limit)).orderBy("time_us").collect()
+
+    async def _live_via_hub(self, info: "SubscriberInfo", sub: Subscription, queue: "asyncio.Queue[bytes]") -> None:
+        """Attach to the shared LiveTailHub for the live phase. The hub's
+        emit callback runs on its tick thread — frames hop to the event loop
+        and enqueue non-blocking: a full buffer drops the subscriber (S19),
+        same policy as the polling path."""
+        loop = asyncio.get_running_loop()
+
+        def emit(rows: list) -> None:
+            def _push() -> None:
+                for row in rows:
+                    try:
+                        queue.put_nowait(row["value"].encode() + b"\n")
+                    except asyncio.QueueFull:
+                        info.dropped = True
+                        return
+
+            loop.call_soon_threadsafe(_push)
+
+        hub_id = await asyncio.to_thread(self.hub.register, sub, emit)
+        try:
+            while not info.dropped:
+                await asyncio.sleep(POLL_INTERVAL_S)
+        finally:
+            self.hub.unregister(hub_id)
 
     # --- HTTP plumbing ------------------------------------------------------
 
@@ -181,9 +211,14 @@ class SubscribeServer:
         await writer.drain()
 
         async def producer() -> None:
-            """Replay rounds then live-tail polling; S18 guard via sub.seq."""
+            """Replay rounds then live tail; S18 guard via sub.seq. The live
+            phase is either per-sub polling (no hub) or the shared streaming
+            tail fan-out (hub set — S15 cutover onto the single live feed)."""
             try:
                 while not info.dropped:
+                    if self.hub is not None and (sub.cursor is None or sub.caught_up(self._head())):
+                        await self._live_via_hub(info, sub, queue)
+                        return
                     head = self._head()
                     batch = await asyncio.to_thread(self._fetch_batch, sub, SUB_BUFFER)
                     if batch:
@@ -202,6 +237,10 @@ class SubscribeServer:
                         limiter.rate = self.max_sub_rate * (
                             PLAYBACK_MULT if not sub.caught_up(self._head()) else 1
                         )
+                    elif self.hub is not None:
+                        # empty round at head: cut over to the shared tail
+                        await self._live_via_hub(info, sub, queue)
+                        return
                     else:
                         await asyncio.sleep(POLL_INTERVAL_S)
             finally:

@@ -1,0 +1,153 @@
+"""H5 — LiveTailHub: ONE shared streaming tail of the log fanned out to
+every connected subscriber.
+
+This is the reference's live topology (cmd/jetstream/server.go:187-238
+Subscribers registry + server.go:118-176 emitToSubscribers): one firehose
+consumer feeds N per-subscriber buffers, with per-subscriber predicates
+evaluated at emit time against envelope fields — never re-serializing
+(serialize-once, P3: wire frames are prebuilt by to_wire upstream).
+
+Spark shape: a Structured Streaming tick query watches the log directory;
+each tick computes ONE ordered incremental slice (min subscriber watermark,
+sequencer head] and the Python fan-out loop routes rows by the S17 filter
+semantics + each subscriber's S18 monotonic guard. Per-round driver
+materialization is bounded by batch_limit (the 10×-sub-rate replay
+contract, persist.go:149) — a subscriber far behind head never forces an
+unbounded collect.
+
+Registration does an inline catch-up round so a subscriber attaching
+between ticks (the replay→live cutover instant, server.go:305-337) is
+brought to head immediately — the S18 guard makes the handover gapless and
+duplicate-free regardless of how the catch-up and the next tick interleave,
+because all delivery for one subscriber is serialized under the hub lock.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from jetstream_spark.atproto.log import replay
+from jetstream_spark.atproto.sequencer import SequencerState
+from jetstream_spark.atproto.subscribe import Subscription
+from jetstream_spark.atproto.wire import to_wire
+
+
+def _matches(row, collections: frozenset[str], dids: frozenset[str]) -> bool:
+    """S17 emit-time predicate (server.go:118-129): DID filter always
+    applies; collection filter applies only to rows that HAVE a collection
+    (account/identity bypass); empty set = match-all."""
+    if dids and row["did"] not in dids:
+        return False
+    if collections and row["collection"] is not None and row["collection"] not in collections:
+        return False
+    return True
+
+
+@dataclass
+class _HubSub:
+    sub: Subscription
+    emit: Callable[[list], None]
+    collections: frozenset[str] = field(default_factory=frozenset)
+    dids: frozenset[str] = field(default_factory=frozenset)
+
+
+class LiveTailHub:
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_dir: str,
+        checkpoint_dir: str,
+        batch_limit: int | None = None,
+    ):
+        from jetstream_spark.streaming.subscriptions import _default_batch_limit
+
+        self.spark = spark
+        self.log_dir = log_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.batch_limit = batch_limit or _default_batch_limit()
+        self._subs: dict[int, _HubSub] = {}
+        self._next_id = 0
+        # serializes all delivery (ticks + registration catch-up) — the
+        # analogue of the reference's Subscribers RWMutex
+        self._lock = threading.Lock()
+        self._query: StreamingQuery | None = None
+
+    # --- subscriber lifecycle -------------------------------------------------
+
+    def register(self, sub: Subscription, emit: Callable[[list], None]) -> int:
+        """Attach a subscriber and synchronously bring it to the current
+        head (catch-up round), so a cutover between ticks leaves no gap."""
+        hs = _HubSub(
+            sub,
+            emit,
+            frozenset(sub.wanted_collections or ()),
+            frozenset(sub.wanted_dids or ()),
+        )
+        with self._lock:
+            self._next_id += 1
+            hub_id = self._next_id
+            self._subs[hub_id] = hs
+            self._deliver([hs], SequencerState.load(self.log_dir).last_time_us)
+        return hub_id
+
+    def unregister(self, hub_id: int) -> None:
+        with self._lock:
+            self._subs.pop(hub_id, None)
+
+    # --- streaming tail -------------------------------------------------------
+
+    def start(self) -> StreamingQuery:
+        tick = (
+            self.spark.readStream.schema("time_us bigint, hour_bucket bigint")
+            .option("maxFilesPerTrigger", 1000)
+            .parquet(self.log_dir)
+        )
+        self._query = (
+            tick.writeStream.foreachBatch(self._on_tick)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .start()
+        )
+        return self._query
+
+    def stop(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
+
+    def _on_tick(self, batch_df, batch_id: int) -> None:
+        hi = SequencerState.load(self.log_dir).last_time_us
+        with self._lock:
+            self._deliver(list(self._subs.values()), hi)
+
+    def _deliver(self, subs: list[_HubSub], hi: int) -> None:
+        """Bounded rounds: each round collects ONE ordered slice
+        (min watermark, hi] of ≤ batch_limit rows and fans it out."""
+        while subs:
+            behind = [h for h in subs if h.sub.seq < hi]
+            if not behind:
+                return
+            lo = min(h.sub.seq for h in behind)
+            df = replay(self.spark, self.log_dir, cursor=lo + 1).where(F.col("time_us") <= hi)
+            rows = to_wire(df).orderBy("time_us").limit(self.batch_limit).collect()
+            if not rows:
+                return
+            slice_hi = rows[-1]["time_us"]
+            for h in behind:
+                out = [
+                    r
+                    for r in rows
+                    if r["time_us"] > h.sub.seq and _matches(r, h.collections, h.dids)
+                ]
+                if out:
+                    h.emit(out)
+                # watermark advances over non-matching rows too — the slice
+                # was fully examined up to slice_hi
+                h.sub.advance(slice_hi)
+            if len(rows) < self.batch_limit:
+                return

@@ -10,18 +10,27 @@ main.go:150). Here that becomes a `DataSource`/`DataSourceStreamReader`:
     role of --worker-count; per-partition reads are independent, matching
     the pool's per-repo independence guarantee, S2/P5)
   * each partition's `read()` yields RAW_FRAME_SCHEMA rows; this is where
-    CAR/CBOR decode (S5/S8, the H3 stub) would run — network + libipld
-    are absent in this container, so the transport is pluggable:
-    the default `replay_dir` transport reads CBOR-stand-in JSONL files
-    (one file per seq range produced by a websocket bridge); a live
-    websocket transport would implement `_fetch(start_seq, end_seq)`
-    against the relay with `?cursor=`.
+    CAR/CBOR decode (S5/S8, the H3 stub) would run — libipld is absent in
+    this container, so the transport is pluggable. Two transports exist:
+
+    - `replay_dir`: CBOR-stand-in JSONL files (one file per seq range,
+      as a websocket→file bridge would produce);
+    - `socket_url` ("host:port"): a LIVE dial per partition with the
+      reference's cursor semantics (cmd/jetstream/main.go:294-328 —
+      `GET /subscribe?cursor=N`, frames with seq > N stream back; the
+      client detaches once past its assigned range). Websocket libs are
+      absent, so the wire is HTTP-flavored ndjson over a plain TCP
+      socket; the dial/cursor/resume contract is the part the reference
+      defines, and it is exercised end-to-end against a real local
+      socket server in tests/test_firehose_socket.py, including
+      checkpoint resume.
 
 Register + use:
 
     spark.dataSource.register(FirehoseDataSource)
     spark.readStream.format("atproto_firehose")
          .option("replay_dir", path).option("batch_size", 500).load()
+    # or .option("socket_url", "127.0.0.1:9944") for the live dial
 
 The stream composes with normalize_frames → sequencer → log exactly like
 the file-backed pipeline (tested in tests/test_firehose_source.py).
@@ -31,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import socket
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -41,11 +51,57 @@ from pyspark.sql.datasource import (
 from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
 
 
+def _socket_request(socket_url: str, path: str):
+    """Dial `host:port`, send a GET, return a text file object positioned
+    after the response headers (the body)."""
+    host, port = socket_url.rsplit(":", 1)
+    conn = socket.create_connection((host, int(port)), timeout=60)
+    conn.sendall(f"GET {path} HTTP/1.1\r\nHost: {host}\r\n\r\n".encode())
+    f = conn.makefile("r", encoding="utf-8")
+    f.readline()  # status line
+    while f.readline().strip():  # drain headers
+        pass
+    return conn, f
+
+
+def _socket_head(socket_url: str) -> int:
+    """Relay head seq — the upstream equivalent of 'how far can this
+    microbatch go'."""
+    conn, f = _socket_request(socket_url, "/head")
+    try:
+        return int(f.readline().strip() or 0)
+    finally:
+        conn.close()
+
+
+def _socket_fetch(socket_url: str, start: int, end: int):
+    """The reference's dial semantics (main.go:294-328): connect with
+    `?cursor=start`, receive frames with seq > start in seq order, detach
+    after passing `end`. Each partition dials independently — the S2
+    worker-pool shape."""
+    conn, f = _socket_request(socket_url, f"/subscribe?cursor={start}")
+    try:
+        for line in f:
+            if not line.strip():
+                continue
+            frame = json.loads(line)
+            seq = frame["seq"]
+            if seq > end:
+                break
+            if seq > start:
+                yield frame
+            if seq >= end:
+                break
+    finally:
+        conn.close()
+
+
 class SeqRange(InputPartition):
-    def __init__(self, start: int, end: int, replay_dir: str):
+    def __init__(self, start: int, end: int, replay_dir: str, socket_url: str = ""):
         self.start = start
         self.end = end
         self.replay_dir = replay_dir
+        self.socket_url = socket_url
 
 
 class FirehoseStreamReader(DataSourceStreamReader):
@@ -55,12 +111,15 @@ class FirehoseStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.replay_dir = options.get("replay_dir", "")
+        self.socket_url = options.get("socket_url", "")
         self.batch_size = int(options.get("batch_size", "1000"))
         self.num_partitions = int(options.get("numPartitions", "4"))
         self._last_end: int | None = None
 
     def _head_seq(self) -> int:
         """Highest seq available from the transport (relay head)."""
+        if self.socket_url:
+            return _socket_head(self.socket_url)
         head = 0
         if os.path.isdir(self.replay_dir):
             for name in os.listdir(self.replay_dir):
@@ -87,17 +146,24 @@ class FirehoseStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         lo, hi = start["seq"], end["seq"]
         if hi <= lo:
-            return [SeqRange(lo, lo, self.replay_dir)]
+            return [SeqRange(lo, lo, self.replay_dir, self.socket_url)]
         n = self.num_partitions
         step = max(1, (hi - lo + n - 1) // n)
         return [
-            SeqRange(s, min(s + step, hi), self.replay_dir)
+            SeqRange(s, min(s + step, hi), self.replay_dir, self.socket_url)
             for s in range(lo, hi, step)
         ]
 
     def read(self, partition: SeqRange):
         """Yield frames with start < seq <= end. Decode (S5/S8) happens
         here in a real transport; the JSONL stand-in is already decoded."""
+        if partition.socket_url:
+            for frame in _socket_fetch(partition.socket_url, partition.start, partition.end):
+                yield tuple(
+                    _to_row_value(frame.get(field.name), field.name)
+                    for field in RAW_FRAME_SCHEMA.fields
+                )
+            return
         if not os.path.isdir(partition.replay_dir):
             return
         for name in sorted(os.listdir(partition.replay_dir)):

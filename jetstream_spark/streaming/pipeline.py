@@ -11,10 +11,14 @@ the H3 stub); everything downstream of the schema is identical.
 
 Exactly-once: Spark checkpoints source offsets per microbatch; the
 sequencer state file carries last_time_us. foreachBatch can re-run a
-batch after a crash (offsets committed after the batch), so the batch
-write is idempotized by batch_id: a replayed batch_id is skipped —
-the same overwrite-idempotent recovery the reference gets from
-re-ingesting from the last synced cursor (P8, persist.go:110 vs 57).
+batch after a crash (offsets committed after the batch), so the write
+itself is made idempotent: log.py's _commit_batch stages the batch under
+a batch-id directory and moves it in under batch-tagged file names,
+deleting the batch's own files first on re-run (delete-before-rewrite).
+Any crash point — mid-stage, mid-move, before or after the done-marker —
+converges to exactly one copy, matching the overwrite-idempotent recovery
+the reference gets from Pebble key overwrites (P8, persist.go:110 vs 57).
+The done-marker is only a fast-skip; correctness doesn't depend on it.
 """
 
 from __future__ import annotations
@@ -74,10 +78,12 @@ def start_ingest(
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in _load_done_batches(log_dir):
-            return  # crash-replayed batch: already appended, skip (exactly-once)
+            return  # fully committed earlier — fast skip
         if batch_df.isEmpty():
             return
-        ingest_batch(batch_df, log_dir, wall_clock_us=wall_clock_us)
+        # idempotent commit: a crash-replayed batch first deletes its own
+        # files, so re-running from any crash point cannot duplicate events
+        ingest_batch(batch_df, log_dir, wall_clock_us=wall_clock_us, batch_id=int(batch_id))
         _mark_batch_done(log_dir, batch_id)
 
     return (

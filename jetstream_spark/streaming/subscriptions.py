@@ -33,6 +33,16 @@ from jetstream_spark.atproto.subscribe import Subscription
 from jetstream_spark.atproto.wire import to_wire
 
 
+def _default_batch_limit() -> int:
+    """One second of replay at the contract rate: 10× the per-subscriber
+    live ceiling (persist.go:149's playback multiplier over main.go:79-84's
+    5k/s) — the edge's limiter owns pacing; this bounds per-round driver
+    materialization to the same contract."""
+    from jetstream_spark.serving.edge import MAX_SUB_RATE, PLAYBACK_MULT
+
+    return int(MAX_SUB_RATE * PLAYBACK_MULT)
+
+
 def backfill(
     spark: SparkSession,
     log_dir: str,
@@ -40,7 +50,7 @@ def backfill(
     server_head_us: Callable[[], int],
     deliver: Callable[[list], None],
     max_rounds: int = 100,
-    batch_limit: int = 50_000,
+    batch_limit: int | None = None,
 ) -> int:
     """Replay loop (server.go:305-337): scan from cursor, deliver, advance,
     until within the cutover window of the live head. Returns delivered count.
@@ -48,6 +58,8 @@ def backfill(
     batch_limit plays the role of the replay rate limiter (persist.go:149,
     10× sub rate): it bounds how much one round materializes.
     """
+    if batch_limit is None:
+        batch_limit = _default_batch_limit()
     delivered = 0
     for _ in range(max_rounds):
         batch = to_wire(sub.replay_batch(spark, log_dir).limit(batch_limit)).orderBy("time_us").collect()
@@ -99,6 +111,7 @@ def start_subscription(
     server_head_us: Callable[[], int],
     deliver: Callable[[list], None],
     checkpoint_dir: str,
+    batch_limit: int | None = None,
 ) -> StreamingQuery:
     """Full lifecycle: backfill (if cursor set) then live tail.
 
@@ -118,8 +131,10 @@ def start_subscription(
     from jetstream_spark.atproto import log as eventlog
     from jetstream_spark.atproto.sequencer import SequencerState
 
+    if batch_limit is None:
+        batch_limit = _default_batch_limit()
     if sub.cursor is not None:
-        backfill(spark, log_dir, sub, server_head_us, deliver)
+        backfill(spark, log_dir, sub, server_head_us, deliver, batch_limit=batch_limit)
     # minimal tick stream: only new-file arrival matters, so read just the
     # cheapest column — the delivery query below re-reads with pruning
     tick = (
@@ -129,18 +144,23 @@ def start_subscription(
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # bounded rounds, like backfill: a subscriber far behind head (or a
+        # huge append landing in one tick) must not collect an unbounded
+        # backlog to the driver in one go — each round materializes at most
+        # batch_limit rows (TakeOrderedAndProject, executor-side top-k) and
+        # advances the watermark before the next round
         hi = SequencerState.load(log_dir).last_time_us
-        if hi <= sub.seq:
-            return
-        df = eventlog.replay(
-            spark,
-            log_dir,
-            cursor=sub.seq + 1,
-            wanted_collections=sub.wanted_collections or None,
-            wanted_dids=sub.wanted_dids or None,
-        ).where(F.col("time_us") <= hi)
-        rows = to_wire(df).orderBy("time_us").collect()
-        if rows:
+        while sub.seq < hi:
+            df = eventlog.replay(
+                spark,
+                log_dir,
+                cursor=sub.seq + 1,
+                wanted_collections=sub.wanted_collections or None,
+                wanted_dids=sub.wanted_dids or None,
+            ).where(F.col("time_us") <= hi)
+            rows = to_wire(df).orderBy("time_us").limit(batch_limit).collect()
+            if not rows:
+                break
             deliver(rows)
             sub.advance(rows[-1]["time_us"])
 

@@ -62,7 +62,7 @@ def test_path_split(normalized):
 
 # --- sequencer (S10/H1) ---------------------------------------------------------
 def test_sequencer_strictly_monotonic(normalized):
-    seq_df, last = sequence_events(normalized, last_time_us=0, wall_clock_us=1_700_000_000_000_000)
+    seq_df, last, _ = sequence_events(normalized, last_time_us=0, wall_clock_us=1_700_000_000_000_000)
     times = [r["time_us"] for r in seq_df.orderBy("time_us").collect()]
     assert len(times) == normalized.count()
     assert all(b > a for a, b in zip(times, times[1:])), "time_us must be strictly increasing"
@@ -71,8 +71,8 @@ def test_sequencer_strictly_monotonic(normalized):
 
 def test_sequencer_deterministic_order(normalized):
     """Option (b) of §1.5: ordering by (_seq, did) makes assignment reproducible."""
-    a, _ = sequence_events(normalized, 0, wall_clock_us=10_000)
-    b, _ = sequence_events(normalized, 0, wall_clock_us=10_000)
+    a, _, _ = sequence_events(normalized, 0, wall_clock_us=10_000)
+    b, _, _ = sequence_events(normalized, 0, wall_clock_us=10_000)
     ra = {(r["did"], r["_seq"]): r["time_us"] for r in a.collect()}
     rb = {(r["did"], r["_seq"]): r["time_us"] for r in b.collect()}
     assert ra == rb
@@ -147,7 +147,7 @@ def test_ttl_trim(spark, normalized, tmp_path):
 
 # --- wire format (S16) ----------------------------------------------------------------
 def test_wire_omitempty_and_raw_record(spark, normalized):
-    seq_df, _ = sequence_events(normalized, 0, wall_clock_us=1_700_000_000_000_000)
+    seq_df, _, _ = sequence_events(normalized, 0, wall_clock_us=1_700_000_000_000_000)
     wire = to_wire(seq_df)
     for r in wire.collect():
         frame = json.loads(r["value"])

@@ -38,10 +38,11 @@ def test_sequencer_monotonic_for_any_state(normalized, last, wall, parts):
     """Strict monotonicity and continuity hold for ANY prior state and wall
     clock, including a wall clock far behind the persisted state
     (clock.go:51-53's bump rule generalized)."""
-    df, new_last = sequence_events(
+    df, new_last, cached = sequence_events(
         normalized, last_time_us=last, wall_clock_us=wall, num_partitions=parts
     )
     times = sorted(r["time_us"] for r in df.select("time_us").collect())
+    cached.unpersist()
     assert times[0] > last, "must start above prior state"
     assert times[0] >= wall or times[0] == last + 1
     assert all(b == a + 1 for a, b in zip(times, times[1:])), "dense, strictly increasing"

@@ -53,6 +53,37 @@ def test_streaming_ingest_and_checkpoint_resume(spark, tmp_path):
 
 
 @pytest.mark.timeout(300)
+def test_ingest_batch_idempotent_crash_replay(spark, tmp_path):
+    """Exactly-once under foreachBatch crash-replay: if the process dies
+    after the data commit but before the done-marker, the batch re-runs.
+    The batch-tagged delete-before-rewrite commit must converge to ONE copy
+    with strictly monotonic time_us — parquet append alone would not."""
+    from jetstream_spark.atproto.normalize import normalize_frames
+    from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
+
+    log_dir = str(tmp_path / "log")
+    fdf = spark.createDataFrame(make_frames(), schema=RAW_FRAME_SCHEMA)
+    normalized = normalize_frames(fdf).cache()
+    n = normalized.count()
+
+    eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1_000_000, batch_id=0)
+    # stale staging dir from a hypothetical mid-stage crash must be ignored
+    os.makedirs(os.path.join(log_dir, "_staging", "batch-0", "junk"), exist_ok=True)
+    # crash-replay of the SAME microbatch (marker was never written)
+    eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1_000_000, batch_id=0)
+    times = [r["time_us"] for r in eventlog.read_log(spark, log_dir).select("time_us").collect()]
+    assert len(times) == n, "replayed batch must not duplicate events"
+    assert len(set(times)) == n
+
+    # a DIFFERENT batch appends on top, still unique + monotonic
+    last = eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1, batch_id=1)
+    times = [r["time_us"] for r in eventlog.read_log(spark, log_dir).select("time_us").collect()]
+    assert len(times) == 2 * n
+    assert len(set(times)) == 2 * n
+    assert max(times) == last
+
+
+@pytest.mark.timeout(300)
 def test_subscription_replay_then_live_gapless(spark, tmp_path):
     """H2: backfill from cursor, cut over to live tail, new events keep
     flowing; no duplicates, no gaps, order preserved."""
