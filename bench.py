@@ -37,6 +37,49 @@ HEADLINE = [
     "multimodal_byte_stats",
 ]
 
+# Heavy exact baselines: timed and REPORTED every run (visible cost), but kept
+# out of the headline total so round-over-round totals stay comparable.
+EXTRAS = [
+    "dedup_ngram_jaccard",   # exact quadratic-worst-case baseline (PPJoin-pruned)
+    "dedup_embedding_cosine",  # exact blocked all-pairs (low-threshold regime)
+]
+
+REGRESSION_FACTOR = 1.5
+REGRESSION_FLOOR_S = 0.2  # ignore sub-200 ms noise
+
+
+def _prev_bench_queries() -> dict:
+    """Per-query numbers from the latest BENCH_r*.json the driver recorded —
+    the comparison point for the regression guard."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    if not paths:
+        return {}
+    try:
+        with open(paths[-1]) as f:
+            data = json.load(f)
+        return (data.get("parsed") or data).get("queries", {}) or {}
+    except (OSError, ValueError):
+        return {}
+
+
+def find_regressions(timings: dict) -> dict:
+    """Queries >1.5× slower than the previous round (throughput metrics:
+    >1.5× lower). Returns {name: {"prev": x, "now": y}}."""
+    prev = _prev_bench_queries()
+    regressions = {}
+    for name, now in timings.items():
+        p = prev.get(name)
+        if p is None:
+            continue
+        if name.endswith("_per_sec"):
+            if now < p / REGRESSION_FACTOR:
+                regressions[name] = {"prev": p, "now": now}
+        elif p >= REGRESSION_FLOOR_S and now > p * REGRESSION_FACTOR:
+            regressions[name] = {"prev": p, "now": now}
+    return regressions
+
 
 def bench_ingest_pipeline(spark, sf_dir: str) -> tuple[float, int]:
     """The jetstream standing pipeline at bench scale: events rows recast
@@ -100,6 +143,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     timings["ingest_events_per_sec"] = round(ingest_events / ingest_sec, 1)  # rate, not in total
+
+    extras: dict[str, float] = {}
+    for name in EXTRAS:
+        t0 = time.time()
+        specs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extras[name] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -107,6 +157,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extras": extras,
+                "regressions": find_regressions({**timings, **extras}),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

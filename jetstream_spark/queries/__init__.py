@@ -21,6 +21,7 @@ from jetstream_spark.queries.spec import QuerySpec
 # round) are pinned to the front; long-proven relational queries go last.
 _PRIORITY = (
     "sessionization",            # r1's only red row — fixed in r2
+    "variant_props_stats",       # new in r2 (Spark 4 VARIANT path)
     "ann_brute_force_topk",      # ---- the 11 driver-skipped queries ----
     "embedding_norms",
     "embedding_downproject",

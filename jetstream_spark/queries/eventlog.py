@@ -285,6 +285,44 @@ GROUP BY event_type
 """
 
 
+# --- VARIANT payload path (§1.3 goal state, Spark 4) -------------------------------
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT sibling of q_json_props: the opaque payload is lifted
+    ONCE with parse_json into a Variant value, then fields are read with
+    variant_get — the binary-encoded path that replaces per-access string
+    parsing at scale (one parse, many typed reads; shredding-friendly).
+    wire.py uses the same Variant machinery for record splicing (S16)."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_total"),
+            F.count(F.when(F.col("k") % 2 == 1, 1)).alias("k_odd"),
+            F.count(F.when(F.col("k") >= 50, 1)).alias("k_high"),
+            F.round(F.avg("k"), 6).alias("k_mean"),
+        )
+    )
+
+
+Q_VARIANT_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS k_total,
+       count(CASE WHEN k % 2 = 1 THEN 1 END) AS k_odd,
+       count(CASE WHEN k >= 50 THEN 1 END) AS k_high,
+       round(avg(k), 6) AS k_mean
+FROM v
+GROUP BY event_type
+"""
+
+
 # --- funnel: temporal semi join ------------------------------------------------------
 def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Users whose first click precedes their first purchase (funnel step
@@ -327,5 +365,6 @@ QUERIES = [
     QuerySpec("sessionization", q_sessionization, Q_SESSION_ORACLE, "gap-based session windows (batch form)", ("window", "eventlog")),
     QuerySpec("asof_join_purchases", q_asof_join, Q_ASOF_ORACLE, "as-of join via union+running-last (no join blow-up)", ("join", "eventlog")),
     QuerySpec("json_props_stats", q_json_props, Q_JSON_ORACLE, "schema-on-read JSON payload stats", ("scalar", "eventlog")),
+    QuerySpec("variant_props_stats", q_variant_props, Q_VARIANT_ORACLE, "VARIANT payload path: parse_json once + typed variant_get reads", ("scalar", "eventlog")),
     QuerySpec("conversion_funnel", q_conversion_funnel, Q_FUNNEL_ORACLE, "funnel via conditional min-agg", ("eventlog",)),
 ]
