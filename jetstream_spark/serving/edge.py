@@ -111,6 +111,10 @@ class SubscribeServer:
         # the reference's single-live-pipeline topology (server.go:187-238)
         self.hub = hub
         self.registry = Registry()
+        # server-level delivery counters (cmd/jetstream/metrics.go names);
+        # mutated only on the event loop thread
+        self.events_delivered_total = 0
+        self.bytes_delivered_total = 0
         self._server: asyncio.AbstractServer | None = None
 
     # --- engine-side helpers (run in threads) ------------------------------
@@ -165,6 +169,9 @@ class SubscribeServer:
                 await self._respond(writer, 405, "method not allowed")
                 return
             url = urllib.parse.urlparse(parts[1])
+            if url.path == "/metrics":
+                await self._respond(writer, 200, self._metrics_text())
+                return
             if url.path != "/subscribe":
                 await self._respond(writer, 404, "not found")
                 return
@@ -184,6 +191,23 @@ class SubscribeServer:
             pass
         finally:
             writer.close()
+
+    def _metrics_text(self) -> str:
+        """Prometheus text exposition — the scrape surface the reference
+        serves from its metrics listener (cmd/jetstream/main.go:216-218),
+        with the same metric names (cmd/jetstream/metrics.go:8-28 +
+        pkg/consumer/metrics.go consumer_last_seq)."""
+        lines = [
+            "# TYPE jetstream_subscribers_connected gauge",
+            f"jetstream_subscribers_connected {len(self.registry.subscribers)}",
+            "# TYPE jetstream_events_delivered_total counter",
+            f"jetstream_events_delivered_total {self.events_delivered_total}",
+            "# TYPE jetstream_bytes_delivered_total counter",
+            f"jetstream_bytes_delivered_total {self.bytes_delivered_total}",
+            "# TYPE consumer_last_seq gauge",
+            f'consumer_last_seq{{socket_url="{self.log_dir}"}} {self._head()}',
+        ]
+        return "\n".join(lines) + "\n"
 
     async def _respond(self, writer: asyncio.StreamWriter, code: int, msg: str) -> None:
         reason = {200: "OK", 400: "Bad Request", 404: "Not Found", 405: "Method Not Allowed"}[code]
@@ -267,6 +291,8 @@ class SubscribeServer:
                 writer.write(f"{len(frame):x}\r\n".encode() + frame + b"\r\n")
                 await writer.drain()
                 info.delivered += 1
+                self.events_delivered_total += 1
+                self.bytes_delivered_total += len(frame)
         except (ConnectionResetError, BrokenPipeError):
             info.dropped = True
         finally:

@@ -1,0 +1,101 @@
+"""Client library (S23) + sequential/parallel schedulers (S24/S25) against
+the serving edge, and the /metrics scrape endpoint."""
+
+from __future__ import annotations
+
+import http.client
+import threading
+
+import pytest
+
+from jetstream_spark.atproto import log as eventlog
+from jetstream_spark.atproto.normalize import normalize_frames
+from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
+from jetstream_spark.client import JetstreamClient, ParallelScheduler, SequentialScheduler
+from jetstream_spark.serving.edge import run_server_in_thread
+from tests.fixtures import make_frames
+
+
+@pytest.fixture(scope="module")
+def edge(spark, tmp_path_factory):
+    log_dir = str(tmp_path_factory.mktemp("clientlog"))
+    frames = spark.createDataFrame(make_frames(), schema=RAW_FRAME_SCHEMA)
+    normalized = normalize_frames(frames).cache()
+    eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1_000_000)
+    server, _ = run_server_in_thread(spark, log_dir)
+    yield server, log_dir
+    import asyncio
+
+    asyncio.run_coroutine_threadsafe(server.stop(), server._loop).result(timeout=10)
+
+
+def test_sequential_scheduler_stream_order(edge, spark):
+    server, log_dir = edge
+    total = eventlog.read_log(spark, log_dir).count()
+    got: list[dict] = []
+    client = JetstreamClient("127.0.0.1", server.port, SequentialScheduler(got.append))
+    n = client.connect_and_read(cursor=0, max_events=total)
+    assert n == total
+    times = [f["time_us"] for f in got]
+    assert times == sorted(times), "S24: sequential scheduler preserves stream order"
+    assert client.cursor == times[-1]
+
+
+def test_parallel_scheduler_per_repo_order(edge, spark):
+    server, log_dir = edge
+    total = eventlog.read_log(spark, log_dir).count()
+    lock = threading.Lock()
+    per_did: dict[str, list[int]] = {}
+
+    def handle(frame: dict) -> None:
+        with lock:
+            per_did.setdefault(frame["did"], []).append(frame["time_us"])
+
+    sched = ParallelScheduler(4, handle)
+    client = JetstreamClient("127.0.0.1", server.port, sched)
+    n = client.connect_and_read(cursor=0, max_events=total)
+    sched.shutdown()
+    assert n == total
+    assert sum(len(v) for v in per_did.values()) == total, "every event exactly once"
+    for did, times in per_did.items():
+        assert times == sorted(times), f"S25: per-repo order broken for {did}"
+    import zlib
+
+    workers_used = {zlib.crc32(d.encode()) % 4 for d in per_did}
+    assert len(workers_used) > 1, "events must actually spread across workers"
+
+
+def test_client_cursor_resume(edge, spark):
+    """Reconnect with cursor=self.cursor+1 resumes exactly — the client-side
+    S12 contract (client.go cursor param → ?cursor=)."""
+    server, log_dir = edge
+    total = eventlog.read_log(spark, log_dir).count()
+    got: list[dict] = []
+    client = JetstreamClient("127.0.0.1", server.port, SequentialScheduler(got.append))
+    k = total // 2
+    client.connect_and_read(cursor=0, max_events=k)
+    client.connect_and_read(cursor=client.cursor + 1, max_events=total - k)
+    times = [f["time_us"] for f in got]
+    assert len(times) == total
+    assert len(set(times)) == total, "resume must not re-deliver"
+    assert times == sorted(times)
+
+
+def test_metrics_endpoint(edge, spark):
+    server, log_dir = edge
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    conn.request("GET", "/metrics")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    body = resp.read().decode()
+    conn.close()
+    metrics = {
+        line.split()[0].split("{")[0]: float(line.split()[-1])
+        for line in body.splitlines()
+        if line and not line.startswith("#")
+    }
+    head = eventlog.read_log(spark, log_dir).agg({"time_us": "max"}).first()[0]
+    assert metrics["consumer_last_seq"] == head
+    assert metrics["jetstream_events_delivered_total"] >= 0
+    assert metrics["jetstream_subscribers_connected"] >= 0
+    assert "jetstream_bytes_emitted_total" not in metrics or metrics["jetstream_bytes_emitted_total"] >= 0
