@@ -9,9 +9,12 @@ main.go:150). Here that becomes a `DataSource`/`DataSourceStreamReader`:
   * partitions = seq sub-ranges per microbatch (`numPartitions` plays the
     role of --worker-count; per-partition reads are independent, matching
     the pool's per-repo independence guarantee, S2/P5)
-  * each partition's `read()` yields RAW_FRAME_SCHEMA rows; this is where
-    CAR/CBOR decode (S5/S8, the H3 stub) would run — libipld is absent in
-    this container, so the transport is pluggable. Two transports exist:
+  * each partition's `read()` yields RAW_FRAME_SCHEMA rows, running
+    CAR/CBOR decode (S5/S8) inline via the pure-Python DAG-CBOR/CAR
+    reader (atproto/carcbor.py — no libipld needed): frames carrying
+    `blocks_b64` have their ops' records resolved from the CAR block
+    index and transcoded to JSON; pre-decoded JSONL frames pass through.
+    The transport is pluggable. Two transports exist:
 
     - `replay_dir`: CBOR-stand-in JSONL files (one file per seq range,
       as a websocket→file bridge would produce);
@@ -48,6 +51,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from jetstream_spark.atproto.carcbor import decode_frame
 from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
 
 
@@ -159,6 +163,7 @@ class FirehoseStreamReader(DataSourceStreamReader):
         here in a real transport; the JSONL stand-in is already decoded."""
         if partition.socket_url:
             for frame in _socket_fetch(partition.socket_url, partition.start, partition.end):
+                frame = decode_frame(frame)  # S5/S8: CAR blocks → record JSON
                 yield tuple(
                     _to_row_value(frame.get(field.name), field.name)
                     for field in RAW_FRAME_SCHEMA.fields
@@ -174,6 +179,7 @@ class FirehoseStreamReader(DataSourceStreamReader):
                     frame = json.loads(line)
                     seq = frame["seq"]
                     if partition.start < seq <= partition.end:
+                        frame = decode_frame(frame)  # S5/S8: CAR → record JSON
                         yield tuple(
                             _to_row_value(frame.get(field.name), field.name)
                             for field in RAW_FRAME_SCHEMA.fields
