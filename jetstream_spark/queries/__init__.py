@@ -22,6 +22,9 @@ from jetstream_spark.queries.spec import QuerySpec
 _PRIORITY = (
     "sessionization",            # r1's only red row — fixed in r2
     "variant_props_stats",       # new in r2 (Spark 4 VARIANT path)
+    "text_repetition",           # new in r2
+    "sample_split",              # new in r2
+    "doc_packing",               # new in r2
     "ann_brute_force_topk",      # ---- the 11 driver-skipped queries ----
     "embedding_norms",
     "embedding_downproject",
@@ -33,6 +36,7 @@ _PRIORITY = (
     "multimodal_byte_stats",
     "multimodal_frame_sample",
     "ann_lsh_topk",              # rows-only by design
+    "ann_ivf_topk",              # rows-only by design (new in r2)
     "dedup_embedding_cosine",    # ---- rewritten in r2 ----
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -43,10 +47,10 @@ _PRIORITY = (
 
 def all_queries() -> dict[str, QuerySpec]:
     # imports deferred so a syntax error in one domain doesn't break the rest
-    from jetstream_spark.queries import dedup, eventlog, multimodal, relational, relational2, relational3, similarity, text
+    from jetstream_spark.queries import dedup, eventlog, multimodal, relational, relational2, relational3, sampling, similarity, text
 
     collected: dict[str, QuerySpec] = {}
-    for module in (relational, relational2, relational3, eventlog, dedup, similarity, text, multimodal):
+    for module in (relational, relational2, relational3, eventlog, dedup, similarity, text, multimodal, sampling):
         for spec in module.QUERIES:
             assert spec.name not in collected, f"duplicate query name {spec.name}"
             collected[spec.name] = spec

@@ -1,0 +1,149 @@
+"""Training-data assembly operators (SURVEY.md §2.3 extensions): split and
+pack. Both are the shapes a pre-training pipeline needs just before
+tokenizer/trainer handoff.
+
+- sample_split: deterministic hash-based train/val/test assignment.
+  Bucket = first 16 bits of md5(doc_id) mod 100 — engine-independent
+  arithmetic (no engine hash function), so membership is stable across
+  reruns, engines, and cluster sizes: the property that matters so a
+  document can never migrate between train and eval.
+
+- doc_packing: shard-parallel greedy "concat-and-chunk" packing of
+  documents into fixed token-budget context windows. Sharding first
+  (doc_id mod N_SHARDS) makes packing embarrassingly parallel — each
+  shard's prefix-sum runs inside one partition, the way a per-worker
+  packer behaves at 100 TB — while keeping the output deterministic and
+  SQL-checkable (no dependence on Spark partition boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jetstream_spark.queries.spec import QuerySpec
+from jetstream_spark.tables import table
+
+TRAIN_PCT = 80
+VAL_PCT = 10  # test = remainder
+
+PACK_BUDGET = 256  # tokens per context window
+N_SHARDS = 32
+
+# token count shared with text.py's tokenization contract
+_N_TOKENS_EXPR = "size(filter(split(lower(text), '[^a-z0-9]+'), x -> x != ''))"
+_N_TOKENS_SQL = "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"
+
+
+def _bucket_expr() -> F.Column:
+    # first 4 hex chars of md5 → 16-bit int → mod 100
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100).alias("bucket")
+
+
+# DuckDB has no hex→int conversion in old releases: fold the 4 hex chars with
+# strpos arithmetic (LCD-portable).
+_BUCKET_SQL = (
+    "(("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    + ") % 100)"
+)
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split with per-split corpus stats — the stratification
+    check a pipeline runs before training."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = _bucket_expr()
+    split = (
+        F.when(F.col("bucket") < TRAIN_PCT, "train")
+        .when(F.col("bucket") < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "n_chars", bucket)
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+Q_SAMPLE_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, n_chars, {_BUCKET_SQL} AS bucket FROM documents
+), s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+              WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split,
+       count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM s
+GROUP BY split
+"""
+
+
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack docs into {PACK_BUDGET}-token windows per shard: window id =
+    floor(exclusive-prefix-sum(tokens) / budget) over doc_id order within
+    the shard (concat-and-chunk with document alignment). One shuffle on
+    the shard key; every shard's window function is partition-local."""
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.expr(_N_TOKENS_EXPR)
+    shard = (F.col("doc_id") % N_SHARDS).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = (
+        docs.select("doc_id", shard, n_tokens.alias("n_tokens"))
+        .withColumn("win_id", F.floor(cum_before / PACK_BUDGET).cast("long"))
+    )
+    return packed.groupBy("shard", "win_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_packed"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+Q_DOC_PACKING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {N_SHARDS} AS shard, {_N_TOKENS_SQL} AS n_tokens FROM documents
+), p AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / {PACK_BUDGET}) AS BIGINT) AS win_id
+  FROM t
+)
+SELECT shard, win_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_packed,
+       min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id
+FROM p
+GROUP BY shard, win_id
+"""
+
+
+QUERIES = [
+    QuerySpec("sample_split", q_sample_split, Q_SAMPLE_SPLIT_ORACLE, "deterministic hash train/val/test split", ("sampling",)),
+    QuerySpec("doc_packing", q_doc_packing, Q_DOC_PACKING_ORACLE, "shard-parallel token-budget sequence packing", ("sampling",)),
+]

@@ -172,6 +172,73 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# --- IVF-bucketed ANN (coarse-quantizer cells; approximate, no SQL oracle) -------
+IVF_CELLS = 16
+IVF_NPROBE = 4
+_IVF_CENTROID_BASE = 100  # vec_id in [100, 100+IVF_CELLS) serve as centroids
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: a coarse quantizer (here: 16 fixed, deterministic corpus
+    vectors as centroids — a real pipeline k-means-trains them on a sample;
+    the partition/probe machinery is identical) assigns every base vector
+    to its nearest cell; each query scores only its IVF_NPROBE nearest
+    cells. At 100 TB the cell id is the partition key: one shuffle to build
+    the inverted file, and a probe touches nprobe/cells of the data —
+    orthogonal to the LSH path (q_ann_lsh), which needs no training.
+    Approximate by construction — recall floor vs brute force is asserted
+    in tests; rows-only driver check."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.where(
+            (F.col("vec_id") >= _IVF_CENTROID_BASE)
+            & (F.col("vec_id") < _IVF_CENTROID_BASE + IVF_CELLS)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_rows.sort(key=lambda r: r["vec_id"])
+    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    q_ids, q_mat = _query_matrix(spark, sf_dir)
+    q_norms = np.linalg.norm(q_mat, axis=1)
+    # each query's nprobe nearest cells (by cosine to the centroid)
+    q_cells = np.argsort(-(q_mat / q_norms[:, None]) @ cents.T, axis=1)[:, :IVF_NPROBE]
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norms, q_cells, cents))
+
+    def probe(batches):
+        ids, mat, norms, cells, c = bq.value
+        for pdf in batches:
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            b_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            b_norms = np.linalg.norm(b_mat, axis=1)
+            b_cell = np.argmax((b_mat / b_norms[:, None]) @ c.T, axis=1)
+            out = []
+            for qi in range(len(ids)):
+                mask = np.isin(b_cell, cells[qi]) & (b_ids != ids[qi])
+                if mask.any():
+                    cos = (b_mat[mask] @ mat[qi]) / (b_norms[mask] * norms[qi])
+                    out.append(
+                        pd.DataFrame(
+                            {"query_id": ids[qi], "vec_id": b_ids[mask], "cosine": cos}
+                        )
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scores = emb.select("vec_id", "embedding").mapInPandas(
+        probe, schema="query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 # --- embedding vector ops (scalar outputs — oracle-safe) -------------------------
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-op surface: L2 norm, mean component, min/max — pure HOF
@@ -235,6 +302,7 @@ FROM p
 QUERIES = [
     QuerySpec("ann_brute_force_topk", q_ann_brute_force, Q_ANN_ORACLE, "exact cosine top-k (numpy block products)", ("similarity",)),
     QuerySpec("ann_lsh_topk", q_ann_lsh, None, "random-hyperplane LSH ANN (approximate scale path)", ("similarity",)),
+    QuerySpec("ann_ivf_topk", q_ann_ivf, None, "IVF coarse-quantizer ANN (approximate scale path)", ("similarity",)),
     QuerySpec("embedding_norms", q_embedding_norms, Q_EMB_NORMS_ORACLE, "vector norm/stats ops", ("similarity",)),
     QuerySpec("embedding_downproject", q_embedding_downproject, Q_EMB_DOWNPROJECT_ORACLE, "adjacent-pair dim reduction", ("similarity",)),
 ]

@@ -213,8 +213,52 @@ FROM fold WHERE i = n_len + 1
 """
 
 
+# --- repetition / boilerplate signal --------------------------------------------------
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition features (the C4/Gopher-style boilerplate filters):
+    duplicate-token ratio, most-frequent-token share, and char-bigram
+    diversity — all nested HOF arithmetic, JVM-side (the inner quadratic
+    is per-document over ~10² tokens, not over the corpus)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    top_freq = F.array_max(
+        F.transform(F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(length(lower(text)) - 1, 1)), i -> substring(lower(text), i, 2))"
+    )
+    bi_total = F.size(bigrams)
+    bi_uniq = F.size(F.array_distinct(bigrams))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(F.when(n_tok > 0, 1 - n_uniq / n_tok.cast("double")).otherwise(0.0), 6).alias("dup_token_ratio"),
+        F.round(F.when(n_tok > 0, top_freq / n_tok.cast("double")).otherwise(0.0), 6).alias("top_token_share"),
+        F.round(bi_uniq / bi_total.cast("double"), 6).alias("bigram_diversity"),
+    )
+
+
+_BIGRAMS_SQL = "list_transform(generate_series(1, greatest(length(lower(text)) - 1, 1)), i -> substr(lower(text), i, 2))"
+Q_REPETITION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks, {_BIGRAMS_SQL} AS bis FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(CASE WHEN len(toks) > 0 THEN 1 - len(list_distinct(toks)) * 1.0 / len(toks) ELSE 0.0 END, 6) AS dup_token_ratio,
+       round(CASE WHEN len(toks) > 0 THEN
+         list_aggregate(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t))), 'max') * 1.0 / len(toks)
+         ELSE 0.0 END, 6) AS top_token_share,
+       round(len(list_distinct(bis)) * 1.0 / len(bis), 6) AS bigram_diversity
+FROM t
+"""
+
+
 QUERIES = [
     QuerySpec("text_token_count", q_token_count, Q_TOKEN_COUNT_ORACLE, "token + subword counting", ("text",)),
+    QuerySpec("text_repetition", q_repetition, Q_REPETITION_ORACLE, "repetition/boilerplate features", ("text",)),
     QuerySpec("text_quality_score", q_quality_score, Q_QUALITY_ORACLE, "quality-filter features", ("text",)),
     QuerySpec("text_lang_id", q_lang_id, Q_LANG_ID_ORACLE, "stopword-marker language ID", ("text",)),
     QuerySpec("text_fingerprint", q_fingerprint, Q_FINGERPRINT_ORACLE, "md5 + rolling-hash fingerprints", ("text",)),

@@ -60,6 +60,17 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     approx = {(r["query_id"], r["vec_id"]) for r in q_ann_lsh(spark, SF_DIR).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF probe path: recall floor vs the exact baseline, so cell/probe
+    config regressions get caught."""
+    from jetstream_spark.queries.similarity import q_ann_ivf
+
+    exact = {(r["query_id"], r["vec_id"]) for r in q_ann_brute_force(spark, SF_DIR).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in q_ann_ivf(spark, SF_DIR).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall:.2f}"
     # every LSH hit must rank within the query's bucket — sanity: no self-matches
     assert all(q != v for q, v in approx)
 
