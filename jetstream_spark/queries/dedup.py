@@ -207,26 +207,47 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = np.array(_MH_B_, dtype=np.uint64)
 
     def kernel(batches):
+        # whole-batch vectorization: ONE sliding-window/hash/permutation pass
+        # over the concatenated batch, per-doc mins via minimum.reduceat —
+        # no per-document numpy-call loop. Duplicate shingles need no dedup:
+        # min over a multiset == min over its set, so signatures are
+        # unchanged vs the per-doc unique() formulation.
+        W = SHINGLE_W
         for pdf in batches:
-            doc_ids, band_idxs, band_keys = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                codes = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-                if len(codes) < SHINGLE_W:
-                    codes = np.pad(codes, (0, SHINGLE_W - len(codes)))
-                w = np.lib.stride_tricks.sliding_window_view(codes, SHINGLE_W)
-                poly = np.zeros(len(w), dtype=np.uint64)
-                for k in range(SHINGLE_W):  # poly-31 rolling hash, mod-2^64 wraparound
-                    poly = poly * np.uint64(31) + w[:, k]
-                x = np.unique((poly * np.uint64(_SH_MIX)) % np.uint64(1 << 32))
-                sig = ((A[None, :] * x[:, None] + B[None, :]) % np.uint64(_MH_P)).min(axis=0)
-                bands = sig.reshape(_MH_B, _MH_R)
-                keys = np.zeros(_MH_B, dtype=np.uint64)
-                for r in range(_MH_R):
-                    keys = keys * np.uint64(_MH_P) + bands[:, r]
-                doc_ids.extend([int(doc_id)] * _MH_B)
-                band_idxs.extend(range(_MH_B))
-                band_keys.extend(keys.view(np.int64))
-            yield pd.DataFrame({"doc_id": doc_ids, "band_idx": band_idxs, "band_key": band_keys})
+            if len(pdf) == 0:
+                continue
+            texts = [t.lower().encode("utf-8") for t in pdf["text"]]
+            texts = [t if len(t) >= W else t + b"\x00" * (W - len(t)) for t in texts]
+            lens = np.array([len(t) for t in texts], dtype=np.int64)
+            concat = np.frombuffer(b"".join(texts), dtype=np.uint8).astype(np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(concat, W)
+            poly = np.zeros(len(win), dtype=np.uint64)
+            for k in range(W):  # poly-31 rolling hash, mod-2^64 wraparound
+                poly = poly * np.uint64(31) + win[:, k]
+            x = (poly * np.uint64(_SH_MIX)) % np.uint64(1 << 32)
+            # keep only windows fully inside one doc (drop straddlers)
+            n_docs = len(lens)
+            n_win = lens - W + 1
+            doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            group_starts = np.concatenate(([0], np.cumsum(n_win)[:-1]))
+            tot = int(n_win.sum())
+            doc_of = np.repeat(np.arange(n_docs), n_win)
+            intra = np.arange(tot) - np.repeat(group_starts, n_win)
+            xs = x[doc_starts[doc_of] + intra]
+            sig_all = (A[None, :] * xs[:, None] + B[None, :]) % np.uint64(_MH_P)
+            sigs = np.minimum.reduceat(sig_all, group_starts, axis=0)  # (docs, K)
+            bands = sigs.reshape(n_docs, _MH_B, _MH_R)
+            keys = np.zeros((n_docs, _MH_B), dtype=np.uint64)
+            for r in range(_MH_R):
+                keys = keys * np.uint64(_MH_P) + bands[:, :, r]
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, _MH_B),
+                    "band_idx": np.tile(np.arange(_MH_B, dtype=np.int32), n_docs),
+                    "band_key": keys.reshape(-1).view(np.int64),
+                }
+            )
 
     # documents.parquet is one file → one input partition; spread the kernel
     par = spark.sparkContext.defaultParallelism

@@ -153,6 +153,43 @@ GROUP BY 1, 2
 """
 
 
+# --- hopping (sliding) window, batch form -------------------------------------
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows hopping every 30 minutes — the batch form of
+    window(ts, '1 hour', '30 minutes'); every event lands in exactly two
+    overlapping windows. Spark's window() generates the window struct
+    inline (a Generate node, no self-union scan)."""
+    ev = table(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(
+            F.date_format(win.start, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+
+
+# hop expansion: each event belongs to windows starting at floor30(ts) and
+# floor30(ts) - 30 min (size 1 h, hop 30 min ⇒ exactly two)
+Q_HOPPING_ORACLE = """
+WITH hops AS (
+  SELECT strftime(date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+                  - k * INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, value
+  FROM events, unnest([0, 1]) AS t(k)
+)
+SELECT window_start, event_type,
+       count(*) AS events,
+       round(sum(value), 4) AS value_sum
+FROM hops
+GROUP BY window_start, event_type
+"""
+
+
 # --- sessionization (gap-based session windows, batch form) ---------------------
 SESSION_GAP_S = 1800
 
@@ -362,6 +399,7 @@ QUERIES = [
     QuerySpec("monotonic_delivery", q_monotonic_delivery, Q_MONOTONIC_ORACLE, "S18: monotonic cursor delivery", ("eventlog",)),
     QuerySpec("per_key_ordering", q_per_key_ordering, Q_PER_KEY_ORACLE, "S25: per-key ordered processing", ("eventlog",)),
     QuerySpec("tumbling_window_hourly", q_tumbling_window, Q_TUMBLING_ORACLE, "tumbling window agg (batch form)", ("window", "eventlog")),
+    QuerySpec("hopping_window_hourly", q_hopping_window, Q_HOPPING_ORACLE, "hopping/sliding window agg (batch form)", ("window", "eventlog")),
     QuerySpec("sessionization", q_sessionization, Q_SESSION_ORACLE, "gap-based session windows (batch form)", ("window", "eventlog")),
     QuerySpec("asof_join_purchases", q_asof_join, Q_ASOF_ORACLE, "as-of join via union+running-last (no join blow-up)", ("join", "eventlog")),
     QuerySpec("json_props_stats", q_json_props, Q_JSON_ORACLE, "schema-on-read JSON payload stats", ("scalar", "eventlog")),
