@@ -41,5 +41,9 @@ def get_spark(app_name: str = "jetstream_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # bucketed-table support (co-located joins): keep the local metastore
+        # and warehouse out of the repo; a cluster overrides both
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/jetstream_spark_warehouse"))
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/jetstream_spark_derby")
     )
     return builder.getOrCreate()

@@ -63,6 +63,38 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    purchase matched to the same user's clicks within [purchase − max_gap,
+    purchase]. Watermarks on BOTH sides bound the join state: a click older
+    than watermark + max_gap can never match a future purchase, so its
+    state row is evicted — state is O(rate × horizon), not unbounded.
+    The streaming analogue of the asof/range join family in queries/."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.expr(f"purchase_ts - INTERVAL {max_gap}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id"), "purchase_ts", "click_ts"
+    )
+
+
 def dedup_stream(events: DataFrame, keys: list[str], watermark_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: first occurrence per key wins; state for a key
     is dropped once the watermark passes it (bounded state — the S13-style
@@ -100,4 +132,46 @@ def monotonic_per_key(stream: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- the same operator on the Spark 4 transformWithStateInPandas API -------------
+def monotonic_per_key_tws(stream: DataFrame) -> DataFrame:
+    """S18 on the arbitrary-stateful-processing v2 API
+    (transformWithStateInPandas): typed ValueState instead of a tuple
+    blob, explicit processor lifecycle, and (unlike applyInPandasWithState)
+    support for state TTL and timers — the API the engine would standardize
+    on for new stateful operators.
+
+    Runtime requirement: Spark's TWS Python runner speaks protobuf to the
+    JVM, so `google.protobuf` must be importable on the workers (absent in
+    this container — the test for this operator skips without it; the
+    applyInPandasWithState twin above carries the verified behavior)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MonotonicProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._max = handle.getValueState("max_seq", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            mx = self._max.get()[0] if self._max.exists() else 0
+            for pdf in rows:
+                pdf = pdf.sort_values("time_us")
+                out = pdf[pdf["time_us"] > mx]
+                if len(out):
+                    mx = int(out["time_us"].max())
+                    yield out[["key", "time_us"]]
+            self._max.update((mx,))
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=MonotonicProcessor(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )

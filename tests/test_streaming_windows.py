@@ -121,6 +121,100 @@ def test_monotonic_per_key_stateful(spark, tmp_path):
 
 
 @pytest.mark.timeout(300)
+def test_monotonic_per_key_tws(spark, tmp_path):
+    """The same S18 contract on the transformWithStateInPandas (v2) API —
+    behavior must be identical to the applyInPandasWithState form.
+    Spark's TWS runner needs protobuf; skip where it isn't installed."""
+    import json
+
+    pytest.importorskip("google.protobuf", reason="transformWithStateInPandas needs protobuf")
+    from jetstream_spark.streaming.windows import monotonic_per_key_tws
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = [{"key": "a", "time_us": 1}, {"key": "a", "time_us": 3}, {"key": "b", "time_us": 5}]
+    b2 = [
+        {"key": "a", "time_us": 2},
+        {"key": "a", "time_us": 3},
+        {"key": "a", "time_us": 7},
+        {"key": "b", "time_us": 5},
+        {"key": "b", "time_us": 9},
+    ]
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in b1)
+    stream = spark.readStream.schema("key string, time_us bigint").option("maxFilesPerTrigger", 1).json(src)
+    q = (
+        monotonic_per_key_tws(stream)
+        .writeStream.format("memory")
+        .queryName("mono_tws_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cktws"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(os.path.join(src, "b2.jsonl"), "w") as f:
+            f.writelines(json.dumps(r) + "\n" for r in b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        ((r["key"], r["time_us"]) for r in spark.sql("SELECT * FROM mono_tws_test").collect())
+    )
+    assert rows == [("a", 1), ("a", 3), ("a", 7), ("b", 5), ("b", 9)]
+
+
+@pytest.mark.timeout(300)
+def test_stream_stream_interval_join(spark, events_stream_dir, tmp_path):
+    """Stream-stream inner join with event-time bounds: result equals the
+    batch join under the same range condition (no rows lost to state
+    eviction — every match is within the watermark horizon)."""
+    from jetstream_spark.streaming.windows import interval_join
+
+    ev_schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+    def side(kind: str):
+        return (
+            spark.readStream.schema(ev_schema)
+            .parquet(events_stream_dir)
+            .where(F.col("event_type") == kind)
+        )
+
+    joined = interval_join(side("click"), side("purchase"), max_gap="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckss"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ssjoin_test").collect()
+    }
+    ev = table(spark, SF_DIR, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    batch = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.expr("pts - INTERVAL 1 hour")),
+    )
+    want = {(r["pid"], r["cid"]) for r in batch.collect()}
+    assert got == want
+    assert got, "join must produce matches on this corpus"
+
+
+@pytest.mark.timeout(300)
 def test_sliding_window_stream(spark, events_stream_dir, tmp_path):
     from jetstream_spark.streaming.windows import sliding_counts
 
