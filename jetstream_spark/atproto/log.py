@@ -171,6 +171,46 @@ def apply_subscription_filters(
     return df
 
 
+def compact_bucket(
+    spark: SparkSession, log_dir: str, bucket: int, target_files: int = 1
+) -> int:
+    """S11 maintenance: rewrite one hour partition's many per-batch files
+    into `target_files` time-sorted files (the small-file problem — every
+    micro-batch appends a file; a day of 5 s batches is 17k files/partition
+    at scale, and scan/open cost dominates).
+
+    Safe only for SEALED buckets: every batch that wrote here must already
+    be in the done-marker set (pipeline.py), because compaction drops the
+    batch-tagged file names that crash-replay's delete-before-rewrite keys
+    on. Swap protocol: stage the rewrite, rename the old partition aside,
+    rename the stage in, then drop the old — each step is a single atomic
+    directory rename, so a crash leaves either the old or the new
+    partition intact (plus at worst a leftover `.old`/`.tmp` to sweep).
+    Returns the number of files before compaction."""
+    part = os.path.join(log_dir, f"hour_bucket={bucket}")
+    if not os.path.isdir(part):
+        return 0
+    old_files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    if len(old_files) <= target_files:
+        return len(old_files)
+    # `_`-prefixed so log readers never see the in-flight dirs as partitions
+    tmp = os.path.join(log_dir, f"_compact_tmp_{bucket}")
+    aside = os.path.join(log_dir, f"_compact_old_{bucket}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(aside, ignore_errors=True)
+    (
+        spark.read.parquet(part)
+        .coalesce(target_files)
+        .sortWithinPartitions("time_us")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.rename(part, aside)
+    os.rename(tmp, part)
+    shutil.rmtree(aside)
+    return len(old_files)
+
+
 def trim_events(spark: SparkSession, log_dir: str, now_us: int, ttl_us: int = DEFAULT_TTL_US) -> int:
     """S13 TTL retention: drop whole hour partitions older than now-TTL —
     the partition-drop analogue of Pebble's DeleteRange (persist.go:130, P9).

@@ -132,6 +132,29 @@ def test_did_filter(spark, populated_log):
     assert {r["did"] for r in df.collect()} == {"did:plc:user001"}
 
 
+def test_compact_bucket(spark, normalized, tmp_path):
+    """S11 maintenance: multi-batch partitions compact to one time-sorted
+    file; replay output is byte-identical before/after."""
+    import os
+
+    log_dir = str(tmp_path / "log")
+    h = eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1_000_000, batch_id=0)
+    h = eventlog.ingest_batch(normalized, log_dir, wall_clock_us=h + 1, batch_id=1)
+    eventlog.ingest_batch(normalized, log_dir, wall_clock_us=h + 1, batch_id=2)
+    part = os.path.join(log_dir, "hour_bucket=0")
+    before = sorted(
+        (r["time_us"], r["did"]) for r in eventlog.replay(spark, log_dir).collect()
+    )
+    n_files = eventlog.compact_bucket(spark, log_dir, bucket=0)
+    assert n_files >= 3, "each batch should have produced at least one file"
+    left = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(left) == 1, "compaction must leave one file"
+    after = sorted(
+        (r["time_us"], r["did"]) for r in eventlog.replay(spark, log_dir).collect()
+    )
+    assert after == before, "compaction must not change replay output"
+
+
 def test_ttl_trim(spark, normalized, tmp_path):
     """S13: partitions fully older than TTL are dropped (persist.go:120-137)."""
     log_dir = str(tmp_path / "log")

@@ -62,6 +62,25 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.2, f"LSH recall collapsed: {recall:.2f}"
 
 
+def test_approx_aggregates_error_bounds(spark):
+    """Sketch aggregates (the cardinality/quantile path at 100 TB, where
+    exact distinct/percentile shuffles are the bottleneck): HLL++ distinct
+    and KLL-style percentile must land inside their error bounds vs exact.
+    No SQL oracle possible (sketch internals differ per engine) — the
+    error-bound contract IS the spec."""
+    from jetstream_spark.tables import table
+
+    ev = table(spark, SF_DIR, "events")
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    approx = ev.select(F.approx_count_distinct("user_id")).first()[0]
+    assert abs(approx - exact) / exact < 0.15, f"HLL off: {approx} vs {exact}"
+
+    ex_med = ev.select(F.expr("percentile(value, 0.5)")).first()[0]
+    ap_med = ev.select(F.expr("approx_percentile(value, 0.5, 1000)")).first()[0]
+    spread = ev.select(F.max("value") - F.min("value")).first()[0]
+    assert abs(ap_med - ex_med) <= 0.02 * spread, f"approx median off: {ap_med} vs {ex_med}"
+
+
 def test_bucketed_join_no_shuffle(spark, tmp_path):
     """Co-located join: orders ⋈ lineitem both bucketed by orderkey must
     plan WITHOUT any Exchange — the shuffle was paid once at write time.
