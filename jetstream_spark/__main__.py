@@ -1,0 +1,197 @@
+"""`python -m jetstream_spark` — the server binary surface.
+
+Mirrors the reference's cmd/jetstream flags (main.go:31-89: --ws-url /
+--listen-addr / --data-dir / --event-ttl / --max-sub-rate /
+--override-relay-cursor / --worker-count) on the Spark engine, so a user
+of the reference can run the same lifecycle:
+
+    python -m jetstream_spark serve  --data-dir ./data --listen-addr :6008
+    python -m jetstream_spark ingest --data-dir ./data --source-url host:port
+    python -m jetstream_spark replay --data-dir ./data --cursor 0
+    python -m jetstream_spark trim   --data-dir ./data --event-ttl-hours 24
+    python -m jetstream_spark compact --data-dir ./data
+
+`serve` runs the /subscribe + /metrics edge fed by the shared LiveTailHub;
+`ingest` runs the standing exactly-once pipeline from either a frames drop
+directory or the live socket transport; `replay` prints wire frames from a
+cursor (the debugging read path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def _spark(cpus: int | None):
+    from jetstream_spark.session import get_spark
+
+    return get_spark("jetstream_spark_cli", cpus=cpus)
+
+
+def _parse_listen(addr: str) -> tuple[str, int]:
+    host, _, port = addr.rpartition(":")
+    return host or "127.0.0.1", int(port)
+
+
+def cmd_serve(args) -> int:
+    import asyncio
+
+    from jetstream_spark.serving.edge import SubscribeServer
+    from jetstream_spark.serving.hub import LiveTailHub
+
+    spark = _spark(args.cpus)
+    host, port = _parse_listen(args.listen_addr)
+    hub = LiveTailHub(spark, args.data_dir, os.path.join(args.data_dir, "_hub_ckpt"))
+    hub.start()
+    server = SubscribeServer(
+        spark, args.data_dir, host=host, port=port, max_sub_rate=args.max_sub_rate, hub=hub
+    )
+
+    async def run() -> None:
+        await server.start()
+        print(f"serving /subscribe and /metrics on {server.host}:{server.port}", flush=True)
+        while True:  # lifetime owned by the operator (Ctrl-C / SIGTERM)
+            await asyncio.sleep(3600)
+
+    try:
+        asyncio.run(run())
+    except KeyboardInterrupt:
+        pass
+    finally:
+        hub.stop()
+    return 0
+
+
+def cmd_ingest(args) -> int:
+    spark = _spark(args.cpus)
+    ckpt = os.path.join(args.data_dir, "_ingest_ckpt")
+    if args.source_url:
+        from jetstream_spark.atproto.log import ingest_batch
+        from jetstream_spark.atproto.normalize import normalize_frames
+        from jetstream_spark.streaming.firehose import FirehoseDataSource
+
+        spark.dataSource.register(FirehoseDataSource)
+        stream = (
+            spark.readStream.format("atproto_firehose")
+            .option("socket_url", args.source_url)
+            .option("numPartitions", str(args.worker_count))
+            .load()
+        )
+
+        def handle(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                ingest_batch(normalize_frames(batch_df), args.data_dir, batch_id=int(batch_id))
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    else:
+        from jetstream_spark.streaming.pipeline import start_ingest
+
+        q = start_ingest(spark, args.frames_dir, args.data_dir, ckpt)
+    print(f"ingesting into {args.data_dir} (checkpoint {ckpt})", flush=True)
+    try:
+        q.awaitTermination()
+    except KeyboardInterrupt:
+        q.stop()
+    return 0
+
+
+def cmd_replay(args) -> int:
+    from jetstream_spark.atproto.log import replay
+    from jetstream_spark.atproto.wire import to_wire
+
+    spark = _spark(args.cpus)
+    df = replay(
+        spark,
+        args.data_dir,
+        cursor=args.cursor,
+        wanted_collections=args.wanted_collections or None,
+        wanted_dids=args.wanted_dids or None,
+    )
+    for row in to_wire(df).orderBy("time_us").limit(args.limit).collect():
+        print(row["value"])
+    return 0
+
+
+def cmd_trim(args) -> int:
+    from jetstream_spark.atproto.log import trim_events
+
+    spark = _spark(args.cpus)
+    dropped = trim_events(
+        spark,
+        args.data_dir,
+        now_us=int(time.time() * 1_000_000),
+        ttl_us=args.event_ttl_hours * 3_600_000_000,
+    )
+    print(f"dropped {dropped} expired hour partitions")
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from jetstream_spark.atproto.log import US_PER_HOUR, compact_bucket
+
+    spark = _spark(args.cpus)
+    current = int(time.time() * 1_000_000) // US_PER_HOUR
+    n = 0
+    for entry in sorted(os.listdir(args.data_dir)):
+        if not entry.startswith("hour_bucket="):
+            continue
+        bucket = int(entry.split("=", 1)[1])
+        if bucket < current:  # sealed buckets only
+            before = compact_bucket(spark, args.data_dir, bucket)
+            if before > 1:
+                print(f"hour_bucket={bucket}: {before} files -> 1")
+                n += 1
+    print(f"compacted {n} partitions")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="jetstream_spark")
+    ap.add_argument("--cpus", type=int, default=None, help="local[N] cores (default: all)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    common = {"--data-dir": dict(default="./data", help="event log directory (main.go --data-dir)")}
+
+    p = sub.add_parser("serve", help="run the /subscribe + /metrics edge")
+    p.add_argument("--data-dir", **common["--data-dir"])
+    p.add_argument("--listen-addr", default=":6008", help="host:port (main.go --listen-addr)")
+    p.add_argument("--max-sub-rate", type=float, default=5_000, help="frames/s per subscriber")
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("ingest", help="run the standing exactly-once ingest pipeline")
+    p.add_argument("--data-dir", **common["--data-dir"])
+    p.add_argument("--source-url", default="", help="live socket transport host:port (main.go --ws-url analogue)")
+    p.add_argument("--frames-dir", default="./frames", help="JSONL frames drop directory (bridge transport)")
+    p.add_argument("--worker-count", type=int, default=8, help="source partitions (main.go --worker-count)")
+    p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser("replay", help="print wire frames from a cursor")
+    p.add_argument("--data-dir", **common["--data-dir"])
+    p.add_argument("--cursor", type=int, default=None)
+    p.add_argument("--limit", type=int, default=100)
+    p.add_argument("--wanted-collections", nargs="*", default=[])
+    p.add_argument("--wanted-dids", nargs="*", default=[])
+    p.set_defaults(fn=cmd_replay)
+
+    p = sub.add_parser("trim", help="drop hour partitions past the TTL")
+    p.add_argument("--data-dir", **common["--data-dir"])
+    p.add_argument("--event-ttl-hours", type=int, default=24, help="main.go --event-ttl")
+    p.set_defaults(fn=cmd_trim)
+
+    p = sub.add_parser("compact", help="compact sealed hour partitions")
+    p.add_argument("--data-dir", **common["--data-dir"])
+    p.set_defaults(fn=cmd_compact)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,103 @@
+"""The `python -m jetstream_spark` server-binary surface: replay, trim,
+compact, and serve (edge boot + /metrics scrape) driven as real
+subprocesses against a populated log."""
+
+from __future__ import annotations
+
+import http.client
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+from jetstream_spark.atproto import log as eventlog
+from jetstream_spark.atproto.normalize import normalize_frames
+from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
+from tests.fixtures import make_frames
+
+ENV = {**os.environ, "SPARK_GRAFT_CPUS": "4", "SPARK_GRAFT_DRIVER_MEM": "2g"}
+
+
+@pytest.fixture(scope="module")
+def log_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("clilog"))
+    frames = spark.createDataFrame(make_frames(), schema=RAW_FRAME_SCHEMA)
+    normalized = normalize_frames(frames).cache()
+    h = eventlog.ingest_batch(normalized, d, wall_clock_us=1_000_000, batch_id=0)
+    eventlog.ingest_batch(normalized, d, wall_clock_us=h + 1, batch_id=1)
+    return d
+
+
+def _run(*args: str, timeout: int = 300) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-m", "jetstream_spark", *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=ENV,
+        cwd="/root/repo",
+    )
+
+
+@pytest.mark.timeout(300)
+def test_cli_replay(log_dir, spark):
+    total = eventlog.read_log(spark, log_dir).count()
+    out = _run("replay", "--data-dir", log_dir, "--limit", "1000000")
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == total
+    times = [f["time_us"] for f in lines]
+    assert times == sorted(times)
+
+
+@pytest.mark.timeout(300)
+def test_cli_compact_and_trim(log_dir, spark):
+    part = os.path.join(log_dir, "hour_bucket=0")
+    assert len([f for f in os.listdir(part) if f.endswith(".parquet")]) >= 2
+    out = _run("compact", "--data-dir", log_dir)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert len([f for f in os.listdir(part) if f.endswith(".parquet")]) == 1
+
+    out = _run("trim", "--data-dir", log_dir, "--event-ttl-hours", "24")
+    assert out.returncode == 0, out.stderr[-2000:]
+    # bucket 0 (1970) is far past TTL relative to now → dropped
+    assert not os.path.isdir(part)
+
+
+@pytest.mark.timeout(300)
+def test_cli_serve_boots_and_scrapes(log_dir):
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "jetstream_spark", "serve", "--data-dir", log_dir,
+         "--listen-addr", "127.0.0.1:0"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        env=ENV,
+        cwd="/root/repo",
+    )
+    try:
+        port = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "serving /subscribe" in line:
+                port = int(line.rsplit(":", 1)[1])
+                break
+        assert port, "server never reported its port"
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        body = resp.read().decode()
+        conn.close()
+        assert "jetstream_subscribers_connected" in body
+    finally:
+        proc.send_signal(signal.SIGINT)
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
