@@ -33,6 +33,7 @@ from jetstream_spark.atproto.sequencer import SequencerState, sequence_events
 
 US_PER_HOUR = 3_600_000_000
 DEFAULT_TTL_US = 24 * US_PER_HOUR  # --event-ttl default (main.go:73-78)
+_DID_ISIN_MAX = 1000  # above this, DID filtering becomes a broadcast semi join
 
 
 def write_events(df: DataFrame, log_dir: str) -> None:
@@ -161,13 +162,21 @@ def apply_subscription_filters(
     """S17 semantics (server.go:118-129): collection filter applies only to
     events that HAVE a collection — account/identity events pass regardless
     (README: 'all subscribers receive Account and Identity events');
-    empty filter set = match-all."""
+    empty filter set = match-all.
+
+    Large DID sets (subscriptions allow up to 10k) switch from an isin
+    literal list — which bloats the plan and codegen — to a broadcast
+    LEFT SEMI join against a tiny DID table: same result, scan-friendly."""
     if wanted_collections:
         df = df.where(
             F.col("commit").isNull() | F.col("commit.collection").isin(*wanted_collections)
         )
     if wanted_dids:
-        df = df.where(F.col("did").isin(*wanted_dids))
+        if len(wanted_dids) <= _DID_ISIN_MAX:
+            df = df.where(F.col("did").isin(*wanted_dids))
+        else:
+            dids = df.sparkSession.createDataFrame([(d,) for d in set(wanted_dids)], "did string")
+            df = df.join(F.broadcast(dids), "did", "left_semi")
     return df
 
 

@@ -25,6 +25,7 @@ _PRIORITY = (
     "text_repetition",           # new in r2
     "sample_split",              # new in r2
     "doc_packing",               # new in r2
+    "doc_chunking",              # new in r2 (UDTF surface)
     "hopping_window_hourly",     # new in r2
     "ann_brute_force_topk",      # ---- the 11 driver-skipped queries ----
     "embedding_norms",

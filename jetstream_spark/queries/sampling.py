@@ -143,7 +143,55 @@ GROUP BY shard, win_id
 """
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 32
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (context-window preparation) as a
+    Spark 4 Python UDTF driven through a LATERAL join — the UDTF surface of
+    §2.2 (one input row → N chunk rows with their own schema). Arrow-
+    optimized; row-level Python is acceptable here because chunk text
+    assembly is inherently per-row string work, but the token counting that
+    feeds packing/stats stays in codegen HOFs (doc_packing above)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk_tokens int, chunk_text string", useArrow=True)
+    class DocChunker:
+        def eval(self, doc_id: int, text: str):
+            import re
+
+            toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+            n = max(len(toks), 1)
+            for i in range((n - 1) // CHUNK_STRIDE + 1):
+                chunk = toks[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_TOKENS]
+                yield doc_id, i, len(chunk), " ".join(chunk)
+
+    spark.udtf.register("doc_chunker", DocChunker)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("_chunk_docs")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.chunk_tokens, c.chunk_text "
+        "FROM _chunk_docs, LATERAL doc_chunker(doc_id, text) c"
+    )
+
+
+Q_DOC_CHUNKING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_N_TOKENS_SQL.replace("len(", "len(", 1)} AS n_tok,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         toks[CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT):CAST(i * {CHUNK_STRIDE} + {CHUNK_TOKENS} AS BIGINT)] AS chunk
+  FROM t, unnest(generate_series(0, CAST(floor((greatest(n_tok, 1) - 1) / {CHUNK_STRIDE}.0) AS BIGINT))) AS u(i)
+)
+SELECT doc_id, chunk_idx, len(chunk) AS chunk_tokens, array_to_string(chunk, ' ') AS chunk_text
+FROM c
+"""
+
+
 QUERIES = [
     QuerySpec("sample_split", q_sample_split, Q_SAMPLE_SPLIT_ORACLE, "deterministic hash train/val/test split", ("sampling",)),
     QuerySpec("doc_packing", q_doc_packing, Q_DOC_PACKING_ORACLE, "shard-parallel token-budget sequence packing", ("sampling",)),
+    QuerySpec("doc_chunking", q_doc_chunking, Q_DOC_CHUNKING_ORACLE, "overlapping context-window chunking via Spark 4 UDTF + LATERAL", ("sampling",)),
 ]

@@ -132,6 +132,17 @@ def test_did_filter(spark, populated_log):
     assert {r["did"] for r in df.collect()} == {"did:plc:user001"}
 
 
+def test_did_filter_large_set_semi_join(spark, populated_log):
+    """Above the isin threshold the DID filter becomes a broadcast semi
+    join — results must be identical to the literal-list path."""
+    all_dids = sorted({r["did"] for r in eventlog.read_log(spark, populated_log).select("did").distinct().collect()})
+    wanted = all_dids[: max(1, len(all_dids) // 2)]
+    small = {r["time_us"] for r in eventlog.replay(spark, populated_log, wanted_dids=wanted).collect()}
+    padded = wanted + [f"did:plc:pad{i}" for i in range(1200)]  # force the semi-join path
+    large = {r["time_us"] for r in eventlog.replay(spark, populated_log, wanted_dids=padded).collect()}
+    assert large == small
+
+
 def test_compact_bucket(spark, normalized, tmp_path):
     """S11 maintenance: multi-batch partitions compact to one time-sorted
     file; replay output is byte-identical before/after."""
