@@ -26,6 +26,7 @@ _PRIORITY = (
     "sample_split",              # new in r2
     "doc_packing",               # new in r2
     "doc_chunking",              # new in r2 (UDTF surface)
+    "geomean_value",             # new in r2 (grouped-agg UDAF surface)
     "hopping_window_hourly",     # new in r2
     "ann_brute_force_topk",      # ---- the 11 driver-skipped queries ----
     "embedding_norms",

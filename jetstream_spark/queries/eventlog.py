@@ -322,6 +322,44 @@ GROUP BY event_type
 """
 
 
+# --- grouped-aggregate pandas UDF (the UDAF surface) -------------------------------
+def q_geomean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a grouped-agg pandas UDF: per-type geometric
+    mean of value — Arrow ships each group's column once, numpy reduces it
+    (the UDAF shape for aggregates Catalyst lacks). The oracle recomputes
+    it relationally as exp(avg(ln(v))), which is also the algebraic
+    identity that makes this aggregate partial-izable at scale (sum of
+    logs combines associatively; the UDF form is for aggregates without
+    such a decomposition)."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module uses postponed annotations, which
+    # stringify the pd.Series hint the decorator would otherwise infer from
+    def _geomean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+
+    geomean = pandas_udf(_geomean, "double", PandasUDFType.GROUPED_AGG)
+    # grouped-agg UDFs cannot mix with built-in aggregates in one agg —
+    # the count rides along as a second pandas aggregate
+    n_rows = pandas_udf(lambda v: len(v), "long", PandasUDFType.GROUPED_AGG)
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        n_rows("value").alias("n"),
+        F.round(geomean("value"), 6).alias("geomean_value"),
+    )
+
+
+Q_GEOMEAN_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(exp(avg(ln(value))), 6) AS geomean_value
+FROM events
+GROUP BY event_type
+"""
+
+
 # --- VARIANT payload path (§1.3 goal state, Spark 4) -------------------------------
 def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT sibling of q_json_props: the opaque payload is lifted
@@ -404,5 +442,6 @@ QUERIES = [
     QuerySpec("asof_join_purchases", q_asof_join, Q_ASOF_ORACLE, "as-of join via union+running-last (no join blow-up)", ("join", "eventlog")),
     QuerySpec("json_props_stats", q_json_props, Q_JSON_ORACLE, "schema-on-read JSON payload stats", ("scalar", "eventlog")),
     QuerySpec("variant_props_stats", q_variant_props, Q_VARIANT_ORACLE, "VARIANT payload path: parse_json once + typed variant_get reads", ("scalar", "eventlog")),
+    QuerySpec("geomean_value", q_geomean_value, Q_GEOMEAN_ORACLE, "grouped-agg pandas UDF (UDAF surface)", ("agg", "eventlog")),
     QuerySpec("conversion_funnel", q_conversion_funnel, Q_FUNNEL_ORACLE, "funnel via conditional min-agg", ("eventlog",)),
 ]
