@@ -249,7 +249,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    # documents.parquet is one file → one input partition; spread the kernel
+    # documents.parquet is one file → one input partition; spread the kernel.
+    # No cache on bands: the self-join's two identical sides share one
+    # shuffle write via ReuseExchange, so the kernel already runs once —
+    # an explicit cache only adds a materialization barrier (measured).
     par = spark.sparkContext.defaultParallelism
     bands = docs.select("doc_id", "text").repartition(par).mapInPandas(
         kernel, schema="doc_id long, band_idx int, band_key long"
