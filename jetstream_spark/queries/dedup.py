@@ -119,20 +119,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     one extra groupBy+join on the shingle key — fully distributed, and the
     natural sort key at 100 TB too (frequencies are a byproduct of building
     the inverted index)."""
+    from pyspark.sql.window import Window
+
     sh = _doc_shingles(spark, sf_dir).cache()
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
     freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc shingle list sorted rarest-first, with (df, s) as the global order
-    ranked = exploded.join(freq, "s").groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("df", "s"))).alias("sorted_sh")
+    # rank each doc's shingles rarest-first with row-level window functions —
+    # no collect_list/array_sort churn; one shuffle on doc_id, and only the
+    # prefix rows survive the filter
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    wn = Window.partitionBy("doc_id")
+    ranked_rows = (
+        exploded.join(freq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
     )
-    n = F.size("sorted_sh")
-    prefix_len = (n - F.ceil(n * F.lit(JACCARD_T)).cast("int") + 1).cast("int")
-    prefixes = ranked.select(
-        "doc_id",
-        n.alias("n"),
-        F.posexplode(F.slice("sorted_sh", 1, prefix_len)).alias("pos0", "p"),
-    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), F.col("p.s").alias("s"))
+    prefix_len = (F.col("n") - F.ceil(F.col("n") * F.lit(JACCARD_T)).cast("int") + 1)
+    prefixes = ranked_rows.where(F.col("pos") <= prefix_len).select("doc_id", "n", "pos", "s")
     a = prefixes.alias("a")
     b = prefixes.alias("b")
     matched = a.join(
@@ -149,15 +152,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.pos").alias("pos_a"),
         F.col("b.pos").alias("pos_b"),
     )
-    # min pos over shared prefix shingles = position of the globally-first
-    # shared shingle (same shingle on both sides — both arrays carry the same
-    # global order), which is the one the positional bound is valid for
+    # positional filter at the LAST matched prefix position: both arrays
+    # carry the same global order, so every common shingle past the last
+    # match lies after it on BOTH sides, and commons inside the prefix
+    # rectangles are exactly the m matched ones ⇒
+    #   overlap ≤ m + min(n_a − max_pos_a, n_b − max_pos_b)
+    # (Xiao et al.'s PPJoin bound); pairs whose bound is below the J ≥ t
+    # overlap requirement α = t/(1+t)·(n_a+n_b) never reach verification.
+    alpha = (F.col("n_a") + F.col("n_b")) * F.lit(JACCARD_T / (1.0 + JACCARD_T))
     candidates = (
         matched.groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.min("pos_a").alias("i"), F.min("pos_b").alias("j"))
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.max("pos_a").alias("ma"),
+            F.max("pos_b").alias("mb"),
+        )
         .where(
-            1 + F.least(F.col("n_a") - F.col("i"), F.col("n_b") - F.col("j"))
-            >= (F.col("n_a") + F.col("n_b")) * F.lit(JACCARD_T / (1.0 + JACCARD_T))
+            F.col("m") + F.least(F.col("n_a") - F.col("ma"), F.col("n_b") - F.col("mb"))
+            >= alpha
         )
         .select("doc_a", "doc_b")
     )
