@@ -27,6 +27,8 @@ _PRIORITY = (
     "doc_packing",               # new in r2
     "doc_chunking",              # new in r2 (UDTF surface)
     "geomean_value",             # new in r2 (grouped-agg UDAF surface)
+    "null_semantics",            # new in r2
+    "salted_join_revenue",       # new in r2 (skew operator equivalence)
     "hopping_window_hourly",     # new in r2
     "ann_brute_force_topk",      # ---- the 11 driver-skipped queries ----
     "embedding_norms",

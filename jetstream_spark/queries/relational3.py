@@ -185,7 +185,74 @@ GROUP BY o_orderstatus
 """
 
 
+# --- NULL semantics across join/agg boundaries ----------------------------------------
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL contract, end to end: left-join misses produce NULLs;
+    count(col) skips them while count(*) doesn't; avg ignores them;
+    coalesce substitutes; null-safe equality (<=>) treats NULL = NULL as
+    true. Declared because NULL bugs are where engines quietly diverge."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+    return j.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.count("o_orderkey").alias("n_order_rows"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(
+            F.when(F.col("o_orderkey").isNotNull(), F.col("c_custkey"))
+        ).alias("n_with_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_order_total"),
+        F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2).alias("sum_coalesced"),
+        F.count_if(F.col("o_orderstatus").eqNullSafe(F.lit(None).cast("string"))).alias("n_missing"),
+    )
+
+
+Q_NULL_SEMANTICS_ORACLE = """
+SELECT c_mktsegment,
+       count(DISTINCT c_custkey) AS n_customers,
+       count(o_orderkey) AS n_order_rows,
+       count(*) AS n_rows,
+       count(DISTINCT CASE WHEN o_orderkey IS NOT NULL THEN c_custkey END) AS n_with_orders,
+       round(avg(o_totalprice), 2) AS avg_order_total,
+       round(sum(coalesce(o_totalprice, 0.0)), 2) AS sum_coalesced,
+       count(CASE WHEN o_orderstatus IS NOT DISTINCT FROM NULL THEN 1 END) AS n_missing
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --- skew-salted join (operator equivalence, oracle-checked) ---------------------------
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through operators/skew.py::salted_join —
+    the hot-key mitigation (large side salted N ways, small side replicated
+    N×). The oracle is the PLAIN join: salting must be invisible in the
+    result, which is exactly the property that makes it safe to deploy on
+    a skewed key at 100 TB."""
+    from jetstream_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, orders, on="o_orderkey", salt_partitions=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q_SALTED_JOIN_ORACLE = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = [
+    QuerySpec("null_semantics", q_null_semantics, Q_NULL_SEMANTICS_ORACLE, "NULL contract across join/agg (count/avg/coalesce/<=>)", ("join", "agg")),
+    QuerySpec("salted_join_revenue", q_salted_join_revenue, Q_SALTED_JOIN_ORACLE, "skew-salted join == plain join (operator equivalence)", ("join",)),
     QuerySpec("pivot_segment_revenue", q_pivot_segment_revenue, Q_PIVOT_ORACLE, "long-to-wide pivot", ("agg",)),
     QuerySpec("monthly_density", q_monthly_density, Q_DENSITY_ORACLE, "calendar-spine densification", ("scalar", "join")),
     QuerySpec("range_frame_window", q_range_frame_window, Q_RANGE_FRAME_ORACLE, "value-based RANGE window frame", ("window",)),
