@@ -37,11 +37,17 @@ HEADLINE = [
     "multimodal_byte_stats",
 ]
 
-# Heavy exact baselines: timed and REPORTED every run (visible cost), but kept
-# out of the headline total so round-over-round totals stay comparable.
+# Timed and REPORTED every run (visible cost), but kept out of the headline
+# total so round-over-round totals stay comparable: the heavy exact baselines
+# plus queries added after the headline set was frozen.
 EXTRAS = [
     "dedup_ngram_jaccard",   # exact quadratic-worst-case baseline (PPJoin-pruned)
     "dedup_embedding_cosine",  # exact blocked all-pairs (low-threshold regime)
+    "variant_props_stats",
+    "hopping_window_hourly",
+    "doc_packing",
+    "sample_split",
+    "salted_join_revenue",
 ]
 
 REGRESSION_FACTOR = 1.5
