@@ -100,12 +100,14 @@ class SubscribeServer:
         port: int = 0,
         max_sub_rate: float = MAX_SUB_RATE,
         hub=None,
+        sub_buffer: int = SUB_BUFFER,
     ):
         self.spark = spark
         self.log_dir = log_dir
         self.host = host
         self.port = port
         self.max_sub_rate = max_sub_rate
+        self.sub_buffer = sub_buffer
         # optional LiveTailHub (serving/hub.py): when set, the live phase is
         # fed by the ONE shared streaming tail instead of per-sub polling —
         # the reference's single-live-pipeline topology (server.go:187-238)
@@ -227,7 +229,7 @@ class SubscribeServer:
             sub.seq = self._head()
         info = self.registry.add(sub)
         limiter = TokenBucket(self.max_sub_rate * (PLAYBACK_MULT if sub.cursor is not None else 1))
-        queue: asyncio.Queue[bytes] = asyncio.Queue(maxsize=SUB_BUFFER)
+        queue: asyncio.Queue[bytes] = asyncio.Queue(maxsize=self.sub_buffer)
         writer.write(
             b"HTTP/1.1 200 OK\r\nContent-Type: application/x-ndjson\r\n"
             b"Transfer-Encoding: chunked\r\nConnection: close\r\n\r\n"
@@ -244,7 +246,7 @@ class SubscribeServer:
                         await self._live_via_hub(info, sub, queue)
                         return
                     head = self._head()
-                    batch = await asyncio.to_thread(self._fetch_batch, sub, SUB_BUFFER)
+                    batch = await asyncio.to_thread(self._fetch_batch, sub, self.sub_buffer)
                     if batch:
                         playback = sub.cursor is not None and not sub.caught_up(head)
                         for row in batch:

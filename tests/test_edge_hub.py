@@ -67,6 +67,47 @@ def test_edge_hub_cutover_no_dup_no_gap_under_concurrent_writes(spark, tmp_path)
 
 
 @pytest.mark.timeout(300)
+def test_edge_hub_drops_slow_consumer(spark, tmp_path):
+    """S19 on the hub path: a live subscriber whose buffer overflows is
+    dropped (non-blocking enqueue), exactly like the polling path — the
+    reference closes the websocket on a full channel (server.go:168-175)."""
+    log_dir = str(tmp_path / "log")
+    frames = spark.createDataFrame(make_frames(), schema=RAW_FRAME_SCHEMA)
+    normalized = normalize_frames(frames).cache()
+    head = eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1_000_000, batch_id=0)
+
+    hub = LiveTailHub(spark, log_dir, str(tmp_path / "hubckpt"))
+    hub.start()
+    # tiny buffer: the first live batch (hundreds of events) must overflow it
+    server, _ = run_server_in_thread(spark, log_dir, hub=hub, sub_buffer=5)
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+        conn.request("GET", "/subscribe")  # live tail, starts at head
+        resp = conn.getresponse()
+        assert resp.status == 200
+        deadline = time.time() + 60
+        while time.time() < deadline and not server.registry.subscribers:
+            time.sleep(0.1)
+        assert server.registry.subscribers, "subscriber never registered"
+        # do NOT read: the subscriber is slow; append a burst
+        eventlog.ingest_batch(normalized, log_dir, wall_clock_us=head + 1, batch_id=1)
+        dropped = False
+        while time.time() < deadline:
+            infos = list(server.registry.subscribers.values())
+            if not infos or any(i.dropped for i in infos):
+                dropped = True  # flagged, or already dropped AND unregistered
+                break
+            time.sleep(0.2)
+        assert dropped, "slow consumer must be dropped when its buffer overflows"
+        conn.close()
+    finally:
+        import asyncio
+
+        asyncio.run_coroutine_threadsafe(server.stop(), server._loop).result(timeout=10)
+        hub.stop()
+
+
+@pytest.mark.timeout(300)
 def test_edge_hub_filters_applied_at_emit(spark, tmp_path):
     """Per-subscriber predicates are evaluated at hub emit time (S17
     semantics incl. account/identity bypass) — one shared slice, N filtered
