@@ -16,8 +16,9 @@ concurrent) as the reference's dynamic active-map without its bookkeeping;
 the trade-off is that a single hot repo can head-of-line block its worker's
 other repos, which the reference shares via its per-repo pending queues.
 
-The wire is the serving edge's HTTP chunked ndjson (serving/edge.py) —
-the same frame JSON the reference's websocket carries."""
+Transport: websocket text frames (use_websocket=True — the reference
+client's actual protocol, RFC 6455 over the stdlib) or the edge's HTTP
+chunked ndjson; identical frame JSON either way."""
 
 from __future__ import annotations
 
@@ -92,12 +93,14 @@ class JetstreamClient:
         scheduler,
         wanted_collections: list[str] | None = None,
         wanted_dids: list[str] | None = None,
+        use_websocket: bool = False,
     ):
         self.host = host
         self.port = port
         self.scheduler = scheduler
         self.wanted_collections = wanted_collections or []
         self.wanted_dids = wanted_dids or []
+        self.use_websocket = use_websocket  # the reference's wire protocol
         self.cursor: int | None = None  # last delivered time_us
 
     def _path(self, cursor: int | None) -> str:
@@ -120,6 +123,8 @@ class JetstreamClient:
         (the client-side S12 analogue)."""
         if cursor is not None:
             self.cursor = cursor if cursor == 0 else cursor - 1
+        if self.use_websocket:
+            return self._read_websocket(cursor, max_events, timeout)
         conn = http.client.HTTPConnection(self.host, self.port, timeout=timeout)
         conn.request("GET", self._path(cursor))
         resp = conn.getresponse()
@@ -140,3 +145,58 @@ class JetstreamClient:
         finally:
             conn.close()
         return n
+
+    def _read_websocket(self, cursor: int | None, max_events: int | None, timeout: float) -> int:
+        """RFC 6455 client: handshake, then one JSON text frame per event —
+        the reference client's actual transport (client.go websocket dial)."""
+        import base64
+        import os
+        import socket
+
+        key = base64.b64encode(os.urandom(16)).decode()
+        sock = socket.create_connection((self.host, self.port), timeout=timeout)
+        try:
+            sock.sendall(
+                (
+                    f"GET {self._path(cursor)} HTTP/1.1\r\nHost: {self.host}\r\n"
+                    f"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                    f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+                ).encode()
+            )
+            f = sock.makefile("rb")
+            status = f.readline().decode()
+            if "101" not in status:
+                raise ConnectionError(f"websocket upgrade rejected: {status.strip()}")
+            while f.readline().strip():
+                pass  # drain handshake headers
+
+            def read_exact(k: int) -> bytes:
+                buf = f.read(k)
+                if buf is None or len(buf) < k:
+                    raise EOFError
+                return buf
+
+            n = 0
+            while max_events is None or n < max_events:
+                try:
+                    h = read_exact(2)
+                except EOFError:
+                    break
+                opcode = h[0] & 0x0F
+                ln = h[1] & 0x7F
+                if ln == 126:
+                    ln = int.from_bytes(read_exact(2), "big")
+                elif ln == 127:
+                    ln = int.from_bytes(read_exact(8), "big")
+                payload = read_exact(ln) if ln else b""
+                if opcode == 0x8:  # server close
+                    break
+                if opcode != 0x1:  # ignore pings/continuations from the server
+                    continue
+                frame = json.loads(payload)
+                self.scheduler.add_work(frame["did"], frame)
+                self.cursor = frame["time_us"]
+                n += 1
+            return n
+        finally:
+            sock.close()

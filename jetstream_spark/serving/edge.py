@@ -1,10 +1,12 @@
-"""H4 — the serving edge: `/subscribe` over HTTP chunked ndjson.
+"""H4 — the serving edge: `/subscribe` as websocket text frames (the
+reference's wire protocol) or HTTP chunked ndjson.
 
-The reference serves websocket text frames (cmd/jetstream/server.go:240-356).
-Websocket libs aren't in this container, so the edge speaks the stdlib-
-feasible equivalent — HTTP/1.1 chunked transfer, one reference-format JSON
-frame per line — with the same query semantics and the same per-subscriber
-policies:
+The reference serves websocket text frames (cmd/jetstream/server.go:240-356,
+upgrade at server.go:244). The edge implements RFC 6455 directly on the
+stdlib (SHA1 handshake, unmasked server frames, ping→pong, close) — a GET
+with `Upgrade: websocket` gets the reference's exact framing, one JSON text
+frame per event; a plain GET gets HTTP/1.1 chunked ndjson. Same query
+semantics and per-subscriber policies either way:
 
   S19  bounded buffer + drop-slow-consumer: per-sub asyncio.Queue(10_000);
        live enqueue is non-blocking — full queue closes the connection
@@ -159,13 +161,18 @@ class SubscribeServer:
         finally:
             self.hub.unregister(hub_id)
 
-    # --- HTTP plumbing ------------------------------------------------------
+    # --- HTTP + websocket plumbing ------------------------------------------
 
     async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter) -> None:
         try:
             request_line = (await reader.readline()).decode()
-            while (await reader.readline()).strip():  # drain headers
-                pass
+            headers: dict[str, str] = {}
+            while True:
+                line = (await reader.readline()).decode()
+                if not line.strip():
+                    break
+                k, _, v = line.partition(":")
+                headers[k.strip().lower()] = v.strip()
             parts = request_line.split()
             if len(parts) < 2 or parts[0] != "GET":
                 await self._respond(writer, 405, "method not allowed")
@@ -188,11 +195,56 @@ class SubscribeServer:
             except SubscriptionError as e:
                 await self._respond(writer, 400, str(e))
                 return
-            await self._stream(reader, writer, sub)
+            # the reference's actual wire protocol is websocket text frames
+            # (server.go:244 upgrade); plain GETs keep the chunked-ndjson form
+            ws_key = (
+                headers.get("sec-websocket-key")
+                if "websocket" in headers.get("upgrade", "").lower()
+                else None
+            )
+            await self._stream(reader, writer, sub, ws_key=ws_key)
         except (ConnectionResetError, BrokenPipeError, asyncio.IncompleteReadError):
             pass
         finally:
             writer.close()
+
+    @staticmethod
+    def _ws_accept(key: str) -> str:
+        import base64
+        import hashlib
+
+        guid = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"  # RFC 6455 §1.3
+        return base64.b64encode(hashlib.sha1((key + guid).encode()).digest()).decode()
+
+    @staticmethod
+    def _ws_frame(payload: bytes, opcode: int = 0x1) -> bytes:
+        """One server→client frame: FIN set, unmasked (RFC 6455 §5.2)."""
+        head = bytes([0x80 | opcode])
+        n = len(payload)
+        if n < 126:
+            head += bytes([n])
+        elif n < (1 << 16):
+            head += bytes([126]) + n.to_bytes(2, "big")
+        else:
+            head += bytes([127]) + n.to_bytes(8, "big")
+        return head + payload
+
+    @staticmethod
+    async def _ws_read_frame(reader: asyncio.StreamReader) -> tuple[int, bytes]:
+        """Read one client→server frame (masked per RFC 6455 §5.1)."""
+        h = await reader.readexactly(2)
+        opcode = h[0] & 0x0F
+        masked = bool(h[1] & 0x80)
+        n = h[1] & 0x7F
+        if n == 126:
+            n = int.from_bytes(await reader.readexactly(2), "big")
+        elif n == 127:
+            n = int.from_bytes(await reader.readexactly(8), "big")
+        mask = await reader.readexactly(4) if masked else b"\x00" * 4
+        data = await reader.readexactly(n)
+        if masked:
+            data = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+        return opcode, data
 
     def _metrics_text(self) -> str:
         """Prometheus text exposition — the scrape surface the reference
@@ -221,7 +273,11 @@ class SubscribeServer:
         await writer.drain()
 
     async def _stream(
-        self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter, sub: Subscription
+        self,
+        reader: asyncio.StreamReader,
+        writer: asyncio.StreamWriter,
+        sub: Subscription,
+        ws_key: str | None = None,
     ) -> None:
         if sub.cursor is None:
             # live tail: start at the current head (server.go:274-287 —
@@ -230,10 +286,18 @@ class SubscribeServer:
         info = self.registry.add(sub)
         limiter = TokenBucket(self.max_sub_rate * (PLAYBACK_MULT if sub.cursor is not None else 1))
         queue: asyncio.Queue[bytes] = asyncio.Queue(maxsize=self.sub_buffer)
-        writer.write(
-            b"HTTP/1.1 200 OK\r\nContent-Type: application/x-ndjson\r\n"
-            b"Transfer-Encoding: chunked\r\nConnection: close\r\n\r\n"
-        )
+        if ws_key is not None:
+            writer.write(
+                (
+                    "HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+                    f"Connection: Upgrade\r\nSec-WebSocket-Accept: {self._ws_accept(ws_key)}\r\n\r\n"
+                ).encode()
+            )
+        else:
+            writer.write(
+                b"HTTP/1.1 200 OK\r\nContent-Type: application/x-ndjson\r\n"
+                b"Transfer-Encoding: chunked\r\nConnection: close\r\n\r\n"
+            )
         await writer.drain()
 
         async def producer() -> None:
@@ -274,10 +338,21 @@ class SubscribeServer:
 
         async def read_pump() -> None:
             """server.go:291-300: client close/EOF cancels the subscription
-            even when nothing is being delivered (idle live tail)."""
+            even when nothing is being delivered (idle live tail). In
+            websocket mode, control frames are honored: ping → pong,
+            close → cancel; other frames are drained and ignored."""
             try:
-                await reader.read(1)
-            except (ConnectionResetError, BrokenPipeError):
+                if ws_key is None:
+                    await reader.read(1)
+                else:
+                    while True:
+                        opcode, data = await self._ws_read_frame(reader)
+                        if opcode == 0x8:  # close
+                            break
+                        if opcode == 0x9:  # ping → pong
+                            writer.write(self._ws_frame(data, opcode=0xA))
+                            await writer.drain()
+            except (ConnectionResetError, BrokenPipeError, asyncio.IncompleteReadError):
                 pass
             info.dropped = True
             await queue.put(b"")
@@ -290,7 +365,11 @@ class SubscribeServer:
                 if not frame:
                     break
                 await limiter.wait()
-                writer.write(f"{len(frame):x}\r\n".encode() + frame + b"\r\n")
+                if ws_key is not None:
+                    # the reference's framing: one JSON text frame per event
+                    writer.write(self._ws_frame(frame.rstrip(b"\n")))
+                else:
+                    writer.write(f"{len(frame):x}\r\n".encode() + frame + b"\r\n")
                 await writer.drain()
                 info.delivered += 1
                 self.events_delivered_total += 1
@@ -303,7 +382,7 @@ class SubscribeServer:
             pump.cancel()
             self.registry.remove(info.sub_id)
             try:
-                writer.write(b"0\r\n\r\n")
+                writer.write(self._ws_frame(b"", opcode=0x8) if ws_key is not None else b"0\r\n\r\n")
                 await writer.drain()
             except (ConnectionResetError, BrokenPipeError):
                 pass
