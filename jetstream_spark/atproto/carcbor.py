@@ -181,6 +181,12 @@ def cbor_decode(buf: bytes):
     return value
 
 
+def cbor_decode_prefix(buf: bytes, pos: int = 0):
+    """Decode one CBOR item starting at pos → (value, next_pos). The XRPC
+    event-stream framing is two concatenated CBOR items (header, body)."""
+    return _decode_item(buf, pos)
+
+
 # --- DAG-CBOR encode (tests + CAR headers) --------------------------------------
 
 
@@ -279,6 +285,89 @@ def decode_car(buf: bytes) -> tuple[dict, dict[str, bytes]]:
             continue  # content does not hash to the claimed CID — drop
         index[cid_str(cid)] = data
     return header, index
+
+
+# --- XRPC event-stream frame decode (the real upstream framing) -----------------
+
+
+def decode_xrpc_frame(data: bytes) -> dict | None:
+    """One `com.atproto.sync.subscribeRepos` websocket BINARY frame → the
+    engine's RAW_FRAME_SCHEMA dict. The wire is two concatenated DAG-CBOR
+    items: header {op, t} then the typed body (the indigo
+    events.XRPCStreamEvent layout the reference consumes via
+    HandleRepoStream, cmd/jetstream/main.go:328). Commit bodies carry the
+    CAR in `blocks`; ops' `cid` are tag-42 links — the op's record is
+    resolved from the CAR by that CID and transcoded to JSON (S5/S8), with
+    the CID string kept for the S7 verify filter downstream. Unknown event
+    types (e.g. #info) return None and are skipped; an error header
+    (op = -1) raises, matching the reference's stream-failure propagation
+    (consumer.go:156-159)."""
+    header, pos = cbor_decode_prefix(data, 0)
+    body, _ = cbor_decode_prefix(data, pos)
+    if header.get("op") == -1:
+        raise RuntimeError(f"error frame from firehose: {body.get('error')}: {body.get('message')}")
+    t = header.get("t")
+    if t == "#commit":
+        _, index = decode_car(body.get("blocks") or b"")
+        ops = []
+        for op in body.get("ops") or []:
+            cid = str(op["cid"]) if op.get("cid") is not None else None
+            record_json = None
+            if cid is not None and cid in index:
+                record_json = json.dumps(to_json_value(cbor_decode(index[cid])), separators=(",", ":"))
+            ops.append(
+                {
+                    "action": op.get("action"),
+                    "path": op.get("path"),
+                    "cid": cid,
+                    "record_json": record_json,
+                    "record_cid": cid,
+                }
+            )
+        return {
+            "kind": "commit",
+            "did": body.get("repo"),
+            "seq": body.get("seq"),
+            "rev": body.get("rev"),
+            "too_big": bool(body.get("tooBig", False)),
+            "ops": ops,
+            "account": None,
+            "identity": None,
+        }
+    if t == "#account":
+        return {
+            "kind": "account",
+            "did": body.get("did"),
+            "seq": body.get("seq"),
+            "rev": None,
+            "too_big": False,
+            "ops": None,
+            "account": {
+                "active": body.get("active"),
+                "did": body.get("did"),
+                "seq": body.get("seq"),
+                "time": body.get("time"),
+                "status": body.get("status"),
+            },
+            "identity": None,
+        }
+    if t == "#identity":
+        return {
+            "kind": "identity",
+            "did": body.get("did"),
+            "seq": body.get("seq"),
+            "rev": None,
+            "too_big": False,
+            "ops": None,
+            "account": None,
+            "identity": {
+                "did": body.get("did"),
+                "handle": body.get("handle"),
+                "seq": body.get("seq"),
+                "time": body.get("time"),
+            },
+        }
+    return None  # unknown/info frame — skipped, like the reference's default case
 
 
 # --- frame decode (the S5/S8 slot in the firehose read path) --------------------

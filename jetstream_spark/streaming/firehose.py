@@ -14,19 +14,19 @@ main.go:150). Here that becomes a `DataSource`/`DataSourceStreamReader`:
     reader (atproto/carcbor.py — no libipld needed): frames carrying
     `blocks_b64` have their ops' records resolved from the CAR block
     index and transcoded to JSON; pre-decoded JSONL frames pass through.
-    The transport is pluggable. Two transports exist:
+    The transport is pluggable. Three transports exist:
 
-    - `replay_dir`: CBOR-stand-in JSONL files (one file per seq range,
-      as a websocket→file bridge would produce);
-    - `socket_url` ("host:port"): a LIVE dial per partition with the
-      reference's cursor semantics (cmd/jetstream/main.go:294-328 —
-      `GET /subscribe?cursor=N`, frames with seq > N stream back; the
-      client detaches once past its assigned range). Websocket libs are
-      absent, so the wire is HTTP-flavored ndjson over a plain TCP
-      socket; the dial/cursor/resume contract is the part the reference
-      defines, and it is exercised end-to-end against a real local
-      socket server in tests/test_firehose_socket.py, including
-      checkpoint resume.
+    - `ws_url` ("host:port"): the REAL upstream protocol — RFC 6455
+      websocket dial (stdlib implementation) to
+      `/xrpc/com.atproto.sync.subscribeRepos?cursor=N`, BINARY frames of
+      DAG-CBOR header+body events with CAR blocks, decoded per partition
+      by carcbor.decode_xrpc_frame (tests/test_firehose_ws.py drives it
+      against a local websocket relay end-to-end);
+    - `socket_url` ("host:port"): the same dial/cursor semantics over
+      HTTP-flavored ndjson lines (a simpler bridge wire;
+      tests/test_firehose_socket.py, incl. checkpoint resume);
+    - `replay_dir`: JSONL files (one per seq range, as a websocket→file
+      bridge would produce), optionally carrying CAR via `blocks_b64`.
 
 Register + use:
 
@@ -51,7 +51,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from jetstream_spark.atproto.carcbor import decode_frame
+from jetstream_spark.atproto.carcbor import decode_frame, decode_xrpc_frame
 from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
 
 
@@ -100,12 +100,80 @@ def _socket_fetch(socket_url: str, start: int, end: int):
         conn.close()
 
 
+def _ws_dial(ws_url: str, path: str):
+    """RFC 6455 client handshake → (socket, buffered reader past headers)."""
+    import base64 as _b64
+    import os as _os
+
+    host, port = ws_url.rsplit(":", 1)
+    key = _b64.b64encode(_os.urandom(16)).decode()
+    conn = socket.create_connection((host, int(port)), timeout=60)
+    conn.sendall(
+        (
+            f"GET {path} HTTP/1.1\r\nHost: {host}\r\nUpgrade: websocket\r\n"
+            f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        ).encode()
+    )
+    f = conn.makefile("rb")
+    status = f.readline().decode()
+    if "101" not in status:
+        conn.close()
+        raise ConnectionError(f"websocket upgrade rejected: {status.strip()}")
+    while f.readline().strip():
+        pass
+    return conn, f
+
+
+def _ws_fetch(ws_url: str, start: int, end: int):
+    """The REAL upstream protocol (cmd/jetstream/main.go:294-328):
+    websocket dial with `?cursor=start`, each BINARY frame a DAG-CBOR
+    header+body event (`com.atproto.sync.subscribeRepos`), decoded by
+    carcbor.decode_xrpc_frame — CAR blocks and all. Detach past `end`."""
+    conn, f = _ws_dial(ws_url, f"/xrpc/com.atproto.sync.subscribeRepos?cursor={start}")
+    try:
+        def read_exact(k: int) -> bytes:
+            buf = f.read(k)
+            if buf is None or len(buf) < k:
+                raise EOFError
+            return buf
+
+        while True:
+            try:
+                h = read_exact(2)
+            except EOFError:
+                return
+            opcode = h[0] & 0x0F
+            ln = h[1] & 0x7F
+            if ln == 126:
+                ln = int.from_bytes(read_exact(2), "big")
+            elif ln == 127:
+                ln = int.from_bytes(read_exact(8), "big")
+            payload = read_exact(ln) if ln else b""
+            if opcode == 0x8:  # server close
+                return
+            if opcode != 0x2:  # subscribeRepos frames are binary
+                continue
+            frame = decode_xrpc_frame(payload)
+            if frame is None:
+                continue
+            seq = frame["seq"]
+            if seq > end:
+                return
+            if seq > start:
+                yield frame
+            if seq >= end:
+                return
+    finally:
+        conn.close()
+
+
 class SeqRange(InputPartition):
-    def __init__(self, start: int, end: int, replay_dir: str, socket_url: str = ""):
+    def __init__(self, start: int, end: int, replay_dir: str, socket_url: str = "", ws_url: str = ""):
         self.start = start
         self.end = end
         self.replay_dir = replay_dir
         self.socket_url = socket_url
+        self.ws_url = ws_url
 
 
 class FirehoseStreamReader(DataSourceStreamReader):
@@ -116,14 +184,18 @@ class FirehoseStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.replay_dir = options.get("replay_dir", "")
         self.socket_url = options.get("socket_url", "")
+        self.ws_url = options.get("ws_url", "")
         self.batch_size = int(options.get("batch_size", "1000"))
         self.num_partitions = int(options.get("numPartitions", "4"))
         self._last_end: int | None = None
 
     def _head_seq(self) -> int:
-        """Highest seq available from the transport (relay head)."""
-        if self.socket_url:
-            return _socket_head(self.socket_url)
+        """Highest seq available from the transport (relay head). For the
+        live transports this is a plain `/head` probe on the same port (a
+        production deployment would instead track the last seq seen on a
+        persistent tail connection)."""
+        if self.socket_url or self.ws_url:
+            return _socket_head(self.socket_url or self.ws_url)
         head = 0
         if os.path.isdir(self.replay_dir):
             for name in os.listdir(self.replay_dir):
@@ -150,17 +222,24 @@ class FirehoseStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         lo, hi = start["seq"], end["seq"]
         if hi <= lo:
-            return [SeqRange(lo, lo, self.replay_dir, self.socket_url)]
+            return [SeqRange(lo, lo, self.replay_dir, self.socket_url, self.ws_url)]
         n = self.num_partitions
         step = max(1, (hi - lo + n - 1) // n)
         return [
-            SeqRange(s, min(s + step, hi), self.replay_dir, self.socket_url)
+            SeqRange(s, min(s + step, hi), self.replay_dir, self.socket_url, self.ws_url)
             for s in range(lo, hi, step)
         ]
 
     def read(self, partition: SeqRange):
         """Yield frames with start < seq <= end. Decode (S5/S8) happens
         here in a real transport; the JSONL stand-in is already decoded."""
+        if partition.ws_url:
+            for frame in _ws_fetch(partition.ws_url, partition.start, partition.end):
+                yield tuple(
+                    _to_row_value(frame.get(field.name), field.name)
+                    for field in RAW_FRAME_SCHEMA.fields
+                )
+            return
         if partition.socket_url:
             for frame in _socket_fetch(partition.socket_url, partition.start, partition.end):
                 frame = decode_frame(frame)  # S5/S8: CAR blocks → record JSON
