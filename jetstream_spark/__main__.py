@@ -68,15 +68,16 @@ def cmd_serve(args) -> int:
 def cmd_ingest(args) -> int:
     spark = _spark(args.cpus)
     ckpt = os.path.join(args.data_dir, "_ingest_ckpt")
-    if args.source_url:
+    if args.ws_url or args.source_url:
         from jetstream_spark.atproto.log import ingest_batch
         from jetstream_spark.atproto.normalize import normalize_frames
         from jetstream_spark.streaming.firehose import FirehoseDataSource
 
         spark.dataSource.register(FirehoseDataSource)
+        transport = ("ws_url", args.ws_url) if args.ws_url else ("socket_url", args.source_url)
         stream = (
             spark.readStream.format("atproto_firehose")
-            .option("socket_url", args.source_url)
+            .option(*transport)
             .option("numPartitions", str(args.worker_count))
             .load()
         )
@@ -167,7 +168,8 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("ingest", help="run the standing exactly-once ingest pipeline")
     p.add_argument("--data-dir", **common["--data-dir"])
-    p.add_argument("--source-url", default="", help="live socket transport host:port (main.go --ws-url analogue)")
+    p.add_argument("--ws-url", default="", help="websocket relay host:port — the real protocol (main.go --ws-url)")
+    p.add_argument("--source-url", default="", help="ndjson socket transport host:port (bridge wire)")
     p.add_argument("--frames-dir", default="./frames", help="JSONL frames drop directory (bridge transport)")
     p.add_argument("--worker-count", type=int, default=8, help="source partitions (main.go --worker-count)")
     p.set_defaults(fn=cmd_ingest)
