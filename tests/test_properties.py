@@ -99,3 +99,46 @@ def test_filter_partition_property(spark, tmp_path_factory, normalized, collecti
         if r["type"] != "com" or r["commit"]["collection"] in collections
     ]
     assert [r["time_us"] for r in got] == [r["time_us"] for r in expected]
+
+
+# --- DAG-CBOR codec round-trip (S5/S8 building block) ---------------------------
+_cbor_scalars = st.one_of(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.text(max_size=40),
+    st.binary(max_size=40),
+    st.booleans(),
+    st.none(),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+_cbor_values = st.recursive(
+    _cbor_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=6),
+        st.dictionaries(st.text(max_size=10), children, max_size=6),
+    ),
+    max_leaves=25,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(value=_cbor_values)
+def test_cbor_roundtrip_property(value):
+    """encode∘decode is the identity for every DAG-CBOR-representable
+    value (ints, text, bytes, bools, null, finite doubles, nested
+    lists/string-keyed maps)."""
+    from jetstream_spark.atproto.carcbor import cbor_decode, cbor_encode
+
+    assert cbor_decode(cbor_encode(value)) == value
+
+
+@settings(max_examples=100, deadline=None)
+@given(blocks=st.lists(st.binary(min_size=1, max_size=200), min_size=1, max_size=8))
+def test_car_roundtrip_property(blocks):
+    """Every block written to a CAR comes back under its computed CID."""
+    from jetstream_spark.atproto.carcbor import cid_for_block, cid_str, decode_car, encode_car
+
+    _, index = decode_car(encode_car(blocks))
+    # duplicate blocks share a CID — compare as sets of contents
+    assert {cid_str(cid_for_block(b)) for b in blocks} == set(index)
+    for b in blocks:
+        assert index[cid_str(cid_for_block(b))] == b
