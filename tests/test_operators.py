@@ -62,6 +62,44 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.2, f"LSH recall collapsed: {recall:.2f}"
 
 
+def test_aqe_skew_join_split(spark):
+    """AQE's runtime skew-join split — the config session.py relies on for
+    hot keys the optimizer can't see statically. A 95%-hot-key join under
+    sort-merge must (a) produce exact results and (b) show skew=true
+    handling in the final adaptive plan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 300_000).selectExpr(
+            "CASE WHEN id % 20 != 0 THEN 0 ELSE id END AS k",  # ~95% of rows on key 0
+            "id AS payload",
+        )
+        dim = spark.range(0, 300_000, 20).selectExpr("id AS k", "id * 2 AS v").union(
+            spark.range(0, 1).selectExpr("0 AS k", "0 AS v")
+        ).distinct()
+        joined = big.join(dim, "k")
+        # collect() executes THIS DataFrame's QueryExecution — count() would
+        # run a different one and leave this plan unfinalized
+        rows = joined.collect()
+        assert len(rows) == 300_000, "every big row matches exactly one dim row"
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE must have split the skewed partition"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_approx_aggregates_error_bounds(spark):
     """Sketch aggregates (the cardinality/quantile path at 100 TB, where
     exact distinct/percentile shuffles are the bottleneck): HLL++ distinct
