@@ -281,7 +281,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification of candidates only
+    # exact verification of candidates only. Scale knob, measured here and
+    # rejected at this corpus size: restricting the shingle build to
+    # candidate docs (semi join on the candidate ids) requires
+    # materializing `candidates` once for reuse, and both cache() and
+    # localCheckpoint() cost more than the full-corpus shingle pass they
+    # save (~4 s vs ~3 s at sf0.1). At a dup-rate where candidates ≪
+    # corpus AND the corpus is large, flip to: semi-join documents on
+    # candidate ids first, then shingle only those.
     sh = _doc_shingles(spark, sf_dir)
     sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
     sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
