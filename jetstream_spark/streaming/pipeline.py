@@ -5,9 +5,11 @@
 
 The source here is a file-backed frame stream (JSON files in a drop
 directory, read with RAW_FRAME_SCHEMA) — the same shape a websocket→
-file/Kafka bridge produces. A real firehose source would be a Spark 4
-Python DataSourceStreamReader whose partitions decode CAR/CBOR (S5/S8,
-the H3 stub); everything downstream of the schema is identical.
+file/Kafka bridge produces. The real firehose source exists too:
+streaming/firehose.py's DataSourceStreamReader, whose ws_url transport
+dials the relay and decodes CAR/CBOR frames per partition (S5/S8,
+atproto/carcbor.py); everything downstream of the schema is identical
+(the CLI's `ingest --ws-url` wires that path to this same foreachBatch).
 
 Exactly-once: Spark checkpoints source offsets per microbatch; the
 sequencer state file carries last_time_us. foreachBatch can re-run a
