@@ -47,6 +47,31 @@ _PRIORITY = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_exact",
+    # ---- reference-semantics S-op queries (the core product) ----
+    "replay_scan",
+    "subscribe_filter",
+    "monotonic_delivery",
+    "per_key_ordering",
+    "tumbling_window_hourly",
+    "asof_join_purchases",
+    "json_props_stats",
+    "conversion_funnel",
+    # ---- one representative per §2.2 category fills the 50-window ----
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "semi_join_late_orders",
+    "anti_join_idle_customers",
+    "full_outer_nation_activity",
+    "range_join_part_pairs",
+    "window_running_revenue",
+    "rollup_revenue",
+    "grouping_sets_status",
+    "percentiles_price",
+    "scalar_functions",
+    "set_symdiff_buyers",
+    "pivot_segment_revenue",
+    "unpivot_measures",
 )
 
 
