@@ -344,7 +344,9 @@ def q_geomean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the count rides along as a second pandas aggregate
     n_rows = pandas_udf(lambda v: len(v), "long", PandasUDFType.GROUPED_AGG)
 
-    ev = table(spark, sf_dir, "events")
+    # geometric mean is defined over positives only — larger SFs contain
+    # value = 0 rows, where ln() errors (engine-dependent); filter BOTH sides
+    ev = table(spark, sf_dir, "events").where(F.col("value") > 0)
     return ev.groupBy("event_type").agg(
         n_rows("value").alias("n"),
         F.round(geomean("value"), 6).alias("geomean_value"),
@@ -356,6 +358,7 @@ SELECT event_type,
        count(*) AS n,
        round(exp(avg(ln(value))), 6) AS geomean_value
 FROM events
+WHERE value > 0
 GROUP BY event_type
 """
 
