@@ -223,8 +223,9 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, event_id, ts,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id,

@@ -9,11 +9,14 @@ Two tiers:
   partition scores independently, only k rows per query survive the
   shuffle (partial top-k would be the next refinement).
 
-- LSH-bucketed ANN (the 100 TB path, rows-only check): random-hyperplane
-  signatures put near vectors in the same bucket; search touches only the
-  probed buckets. Approximate by construction — declared without an SQL
-  oracle (the driver records a rows-only check; recall is measured in
-  tests against the brute-force baseline instead).
+- LSH-bucketed ANN (the 100 TB path): random-hyperplane signatures put
+  near vectors in the same bucket; search touches only the probed
+  buckets. Approximate relative to brute force, but fully DETERMINISTIC
+  (seeded planes / fixed centroids), so both scale-path queries carry
+  real SQL oracles: the plane matrix is emitted as SQL literals and the
+  bucket assignment + probe + exact re-score is recomputed in DuckDB.
+  Recall floors vs the brute-force baseline are additionally asserted in
+  tests.
 """
 
 from __future__ import annotations
@@ -121,10 +124,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN with multi-probe: base vectors hashed into
     sign-buckets; each query rescans only buckets whose signature is within
     hamming-2 of its own (1+6+15 = 22 of 64 buckets — the standard recall
-    lever without more tables). Approximate — recall floor asserted vs the
-    brute-force baseline in tests. At 100 TB the bucket id becomes the
-    partition key and a probe touches those partitions only; #planes grows
-    with log(N) to keep bucket occupancy constant."""
+    lever without more tables). Approximate vs brute force but
+    deterministic (seeded planes), so it carries a real SQL oracle
+    (_lsh_oracle). Recall floor additionally asserted in tests. At 100 TB
+    the bucket id becomes the partition key and a probe touches those
+    partitions only; #planes grows with log(N) to keep bucket occupancy
+    constant."""
     dim = 64
     rng = np.random.RandomState(LSH_SEED)
     planes = rng.randn(LSH_PLANES, dim)
@@ -171,8 +176,52 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_oracle() -> str:
+    """DuckDB oracle for q_ann_lsh. The query is deterministic — the 6×64
+    hyperplane matrix comes from a fixed-seed RandomState — so the planes
+    are emitted as SQL literals (repr() round-trips float64 exactly) and
+    DuckDB independently recomputes sign-buckets, the hamming<=2
+    multi-probe, and the exact cosine re-score over candidates."""
+    rng = np.random.RandomState(LSH_SEED)
+    planes = rng.randn(LSH_PLANES, 64)
+    plane_rows = ",\n         ".join(
+        "({b}, [{vals}])".format(
+            b=b, vals=", ".join(repr(float(x)) for x in planes[b])
+        )
+        for b in range(LSH_PLANES)
+    )
+    return f"""
+WITH e AS ({_COS_E_SQL}),
+planes(b, p) AS (
+  VALUES {plane_rows}
+),
+buckets AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_aggregate(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * p.p[i]), 'sum') > 0
+                       THEN 1 << p.b ELSE 0 END) AS BIGINT) AS bucket
+  FROM e, planes p
+  GROUP BY e.vec_id
+),
+scores AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         list_aggregate(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * b.v[i]), 'sum')
+           / (q.nrm * b.nrm) AS cos
+  FROM e q
+  JOIN buckets qb ON qb.vec_id = q.vec_id
+  JOIN buckets bb ON bit_count(xor(qb.bucket, bb.bucket)) <= {LSH_PROBE_RADIUS}
+  JOIN e b ON b.vec_id = bb.vec_id AND b.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scores
+)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
 
-# --- IVF-bucketed ANN (coarse-quantizer cells; approximate, no SQL oracle) -------
+
+# --- IVF-bucketed ANN (coarse-quantizer cells; deterministic -> SQL oracle) ------
 IVF_CELLS = 16
 IVF_NPROBE = 4
 _IVF_CENTROID_BASE = 100  # vec_id in [100, 100+IVF_CELLS) serve as centroids
@@ -186,8 +235,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells. At 100 TB the cell id is the partition key: one shuffle to build
     the inverted file, and a probe touches nprobe/cells of the data —
     orthogonal to the LSH path (q_ann_lsh), which needs no training.
-    Approximate by construction — recall floor vs brute force is asserted
-    in tests; rows-only driver check."""
+    Approximate vs brute force but deterministic (fixed centroid rows), so
+    it carries a real SQL oracle (_ivf_oracle); recall floor vs brute
+    force additionally asserted in tests."""
     import numpy as np
 
     emb = table(spark, sf_dir, "embeddings")
@@ -237,6 +287,54 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def _ivf_oracle() -> str:
+    """DuckDB oracle for q_ann_ivf. Deterministic: centroids are the corpus
+    rows vec_id in [100, 116) L2-normalized; cell assignment is
+    argmax-cosine (per-vector positive scaling doesn't change the argmax,
+    so the dot against the unit centroid suffices); each query probes its
+    IVF_NPROBE nearest cells and exact cosine ranks the candidates."""
+    return f"""
+WITH e AS ({_COS_E_SQL}),
+cents AS (
+  SELECT vec_id - {_IVF_CENTROID_BASE} AS cell,
+         list_transform(v, x -> x / nrm) AS cv
+  FROM e
+  WHERE vec_id >= {_IVF_CENTROID_BASE} AND vec_id < {_IVF_CENTROID_BASE + IVF_CELLS}
+),
+celldot AS (
+  SELECT e.vec_id, c.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_aggregate(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c.cv[i]), 'sum') DESC,
+                    c.cell
+         ) AS rn
+  FROM e, cents c
+),
+assign AS (
+  SELECT vec_id, cell FROM celldot WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id, cell FROM celldot WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+),
+scores AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+         list_aggregate(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * b.v[i]), 'sum')
+           / (q.nrm * b.nrm) AS cos
+  FROM e q
+  JOIN qprobe qp ON qp.vec_id = q.vec_id
+  JOIN assign a ON a.cell = qp.cell
+  JOIN e b ON b.vec_id = a.vec_id AND b.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scores
+)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 # --- embedding vector ops (scalar outputs — oracle-safe) -------------------------
@@ -301,8 +399,8 @@ FROM p
 
 QUERIES = [
     QuerySpec("ann_brute_force_topk", q_ann_brute_force, Q_ANN_ORACLE, "exact cosine top-k (numpy block products)", ("similarity",)),
-    QuerySpec("ann_lsh_topk", q_ann_lsh, None, "random-hyperplane LSH ANN (approximate scale path)", ("similarity",)),
-    QuerySpec("ann_ivf_topk", q_ann_ivf, None, "IVF coarse-quantizer ANN (approximate scale path)", ("similarity",)),
+    QuerySpec("ann_lsh_topk", q_ann_lsh, _lsh_oracle(), "random-hyperplane LSH ANN (approximate scale path)", ("similarity",)),
+    QuerySpec("ann_ivf_topk", q_ann_ivf, _ivf_oracle(), "IVF coarse-quantizer ANN (approximate scale path)", ("similarity",)),
     QuerySpec("embedding_norms", q_embedding_norms, Q_EMB_NORMS_ORACLE, "vector norm/stats ops", ("similarity",)),
     QuerySpec("embedding_downproject", q_embedding_downproject, Q_EMB_DOWNPROJECT_ORACLE, "adjacent-pair dim reduction", ("similarity",)),
 ]

@@ -21,14 +21,14 @@ def canonical_rows(df: pd.DataFrame) -> list[tuple]:
     df = df[cols]
 
     def canon(v):
+        # Dtype-strict: float 5.0 != int 5, matching the driver's hash
+        # (see tools/verify_oracle.py canon_val for the full rationale).
         if v is None:
             return "\x00NULL"
         if isinstance(v, float):
             if pd.isna(v):
                 return "\x00NULL"
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            return repr(v)
+            return repr(float(v))
         return str(v)
 
     return sorted(tuple(canon(v) for v in row) for row in df.itertuples(index=False, name=None))

@@ -31,14 +31,17 @@ def canonical(df: pd.DataFrame) -> tuple[int, list[str], int]:
     df = df[cols].copy()
 
     def canon_val(v):
+        # DTYPE-STRICT on purpose: a float 5.0 must NOT canonicalize to "5".
+        # The driver's value hash distinguishes float from int (that is how
+        # sessionization failed two rounds while passing here — DuckDB
+        # HUGEINT window sums materialize as float64 in pandas). Keeping the
+        # float/int distinction makes local green predict driver green.
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "\x00NULL"
         if pd.isna(v) if not isinstance(v, (list, tuple, dict, set)) else False:
             return "\x00NULL"
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            return repr(v)
+            return repr(float(v))
         if isinstance(v, bool):
             return str(int(v))
         return str(v)
