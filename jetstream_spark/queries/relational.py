@@ -7,8 +7,13 @@ a DuckDB oracle. Scale notes per query:
 
 - Fact-to-fact joins (lineitem⋈orders) shuffle on the join key — both sides
   are pre-partitioned by Catalyst's hash partitioning; AQE handles skew.
-- Dim joins (region/nation/supplier/part/customer) are broadcast — at 100 TB
-  the dims stay small, so no shuffle of the fact side.
+- region/nation are FIXED-SIZE dims (5/25 rows at every SF) — those are the
+  only tables broadcast unconditionally. customer/supplier/part GROW with
+  scale: a forced broadcast hint would override the autoBroadcastJoinThreshold
+  (32 MB, session.py) and OOM executors at the 100 TB design point, so their
+  join strategy is left to the size-based threshold + AQE — at small SF Spark
+  still picks broadcast-hash on its own; at scale it degrades safely to
+  shuffle-hash on the join key.
 - Aggregations all do partial (map-side) aggregation automatically.
 - Top-k = orderBy().limit(k) → Spark plans TakeOrderedAndProject (no global
   sort materialization).
@@ -79,7 +84,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "revenue")
@@ -119,8 +124,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
@@ -293,7 +298,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
     nation = table(spark, sf_dir, "nation")
     joined = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select("n_name", F.year("o_orderdate").alias("order_year"), "o_totalprice")
     )
@@ -322,7 +327,7 @@ def q_cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE (mktsegment, orderpriority) — all 4 grouping sets."""
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return joined.cube("c_mktsegment", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count"),
         F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
@@ -472,7 +477,7 @@ def q_topk_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("brand_revenue"))
         .orderBy(F.col("brand_revenue").desc(), "p_brand")

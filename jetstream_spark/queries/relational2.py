@@ -25,8 +25,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
         .join(F.broadcast(n2), sup.s_nationkey == F.col("s_nk"))
         .where(
@@ -67,7 +67,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -97,7 +97,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)) / F.sum(rev), 6
@@ -128,7 +128,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",
@@ -158,7 +158,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     the common conjuncts and pushes what it can."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity") >= 5))
         | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(10, 30)) & (F.col("l_quantity") >= 10))

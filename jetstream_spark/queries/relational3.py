@@ -20,7 +20,7 @@ def q_pivot_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     list keeps the plan single-pass (no distinct-scan for columns)."""
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
     piv = (
         j.groupBy("c_nationkey")
         .pivot("c_mktsegment", SEGMENTS)
