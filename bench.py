@@ -50,30 +50,44 @@ EXTRAS = [
     "salted_join_revenue",
 ]
 
-REGRESSION_FACTOR = 1.5
+REGRESSION_FACTOR = 1.15
 REGRESSION_FLOOR_S = 0.2  # ignore sub-200 ms noise
 
 
-def _prev_bench_queries() -> dict:
+def _prev_bench_queries(current_sf) -> dict:
     """Per-query numbers from the latest BENCH_r*.json the driver recorded —
-    the comparison point for the regression guard."""
+    the comparison point for the regression guard. 'Latest' is the highest
+    ROUND NUMBER parsed from the filename (lexicographic sort would put
+    BENCH_r10 before BENCH_r2); headline and extras timings are merged so
+    extras get a baseline too. A previous file recorded at a different SF is
+    not comparable and yields no baseline."""
     import glob
+    import re
 
-    paths = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def round_no(p):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), key=round_no)
     if not paths:
         return {}
     try:
         with open(paths[-1]) as f:
             data = json.load(f)
-        return (data.get("parsed") or data).get("queries", {}) or {}
+        data = data.get("parsed") or data
+        if data.get("sf") != current_sf:
+            return {}
+        return {**(data.get("queries") or {}), **(data.get("extras") or {})}
     except (OSError, ValueError):
         return {}
 
 
-def find_regressions(timings: dict) -> dict:
-    """Queries >1.5× slower than the previous round (throughput metrics:
-    >1.5× lower). Returns {name: {"prev": x, "now": y}}."""
-    prev = _prev_bench_queries()
+def find_regressions(timings: dict, current_sf) -> dict:
+    """Queries >1.15× slower than the previous round at the same SF
+    (throughput metrics: >1.15× lower). Returns {name: {"prev", "now"}}."""
+    prev = _prev_bench_queries(current_sf)
     regressions = {}
     for name, now in timings.items():
         p = prev.get(name)
@@ -164,7 +178,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extras": extras,
-                "regressions": find_regressions({**timings, **extras}),
+                "regressions": find_regressions(
+                    {**timings, **extras}, float(sf) if sf.replace(".", "").isdigit() else sf
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,0 +1,134 @@
+"""Physical LSH-bucketed ANN index — the materialized 100 TB probe path.
+
+`jetstream_spark.queries.similarity.q_ann_lsh` computes sign-buckets on the
+fly, which is honest for a one-shot query but rescans 100% of the corpus per
+probe. This module materializes the layout the docstring promises: the
+embeddings table written ONCE partitioned by LSH bucket id
+(Hive-style `bucket=<id>/` directories), so a probe's
+`WHERE bucket IN (<probe set>)` is a PARTITION FILTER — Spark prunes the
+non-matching directories at planning time and the scan physically reads only
+the probed subset (asserted by plan test in tests/test_ann_index.py).
+
+At 100 TB: the index write is one full pass + one shuffle on bucket id; every
+subsequent probe reads hamming<=2 probe sets = 22/64 of the partitions (and
+with more planes, a vanishing fraction). Bucket skew is bounded because
+random hyperplanes split the sphere evenly; residual skew lands on AQE.
+
+The bucket function is pure JVM (zip_with/aggregate HOFs over SQL literal
+plane rows — whole-stage codegen, no Python workers at index-build time) and
+agrees with the numpy kernel in similarity.py: both compute
+sign(dot(v, plane_b)) with float64 arithmetic on the same seeded planes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jetstream_spark.queries.similarity import (
+    LSH_PLANES,
+    LSH_PROBE_RADIUS,
+    LSH_SEED,
+    N_QUERIES,
+    TOP_K,
+    _query_matrix,
+)
+from jetstream_spark.tables import table
+
+
+def lsh_planes(dim: int = 64) -> np.ndarray:
+    """The deterministic hyperplane matrix shared with q_ann_lsh."""
+    return np.random.RandomState(LSH_SEED).randn(LSH_PLANES, dim)
+
+
+def lsh_bucket_expr(planes: np.ndarray, emb_col: str = "embedding") -> Column:
+    """bucket = Σ_b [dot(v, plane_b) > 0] << b, as pure JVM HOF arithmetic."""
+    dbl = F.transform(emb_col, lambda x: x.cast("double"))
+    bucket: Column = F.lit(0)
+    for b in range(planes.shape[0]):
+        plane = F.array(*[F.lit(float(v)) for v in planes[b]])
+        dot = F.aggregate(
+            F.zip_with(dbl, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bucket = bucket + F.when(dot > F.lit(0.0), F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def build_lsh_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """One pass over embeddings → parquet partitioned by bucket id.
+
+    partitionBy gives Hive-style bucket=<id>/ directories: the unit of
+    partition pruning for every later probe. (This is directory
+    partitioning, not .bucketBy table bucketing — probes filter on bucket
+    VALUES, which is exactly what directory pruning serves; bucketBy would
+    only help bucket-equi-joins.)
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    (
+        emb.withColumn("bucket", lsh_bucket_expr(lsh_planes()))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(index_path)
+    )
+
+
+def probe_buckets(q_buckets: np.ndarray) -> list[int]:
+    """Union of buckets within hamming<=LSH_PROBE_RADIUS of any query bucket."""
+    popcount = np.array([bin(i).count("1") for i in range(1 << LSH_PLANES)])
+    probe: set[int] = set()
+    for qb in q_buckets:
+        ham = popcount[np.bitwise_xor(np.arange(1 << LSH_PLANES), int(qb))]
+        probe.update(np.nonzero(ham <= LSH_PROBE_RADIUS)[0].tolist())
+    return sorted(probe)
+
+
+def probe_lsh_index(spark: SparkSession, sf_dir: str, index_path: str) -> DataFrame:
+    """Top-k cosine over ONLY the probed partitions of the materialized index.
+
+    Produces the same (query_id, vec_id, cosine, rank) result as q_ann_lsh —
+    the bucket-membership semantics are identical; only the physical access
+    path differs (partition-pruned scan vs full-corpus rescan).
+    """
+    import pandas as pd
+
+    planes = lsh_planes()
+    q_ids, q_mat = _query_matrix(spark, sf_dir)
+    q_norms = np.linalg.norm(q_mat, axis=1)
+    q_buckets = (np.sign(q_mat @ planes.T) > 0) @ (1 << np.arange(LSH_PLANES))
+    union = probe_buckets(q_buckets)
+    popcount = np.array([bin(i).count("1") for i in range(1 << LSH_PLANES)])
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norms, q_buckets, popcount))
+
+    # bucket IN (...) is a partition filter: only bucket=<id>/ dirs are read.
+    idx = spark.read.parquet(index_path).where(F.col("bucket").isin(union))
+
+    def score(batches):
+        ids, mat, norms, buckets, pc = bq.value
+        for pdf in batches:
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            b_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            b_bucket = pdf["bucket"].to_numpy(dtype=np.int64)
+            b_norms = np.linalg.norm(b_mat, axis=1)
+            out = []
+            for qi in range(len(ids)):
+                ham = pc[np.bitwise_xor(b_bucket, int(buckets[qi]))]
+                mask = (ham <= LSH_PROBE_RADIUS) & (b_ids != ids[qi])
+                if mask.any():
+                    cos = (b_mat[mask] @ mat[qi]) / (b_norms[mask] * norms[qi])
+                    out.append(
+                        pd.DataFrame({"query_id": ids[qi], "vec_id": b_ids[mask], "cosine": cos})
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scores = idx.select("vec_id", "embedding", "bucket").mapInPandas(
+        score, schema="query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -24,6 +24,7 @@ _PRIORITY = (
     "sessionization",            # oracle CAST fix (r2's only red row)
     "ann_lsh_topk",              # real SQL oracle added (was rows-only)
     "ann_ivf_topk",              # real SQL oracle added (was rows-only)
+    "ann_lsh_indexed",           # new in r3: materialized bucket-partitioned index
     # ---- the 21 queries with r1-only driver evidence ----
     "q7_nation_volume",
     "q10_returned_items",
@@ -73,7 +74,6 @@ _PRIORITY = (
     "doc_packing",
     "sample_split",
     "null_semantics",
-    "text_repetition",
 )
 
 

@@ -289,6 +289,26 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_lsh through the MATERIALIZED index (operators/ann_index.py):
+    embeddings written once partitioned by LSH bucket id, probe reads only
+    the bucket=<id>/ directories within hamming<=2 of a query signature —
+    partition pruning makes the 100 TB probe-subset claim physical
+    (plan-asserted in tests/test_ann_index.py). Same bucket semantics as
+    q_ann_lsh, so the same SQL oracle checks it. The index build is
+    re-run per call to keep the query self-contained; a standing
+    deployment builds once and probes many times."""
+    import os
+    import tempfile
+
+    from jetstream_spark.operators.ann_index import build_lsh_index, probe_lsh_index
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_path = os.path.join(tempfile.gettempdir(), f"jetstream_ann_index_{tag}")
+    build_lsh_index(spark, sf_dir, index_path)
+    return probe_lsh_index(spark, sf_dir, index_path)
+
+
 def _ivf_oracle() -> str:
     """DuckDB oracle for q_ann_ivf. Deterministic: centroids are the corpus
     rows vec_id in [100, 116) L2-normalized; cell assignment is
@@ -400,6 +420,7 @@ FROM p
 QUERIES = [
     QuerySpec("ann_brute_force_topk", q_ann_brute_force, Q_ANN_ORACLE, "exact cosine top-k (numpy block products)", ("similarity",)),
     QuerySpec("ann_lsh_topk", q_ann_lsh, _lsh_oracle(), "random-hyperplane LSH ANN (approximate scale path)", ("similarity",)),
+    QuerySpec("ann_lsh_indexed", q_ann_lsh_indexed, _lsh_oracle(), "LSH ANN through the materialized bucket-partitioned index", ("similarity",)),
     QuerySpec("ann_ivf_topk", q_ann_ivf, _ivf_oracle(), "IVF coarse-quantizer ANN (approximate scale path)", ("similarity",)),
     QuerySpec("embedding_norms", q_embedding_norms, Q_EMB_NORMS_ORACLE, "vector norm/stats ops", ("similarity",)),
     QuerySpec("embedding_downproject", q_embedding_downproject, Q_EMB_DOWNPROJECT_ORACLE, "adjacent-pair dim reduction", ("similarity",)),
