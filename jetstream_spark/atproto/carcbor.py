@@ -39,15 +39,21 @@ import struct
 
 
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    # Bounded: a uint64 LEB128 varint is at most 10 bytes; a truncated or
+    # runaway continuation raises CborError instead of IndexError so call
+    # sites can treat malformed frames as data, not task-killing crashes.
     result = 0
     shift = 0
-    while True:
+    for _ in range(10):
+        if pos >= len(buf):
+            raise CborError("truncated varint")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
         if not (b & 0x80):
             return result, pos
         shift += 7
+    raise CborError("varint longer than 10 bytes")
 
 
 def _write_varint(n: int) -> bytes:
@@ -83,12 +89,16 @@ def cid_str(cid: bytes) -> str:
 def _cid_byte_len(buf: bytes, pos: int) -> int:
     """Length of the CID starting at pos (CID v0 or v1)."""
     start = pos
+    if pos + 2 > len(buf):
+        raise CborError("truncated CID")
     if buf[pos] == 0x12 and buf[pos + 1] == 0x20:  # CIDv0: bare sha256 multihash
         return 34
     _, pos = _read_varint(buf, pos)  # version
     _, pos = _read_varint(buf, pos)  # codec
     _, pos = _read_varint(buf, pos)  # hash fn
     size, pos = _read_varint(buf, pos)  # digest size
+    if pos + size > len(buf):
+        raise CborError("truncated CID digest")
     return pos + size - start
 
 
@@ -100,23 +110,22 @@ class CborError(ValueError):
 
 
 def _decode_item(buf: bytes, pos: int):
+    # Every read is bounds-checked: truncated/malformed input raises
+    # CborError (never IndexError/struct.error), so one corrupt wire frame
+    # can be skipped at the call site instead of killing the partition task.
+    if pos >= len(buf):
+        raise CborError("truncated CBOR item")
     initial = buf[pos]
     pos += 1
     mt, info = initial >> 5, initial & 0x1F
     if info < 24:
         arg = info
-    elif info == 24:
-        arg = buf[pos]
-        pos += 1
-    elif info == 25:
-        arg = int.from_bytes(buf[pos : pos + 2], "big")
-        pos += 2
-    elif info == 26:
-        arg = int.from_bytes(buf[pos : pos + 4], "big")
-        pos += 4
-    elif info == 27:
-        arg = int.from_bytes(buf[pos : pos + 8], "big")
-        pos += 8
+    elif info in (24, 25, 26, 27):
+        size = 1 << (info - 24)
+        if pos + size > len(buf):
+            raise CborError("truncated CBOR length argument")
+        arg = int.from_bytes(buf[pos : pos + size], "big")
+        pos += size
     else:
         raise CborError("indefinite lengths are not DAG-CBOR")
 
@@ -125,16 +134,27 @@ def _decode_item(buf: bytes, pos: int):
     if mt == 1:  # negative int
         return -1 - arg, pos
     if mt == 2:  # bytes
+        if pos + arg > len(buf):
+            raise CborError("truncated byte string")
         return bytes(buf[pos : pos + arg]), pos + arg
     if mt == 3:  # text
-        return buf[pos : pos + arg].decode("utf-8"), pos + arg
+        if pos + arg > len(buf):
+            raise CborError("truncated text string")
+        try:
+            return buf[pos : pos + arg].decode("utf-8"), pos + arg
+        except UnicodeDecodeError as e:
+            raise CborError(f"invalid utf-8 in text string: {e}") from e
     if mt == 4:  # array
+        if arg > len(buf) - pos:  # each element is >= 1 byte
+            raise CborError("array count exceeds remaining bytes")
         out = []
         for _ in range(arg):
             v, pos = _decode_item(buf, pos)
             out.append(v)
         return out, pos
     if mt == 5:  # map (string keys in DAG-CBOR)
+        if arg > (len(buf) - pos) // 2:  # each pair is >= 2 bytes
+            raise CborError("map count exceeds remaining bytes")
         m = {}
         for _ in range(arg):
             k, pos = _decode_item(buf, pos)
@@ -277,6 +297,8 @@ def decode_car(buf: bytes) -> tuple[dict, dict[str, bytes]]:
     index: dict[str, bytes] = {}
     while pos < len(buf):
         slen, pos = _read_varint(buf, pos)
+        if pos + slen > len(buf):
+            raise CborError("truncated CAR section")
         section = buf[pos : pos + slen]
         pos += slen
         clen = _cid_byte_len(section, 0)
@@ -285,6 +307,137 @@ def decode_car(buf: bytes) -> tuple[dict, dict[str, bytes]]:
             continue  # content does not hash to the claimed CID — drop
         index[cid_str(cid)] = data
     return header, index
+
+
+# --- repo MST (path → record resolution) ----------------------------------------
+#
+# The reference resolves a commit op's record bytes BY PATH from the decoded
+# repo MST (pkg/consumer/consumer.go:222, `GetRecordBytes(ctx, op.Path)`).
+# Firehose ops always carry the record CID too, so the CID-index lookup lands
+# on the same block — but path-only resolution needs the walk. Implemented
+# from the public atproto repository spec: an MST node is a DAG-CBOR map
+#   {"l": <link|null>,                    — subtree left of the first entry
+#    "e": [{"p": <int>,                   — bytes shared with the PREVIOUS
+#           "k": <bytes>,                 —   key in this node; k = suffix
+#           "v": <link>,                  — record block
+#           "t": <link|null>}, ...]}      — subtree right of this entry
+# with keys sorted, and a key's layer = floor(count of leading zero bits of
+# sha256(key) / 2) — deterministic, so the same record set always builds the
+# same tree (and therefore the same CIDs).
+
+
+def _mst_key_layer(key: bytes) -> int:
+    digest = hashlib.sha256(key).digest()
+    zeros = 0
+    for byte in digest:
+        if byte == 0:
+            zeros += 8
+            continue
+        zeros += 8 - byte.bit_length()
+        break
+    return zeros // 2
+
+
+def mst_build(records: dict[str, bytes]) -> tuple[bytes, dict[str, bytes]]:
+    """Canonical MST for {path: record_block_bytes} → (root CID bytes,
+    {cid_str: block}) with record AND node blocks included."""
+    blocks: dict[str, bytes] = {}
+
+    def put(data: bytes) -> _Link:
+        cid = cid_for_block(data)
+        blocks[cid_str(cid)] = data
+        return _Link(cid)
+
+    items = []
+    for path in sorted(records):
+        key = path.encode("utf-8")
+        items.append((key, put(records[path]), _mst_key_layer(key)))
+
+    def build(sub_items: list, layer: int) -> _Link:
+        l_link = None
+        entries: list[dict] = []
+        run: list = []
+
+        def attach(sub: _Link | None) -> None:
+            nonlocal l_link
+            if sub is None:
+                return
+            if entries:
+                entries[-1]["t"] = sub
+            else:
+                l_link = sub
+
+        for it in sub_items:
+            if it[2] >= layer:  # == layer by construction (layer is the max)
+                attach(build(run, max(d for _, _, d in run)) if run else None)
+                run = []
+                entries.append({"k": it[0], "v": it[1], "t": None})
+            else:
+                run.append(it)
+        attach(build(run, max(d for _, _, d in run)) if run else None)
+
+        prev = b""
+        packed = []
+        for e in entries:
+            k = e["k"]
+            p = 0
+            while p < min(len(prev), len(k)) and prev[p] == k[p]:
+                p += 1
+            packed.append({"p": p, "k": k[p:], "v": e["v"], "t": e["t"]})
+            prev = k
+        return put(cbor_encode({"l": l_link, "e": packed}))
+
+    if items:
+        root = build(items, max(d for _, _, d in items))
+    else:
+        root = put(cbor_encode({"l": None, "e": []}))
+    return root.cid, blocks
+
+
+def mst_walk(index: dict[str, bytes], root_link, path: str) -> bytes | None:
+    """Resolve a record's block bytes by path, walking the MST from
+    `root_link` (a _Link or CID bytes) through the block index. Returns
+    None for absent paths / unresolvable subtrees (partial CARs)."""
+    key = path.encode("utf-8")
+    node_link = root_link if isinstance(root_link, _Link) else _Link(root_link)
+    while node_link is not None:
+        blk = index.get(str(node_link))
+        if blk is None:
+            return None
+        node = cbor_decode(blk)
+        if not isinstance(node, dict):
+            return None
+        descend = node.get("l")
+        prev = b""
+        for ent in node.get("e") or []:
+            p = ent.get("p", 0)
+            ek = prev[:p] + (ent.get("k") or b"")
+            prev = ek
+            if ek == key:
+                v = ent.get("v")
+                return index.get(str(v)) if isinstance(v, _Link) else None
+            if ek < key:
+                descend = ent.get("t")
+            else:
+                break  # keys are sorted: target can only be left of here
+        node_link = descend if isinstance(descend, _Link) else None
+    return None
+
+
+def mst_get_record_bytes(index: dict[str, bytes], commit_cid: str, path: str) -> bytes | None:
+    """The reference's GetRecordBytes shape (consumer.go:222): commit block →
+    its `data` MST root → walk by path."""
+    commit_bytes = index.get(commit_cid)
+    if commit_bytes is None:
+        return None
+    try:
+        commit = cbor_decode(commit_bytes)
+    except CborError:
+        return None
+    data = commit.get("data") if isinstance(commit, dict) else None
+    if not isinstance(data, _Link):
+        return None
+    return mst_walk(index, data, path)
 
 
 # --- XRPC event-stream frame decode (the real upstream framing) -----------------
@@ -308,13 +461,20 @@ def decode_xrpc_frame(data: bytes) -> dict | None:
         raise RuntimeError(f"error frame from firehose: {body.get('error')}: {body.get('message')}")
     t = header.get("t")
     if t == "#commit":
-        _, index = decode_car(body.get("blocks") or b"")
+        car_header, index = decode_car(body.get("blocks") or b"")
+        roots = [r for r in (car_header.get("roots") or []) if isinstance(r, _Link)]
         ops = []
         for op in body.get("ops") or []:
             cid = str(op["cid"]) if op.get("cid") is not None else None
             record_json = None
-            if cid is not None and cid in index:
-                record_json = json.dumps(to_json_value(cbor_decode(index[cid])), separators=(",", ":"))
+            record_bytes = index.get(cid) if cid is not None else None
+            if record_bytes is None and op.get("action") in ("create", "update") and roots:
+                # path-only resolution: walk the repo MST from the commit
+                # root, the reference's GetRecordBytes(op.Path) behavior
+                # (consumer.go:222) for ops without a usable CID.
+                record_bytes = mst_get_record_bytes(index, str(roots[0]), op.get("path") or "")
+            if record_bytes is not None:
+                record_json = json.dumps(to_json_value(cbor_decode(record_bytes)), separators=(",", ":"))
             ops.append(
                 {
                     "action": op.get("action"),

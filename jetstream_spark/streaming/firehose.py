@@ -51,7 +51,7 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from jetstream_spark.atproto.carcbor import decode_frame, decode_xrpc_frame
+from jetstream_spark.atproto.carcbor import CborError, decode_frame, decode_xrpc_frame
 from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
 
 
@@ -153,7 +153,14 @@ def _ws_fetch(ws_url: str, start: int, end: int):
                 return
             if opcode != 0x2:  # subscribeRepos frames are binary
                 continue
-            frame = decode_xrpc_frame(payload)
+            try:
+                frame = decode_xrpc_frame(payload)
+            except CborError:
+                # one corrupt wire frame is data, not a task-killing event:
+                # skip it exactly like unknown event types (the reference's
+                # HandleRepoStream default case); error FRAMES (op = -1)
+                # still raise via decode_xrpc_frame itself.
+                continue
             if frame is None:
                 continue
             seq = frame["seq"]
