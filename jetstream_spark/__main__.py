@@ -139,17 +139,24 @@ def cmd_compact(args) -> int:
 
     spark = _spark(args.cpus)
     current = int(time.time() * 1_000_000) // US_PER_HOUR
-    n = 0
+    n = skipped = 0
     for entry in sorted(os.listdir(args.data_dir)):
         if not entry.startswith("hour_bucket="):
             continue
         bucket = int(entry.split("=", 1)[1])
         if bucket < current:  # sealed buckets only
             before = compact_bucket(spark, args.data_dir, bucket)
-            if before > 1:
+            if before == -1:
+                # an un-marked batch wrote here (crash between commit and
+                # done-marker): compacting would break its delete-before-
+                # rewrite replay and duplicate events — skipped until the
+                # pipeline replays and marks it
+                print(f"hour_bucket={bucket}: skipped (pending un-marked batch)")
+                skipped += 1
+            elif before > 1:
                 print(f"hour_bucket={bucket}: {before} files -> 1")
                 n += 1
-    print(f"compacted {n} partitions")
+    print(f"compacted {n} partitions, skipped {skipped} unsafe")
     return 0
 
 

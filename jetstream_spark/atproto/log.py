@@ -23,6 +23,7 @@ intra-hour seeks skip row groups.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -34,6 +35,27 @@ from jetstream_spark.atproto.sequencer import SequencerState, sequence_events
 US_PER_HOUR = 3_600_000_000
 DEFAULT_TTL_US = 24 * US_PER_HOUR  # --event-ttl default (main.go:73-78)
 _DID_ISIN_MAX = 1000  # above this, DID filtering becomes a broadcast semi join
+
+BATCH_STATE_FILE = "_ingest_batches.json"
+
+
+def load_done_batches(log_dir: str) -> set[int]:
+    """Batch ids whose commit AND done-marker both landed (pipeline.py)."""
+    path = os.path.join(log_dir, BATCH_STATE_FILE)
+    if os.path.exists(path):
+        with open(path) as f:
+            return set(json.load(f))
+    return set()
+
+
+def mark_batch_done(log_dir: str, batch_id: int) -> None:
+    done = load_done_batches(log_dir)
+    done.add(batch_id)
+    path = os.path.join(log_dir, BATCH_STATE_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(done), f)
+    os.replace(tmp, path)
 
 
 def write_events(df: DataFrame, log_dir: str) -> None:
@@ -180,6 +202,16 @@ def apply_subscription_filters(
     return df
 
 
+def _batch_id_of(filename: str) -> int | None:
+    """Batch id from a batch-tagged log file name (`b{batch_id}-{i}.parquet`,
+    written by _commit_batch); None for untagged files (plain appends or
+    prior compaction output, which carry no crash-replay risk)."""
+    if not filename.startswith("b"):
+        return None
+    head = filename[1:].split("-", 1)[0]
+    return int(head) if head.isdigit() else None
+
+
 def compact_bucket(
     spark: SparkSession, log_dir: str, bucket: int, target_files: int = 1
 ) -> int:
@@ -189,19 +221,32 @@ def compact_bucket(
     at scale, and scan/open cost dominates).
 
     Safe only for SEALED buckets: every batch that wrote here must already
-    be in the done-marker set (pipeline.py), because compaction drops the
-    batch-tagged file names that crash-replay's delete-before-rewrite keys
-    on. Swap protocol: stage the rewrite, rename the old partition aside,
-    rename the stage in, then drop the old — each step is a single atomic
-    directory rename, so a crash leaves either the old or the new
-    partition intact (plus at worst a leftover `.old`/`.tmp` to sweep).
-    Returns the number of files before compaction."""
+    be in the done-marker set (load_done_batches), because compaction drops
+    the batch-tagged file names that crash-replay's delete-before-rewrite
+    keys on — if an unmarked batch (crashed between commit and marker) were
+    compacted and then replayed, _remove_batch_files would find nothing to
+    delete and the replay would append a SECOND copy of its events. This
+    precondition is ENFORCED here, not just documented: any batch-tagged
+    file whose batch id is missing from the done set makes the bucket
+    ineligible (returns -1, compaction skipped) until the pipeline replays
+    and marks that batch. Swap protocol: stage the rewrite, rename the old
+    partition aside, rename the stage in, then drop the old — each step is
+    a single atomic directory rename, so a crash leaves either the old or
+    the new partition intact (plus at worst a leftover `.old`/`.tmp` to
+    sweep). Returns the number of files before compaction, or -1 if the
+    bucket was skipped as unsafe."""
     part = os.path.join(log_dir, f"hour_bucket={bucket}")
     if not os.path.isdir(part):
         return 0
     old_files = [f for f in os.listdir(part) if f.endswith(".parquet")]
     if len(old_files) <= target_files:
         return len(old_files)
+    done = load_done_batches(log_dir)
+    pending = {
+        bid for bid in (_batch_id_of(f) for f in old_files) if bid is not None and bid not in done
+    }
+    if pending:
+        return -1  # unsafe: un-marked batch(es) could still be crash-replayed
     # `_`-prefixed so log readers never see the in-flight dirs as partitions
     tmp = os.path.join(log_dir, f"_compact_tmp_{bucket}")
     aside = os.path.join(log_dir, f"_compact_old_{bucket}")

@@ -28,6 +28,8 @@ import queue
 import threading
 from collections.abc import Callable
 
+from jetstream_spark.wsutil import send_masked_frame
+
 
 class SequentialScheduler:
     """S24: caller-thread, in-order delivery — the sequential scheduler."""
@@ -189,9 +191,16 @@ class JetstreamClient:
                 elif ln == 127:
                     ln = int.from_bytes(read_exact(8), "big")
                 payload = read_exact(ln) if ln else b""
-                if opcode == 0x8:  # server close
+                if opcode == 0x9:  # server ping → masked pong (RFC 6455 §5.5.3)
+                    send_masked_frame(sock, 0xA, payload)
+                    continue
+                if opcode == 0x8:  # server close → masked close echo
+                    try:
+                        send_masked_frame(sock, 0x8)
+                    except OSError:
+                        pass
                     break
-                if opcode != 0x1:  # ignore pings/continuations from the server
+                if opcode != 0x1:  # ignore pongs/continuations from the server
                     continue
                 frame = json.loads(payload)
                 self.scheduler.add_work(frame["did"], frame)

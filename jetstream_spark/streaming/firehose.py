@@ -52,6 +52,7 @@ from pyspark.sql.datasource import (
 )
 
 from jetstream_spark.atproto.carcbor import CborError, decode_frame, decode_xrpc_frame
+from jetstream_spark.wsutil import send_masked_frame
 from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
 
 
@@ -149,6 +150,9 @@ def _ws_fetch(ws_url: str, start: int, end: int):
             elif ln == 127:
                 ln = int.from_bytes(read_exact(8), "big")
             payload = read_exact(ln) if ln else b""
+            if opcode == 0x9:  # relay ping → masked pong (RFC 6455 §5.5.3)
+                send_masked_frame(conn, 0xA, payload)
+                continue
             if opcode == 0x8:  # server close
                 return
             if opcode != 0x2:  # subscribeRepos frames are binary
@@ -198,9 +202,16 @@ class FirehoseStreamReader(DataSourceStreamReader):
 
     def _head_seq(self) -> int:
         """Highest seq available from the transport (relay head). For the
-        live transports this is a plain `/head` probe on the same port (a
-        production deployment would instead track the last seq seen on a
-        persistent tail connection)."""
+        live transports this is a plain HTTP GET `/head` on the same port.
+
+        BRIDGE/TEST-RELAY ONLY for ws_url: the real
+        `com.atproto.sync.subscribeRepos` relay serves no `/head` route, so
+        microbatch planning against an actual upstream requires a bridge
+        that exposes one (the in-repo test relay does) — or deriving head
+        from the last seq seen on a persistent tail connection, which is
+        what a production deployment of this source would do (the subscribe
+        framing itself, _ws_fetch, is protocol-correct against the real
+        relay)."""
         if self.socket_url or self.ws_url:
             return _socket_head(self.socket_url or self.ws_url)
         head = 0

@@ -25,35 +25,17 @@ The done-marker is only a fast-skip; correctness doesn't depend on it.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from jetstream_spark.atproto.log import ingest_batch
+from jetstream_spark.atproto.log import (
+    BATCH_STATE_FILE,  # noqa: F401  (re-export: tests/ops import it from here)
+    ingest_batch,
+    load_done_batches as _load_done_batches,
+    mark_batch_done as _mark_batch_done,
+)
 from jetstream_spark.atproto.normalize import normalize_frames
 from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
-
-BATCH_STATE_FILE = "_ingest_batches.json"
-
-
-def _load_done_batches(log_dir: str) -> set[int]:
-    path = os.path.join(log_dir, BATCH_STATE_FILE)
-    if os.path.exists(path):
-        with open(path) as f:
-            return set(json.load(f))
-    return set()
-
-
-def _mark_batch_done(log_dir: str, batch_id: int) -> None:
-    done = _load_done_batches(log_dir)
-    done.add(batch_id)
-    path = os.path.join(log_dir, BATCH_STATE_FILE)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(sorted(done), f)
-    os.replace(tmp, path)
 
 
 def read_frame_stream(spark: SparkSession, frames_dir: str, max_files_per_trigger: int = 100) -> DataFrame:

@@ -152,6 +152,8 @@ def test_compact_bucket(spark, normalized, tmp_path):
     h = eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1_000_000, batch_id=0)
     h = eventlog.ingest_batch(normalized, log_dir, wall_clock_us=h + 1, batch_id=1)
     eventlog.ingest_batch(normalized, log_dir, wall_clock_us=h + 1, batch_id=2)
+    for b in (0, 1, 2):
+        eventlog.mark_batch_done(log_dir, b)
     part = os.path.join(log_dir, "hour_bucket=0")
     before = sorted(
         (r["time_us"], r["did"]) for r in eventlog.replay(spark, log_dir).collect()
@@ -164,6 +166,37 @@ def test_compact_bucket(spark, normalized, tmp_path):
         (r["time_us"], r["did"]) for r in eventlog.replay(spark, log_dir).collect()
     )
     assert after == before, "compaction must not change replay output"
+
+
+def test_compact_refuses_unmarked_batch(spark, normalized, tmp_path):
+    """Exactly-once under crash-replay: a batch committed but NOT yet in the
+    done-marker set makes its bucket ineligible for compaction — compacting
+    would drop the batch-tagged file names its replay's delete-before-rewrite
+    keys on, and the replay would then append a duplicate copy."""
+    import os
+
+    log_dir = str(tmp_path / "log")
+    h = eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1_000_000, batch_id=0)
+    eventlog.ingest_batch(normalized, log_dir, wall_clock_us=h + 1, batch_id=1)
+    eventlog.mark_batch_done(log_dir, 0)  # batch 1 = crashed before its marker
+
+    assert eventlog.compact_bucket(spark, log_dir, bucket=0) == -1, (
+        "bucket with an un-marked batch must be refused"
+    )
+    part = os.path.join(log_dir, "hour_bucket=0")
+    n_before = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+
+    # the crash-replay of batch 1 must converge to exactly one copy
+    count_before = eventlog.read_log(spark, log_dir).count()
+    eventlog.ingest_batch(normalized, log_dir, wall_clock_us=h + 1, batch_id=1)
+    eventlog.mark_batch_done(log_dir, 1)
+    assert eventlog.read_log(spark, log_dir).count() == count_before, (
+        "replayed batch must not duplicate events"
+    )
+    assert len([f for f in os.listdir(part) if f.endswith(".parquet")]) == n_before
+
+    # once every batch is marked, compaction proceeds
+    assert eventlog.compact_bucket(spark, log_dir, bucket=0) >= 2
 
 
 def test_ttl_trim(spark, normalized, tmp_path):

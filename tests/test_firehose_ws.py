@@ -80,6 +80,7 @@ class _WsRelay:
 
     def __init__(self):
         self.frames: list[tuple[int, bytes]] = []  # (seq, wire bytes)
+        self.pongs: list[tuple[bool, bytes]] = []  # (was_masked, payload)
         self.lock = threading.Lock()
         outer = self
 
@@ -111,6 +112,21 @@ class _WsRelay:
                     cursor = 0
                     if "cursor=" in path:
                         cursor = int(path.split("cursor=")[1].split("&")[0])
+                    # a spec-conforming relay pings idle clients; the client
+                    # MUST answer with a MASKED pong (RFC 6455 §5.1/§5.5.3)
+                    self.wfile.write(SubscribeServer._ws_frame(b"hb", opcode=0x9))
+                    self.wfile.flush()
+                    self.connection.settimeout(10)
+                    h = self.rfile.read(2)
+                    if len(h) == 2 and (h[0] & 0x0F) == 0xA:
+                        masked = bool(h[1] & 0x80)
+                        ln = h[1] & 0x7F
+                        mask = self.rfile.read(4) if masked else b""
+                        body = self.rfile.read(ln)
+                        if masked:
+                            body = bytes(b ^ mask[i & 3] for i, b in enumerate(body))
+                        with outer.lock:
+                            outer.pongs.append((masked, body))
                     sent = cursor
                     idle = 0
                     while idle < 40:
@@ -188,3 +204,8 @@ def test_firehose_ws_binary_cbor_end_to_end(spark, tmp_path):
         .collect()
     }
     assert texts == {f"ws post {i}" for i in range(1, n_commits + 1)}
+
+    # every ws connection was pinged on connect; the client must have
+    # answered each with a MASKED pong echoing the ping payload
+    assert relay.pongs, "client never answered the relay's ping"
+    assert all(masked and body == b"hb" for masked, body in relay.pongs)
