@@ -28,11 +28,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from jetstream_spark.queries.similarity import (
+    IVF_CELLS,
+    IVF_NPROBE,
     LSH_PLANES,
     LSH_PROBE_RADIUS,
     LSH_SEED,
     N_QUERIES,
     TOP_K,
+    _IVF_CENTROID_BASE,
     _query_matrix,
 )
 from jetstream_spark.tables import table
@@ -124,6 +127,99 @@ def probe_lsh_index(spark: SparkSession, sf_dir: str, index_path: str) -> DataFr
                 yield pd.concat(out, ignore_index=True)
 
     scores = idx.select("vec_id", "embedding", "bucket").mapInPandas(
+        score, schema="query_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+# --- IVF (coarse-quantizer) physical index ---------------------------------------
+
+
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> np.ndarray:
+    """The deterministic unit-norm centroid matrix shared with q_ann_ivf
+    (corpus rows vec_id in [100, 100+IVF_CELLS))."""
+    emb = table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(
+            (F.col("vec_id") >= _IVF_CENTROID_BASE)
+            & (F.col("vec_id") < _IVF_CENTROID_BASE + IVF_CELLS)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    cents = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def ivf_cell_expr(cents: np.ndarray, emb_col: str = "embedding") -> Column:
+    """cell = argmax_c dot(v, unit_centroid_c) — per-vector positive scaling
+    doesn't move the argmax, so no normalization of v is needed. JVM-side:
+    an array of the IVF_CELLS dot products, argmax via array_position of the
+    max (first-match tie rule, same as numpy argmax)."""
+    dbl = F.transform(emb_col, lambda x: x.cast("double"))
+    dots = []
+    for c in range(cents.shape[0]):
+        cent = F.array(*[F.lit(float(v)) for v in cents[c]])
+        dots.append(
+            F.aggregate(F.zip_with(dbl, cent, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        )
+    arr = F.array(*dots)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """One pass + one shuffle-free write: embeddings parquet-partitioned by
+    IVF cell id (the inverted file). A probe's `cell IN (<nprobe cells>)`
+    is a partition filter — it reads nprobe/IVF_CELLS of the data."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(spark, sf_dir)
+    (
+        emb.withColumn("cell", ivf_cell_expr(cents))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(index_path)
+    )
+
+
+def probe_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> DataFrame:
+    """Top-k cosine over only the probed cells of the materialized inverted
+    file; same result as q_ann_ivf, partition-pruned physical access."""
+    import pandas as pd
+
+    cents = ivf_centroids(spark, sf_dir)
+    q_ids, q_mat = _query_matrix(spark, sf_dir)
+    q_norms = np.linalg.norm(q_mat, axis=1)
+    q_cells = np.argsort(-(q_mat / q_norms[:, None]) @ cents.T, axis=1)[:, :IVF_NPROBE]
+    union = sorted({int(c) for row in q_cells for c in row})
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norms, q_cells))
+
+    idx = spark.read.parquet(index_path).where(F.col("cell").isin(union))
+
+    def score(batches):
+        ids, mat, norms, cells = bq.value
+        for pdf in batches:
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            b_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            b_cell = pdf["cell"].to_numpy(dtype=np.int64)
+            b_norms = np.linalg.norm(b_mat, axis=1)
+            out = []
+            for qi in range(len(ids)):
+                mask = np.isin(b_cell, cells[qi]) & (b_ids != ids[qi])
+                if mask.any():
+                    cos = (b_mat[mask] @ mat[qi]) / (b_norms[mask] * norms[qi])
+                    out.append(
+                        pd.DataFrame({"query_id": ids[qi], "vec_id": b_ids[mask], "cosine": cos})
+                    )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    scores = idx.select("vec_id", "embedding", "cell").mapInPandas(
         score, schema="query_id long, vec_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))

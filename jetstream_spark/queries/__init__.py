@@ -25,6 +25,7 @@ _PRIORITY = (
     "ann_lsh_topk",              # real SQL oracle added (was rows-only)
     "ann_ivf_topk",              # real SQL oracle added (was rows-only)
     "ann_lsh_indexed",           # new in r3: materialized bucket-partitioned index
+    "ann_ivf_indexed",           # new in r3: materialized cell-partitioned inverted file
     # ---- the 21 queries with r1-only driver evidence ----
     "q7_nation_volume",
     "q10_returned_items",
@@ -73,7 +74,6 @@ _PRIORITY = (
     "doc_chunking",
     "doc_packing",
     "sample_split",
-    "null_semantics",
 )
 
 

@@ -357,6 +357,23 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_ivf through the MATERIALIZED inverted file
+    (operators/ann_index.py): embeddings written once partitioned by IVF
+    cell id, probe reads only the nprobe cell=<id>/ directories — the
+    partition-pruned physical form of 'a probe touches nprobe/cells of the
+    data'. Same cell-assignment semantics as q_ann_ivf, same SQL oracle."""
+    import os
+    import tempfile
+
+    from jetstream_spark.operators.ann_index import build_ivf_index, probe_ivf_index
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_path = os.path.join(tempfile.gettempdir(), f"jetstream_ivf_index_{tag}")
+    build_ivf_index(spark, sf_dir, index_path)
+    return probe_ivf_index(spark, sf_dir, index_path)
+
+
 # --- embedding vector ops (scalar outputs — oracle-safe) -------------------------
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-op surface: L2 norm, mean component, min/max — pure HOF
@@ -422,6 +439,7 @@ QUERIES = [
     QuerySpec("ann_lsh_topk", q_ann_lsh, _lsh_oracle(), "random-hyperplane LSH ANN (approximate scale path)", ("similarity",)),
     QuerySpec("ann_lsh_indexed", q_ann_lsh_indexed, _lsh_oracle(), "LSH ANN through the materialized bucket-partitioned index", ("similarity",)),
     QuerySpec("ann_ivf_topk", q_ann_ivf, _ivf_oracle(), "IVF coarse-quantizer ANN (approximate scale path)", ("similarity",)),
+    QuerySpec("ann_ivf_indexed", q_ann_ivf_indexed, _ivf_oracle(), "IVF ANN through the materialized cell-partitioned inverted file", ("similarity",)),
     QuerySpec("embedding_norms", q_embedding_norms, Q_EMB_NORMS_ORACLE, "vector norm/stats ops", ("similarity",)),
     QuerySpec("embedding_downproject", q_embedding_downproject, Q_EMB_DOWNPROJECT_ORACLE, "adjacent-pair dim reduction", ("similarity",)),
 ]

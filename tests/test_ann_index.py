@@ -70,3 +70,47 @@ def test_indexed_probe_equals_on_the_fly(spark, index_path):
     indexed = {tuple(r) for r in probe_lsh_index(spark, SF_DIR, index_path).collect()}
     onthefly = {tuple(r) for r in q_ann_lsh(spark, SF_DIR).collect()}
     assert indexed == onthefly
+
+
+# --- IVF inverted file -----------------------------------------------------------
+
+from jetstream_spark.operators.ann_index import (  # noqa: E402
+    build_ivf_index,
+    ivf_centroids,
+    probe_ivf_index,
+)
+from jetstream_spark.queries.similarity import IVF_CELLS, q_ann_ivf  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ivf_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "ivf_index")
+    build_ivf_index(spark, SF_DIR, path)
+    return path
+
+
+def test_ivf_index_is_cell_partitioned_and_pruned(spark, ivf_path):
+    dirs = [d for d in os.listdir(ivf_path) if d.startswith("cell=")]
+    assert len(dirs) > 1
+    assert all(0 <= int(d.split("=")[1]) < IVF_CELLS for d in dirs)
+    probed = spark.read.parquet(ivf_path).where(F.col("cell").isin([1, 4]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell" in pf_line and "IN (1,4)".replace(" ", "") in pf_line.replace(" ", "")
+    assert probed.count() < spark.read.parquet(ivf_path).count()
+
+
+def test_ivf_cell_assignment_matches_numpy(spark, ivf_path):
+    cents = ivf_centroids(spark, SF_DIR)
+    rows = spark.read.parquet(ivf_path).select("vec_id", "embedding", "cell").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    expect = np.argmax((mat / norms) @ cents.T, axis=1)
+    got = np.array([r["cell"] for r in rows])
+    assert (got == expect).all()
+
+
+def test_ivf_indexed_probe_equals_on_the_fly(spark, ivf_path):
+    indexed = {tuple(r) for r in probe_ivf_index(spark, SF_DIR, ivf_path).collect()}
+    onthefly = {tuple(r) for r in q_ann_ivf(spark, SF_DIR).collect()}
+    assert indexed == onthefly

@@ -29,6 +29,8 @@ def log_dir(spark, tmp_path_factory):
     normalized = normalize_frames(frames).cache()
     h = eventlog.ingest_batch(normalized, d, wall_clock_us=1_000_000, batch_id=0)
     eventlog.ingest_batch(normalized, d, wall_clock_us=h + 1, batch_id=1)
+    for b in (0, 1):  # compact refuses buckets with un-marked batches
+        eventlog.mark_batch_done(d, b)
     return d
 
 
