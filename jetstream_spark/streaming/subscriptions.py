@@ -22,6 +22,7 @@ wire frame (S16) is computed once upstream via to_wire.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,11 +37,35 @@ from jetstream_spark.atproto.wire import to_wire
 def _default_batch_limit() -> int:
     """One second of replay at the contract rate: 10× the per-subscriber
     live ceiling (persist.go:149's playback multiplier over main.go:79-84's
-    5k/s) — the edge's limiter owns pacing; this bounds per-round driver
-    materialization to the same contract."""
+    5k/s) — bounds per-round driver materialization to the same contract."""
     from jetstream_spark.serving.edge import MAX_SUB_RATE, PLAYBACK_MULT
 
     return int(MAX_SUB_RATE * PLAYBACK_MULT)
+
+
+class ReplayPacer:
+    """persist.go:149 analogue, ENGINE-side: the replay loop itself is paced
+    at the playback rate (a synchronous token bucket, burst = one second),
+    so the per-subscriber replay ceiling holds even if the serving edge —
+    whose asyncio TokenBucket normally owns pacing — is bypassed and the
+    engine is driven directly."""
+
+    def __init__(self, rate_per_s: float):
+        self.rate = float(rate_per_s)
+        self.tokens = self.rate
+        self.last = time.monotonic()
+
+    def wait(self, n: int) -> None:
+        if self.rate <= 0 or self.rate == float("inf"):
+            return
+        while True:
+            now = time.monotonic()
+            self.tokens = min(self.rate, self.tokens + (now - self.last) * self.rate)
+            self.last = now
+            if self.tokens >= n:
+                self.tokens -= n
+                return
+            time.sleep(min(1.0, (n - self.tokens) / self.rate))
 
 
 def backfill(
@@ -51,19 +76,27 @@ def backfill(
     deliver: Callable[[list], None],
     max_rounds: int = 100,
     batch_limit: int | None = None,
+    rate_per_s: float | None = None,
 ) -> int:
     """Replay loop (server.go:305-337): scan from cursor, deliver, advance,
     until within the cutover window of the live head. Returns delivered count.
 
-    batch_limit plays the role of the replay rate limiter (persist.go:149,
-    10× sub rate): it bounds how much one round materializes.
+    Two limiter layers, matching the reference: batch_limit bounds how much
+    one round materializes on the driver, and rate_per_s paces the loop
+    itself (persist.go:149's playback limiter, default 10× the live
+    per-subscriber ceiling) — the engine holds the replay-rate contract
+    even when the edge's per-connection limiter is bypassed.
     """
     if batch_limit is None:
         batch_limit = _default_batch_limit()
+    if rate_per_s is None:
+        rate_per_s = float(_default_batch_limit())
+    pacer = ReplayPacer(rate_per_s)
     delivered = 0
     for _ in range(max_rounds):
         batch = to_wire(sub.replay_batch(spark, log_dir).limit(batch_limit)).orderBy("time_us").collect()
         if batch:
+            pacer.wait(len(batch))
             deliver(batch)
             delivered += len(batch)
             sub.advance(batch[-1]["time_us"])
@@ -112,6 +145,7 @@ def start_subscription(
     deliver: Callable[[list], None],
     checkpoint_dir: str,
     batch_limit: int | None = None,
+    rate_per_s: float | None = None,
 ) -> StreamingQuery:
     """Full lifecycle: backfill (if cursor set) then live tail.
 
@@ -133,8 +167,14 @@ def start_subscription(
 
     if batch_limit is None:
         batch_limit = _default_batch_limit()
+    if rate_per_s is None:
+        rate_per_s = float(_default_batch_limit())
     if sub.cursor is not None:
-        backfill(spark, log_dir, sub, server_head_us, deliver, batch_limit=batch_limit)
+        backfill(
+            spark, log_dir, sub, server_head_us, deliver,
+            batch_limit=batch_limit, rate_per_s=rate_per_s,
+        )
+    pacer = ReplayPacer(rate_per_s)  # shared across ticks: one contract per subscriber
     # minimal tick stream: only new-file arrival matters, so read just the
     # cheapest column — the delivery query below re-reads with pruning
     tick = (
@@ -161,6 +201,7 @@ def start_subscription(
             rows = to_wire(df).orderBy("time_us").limit(batch_limit).collect()
             if not rows:
                 break
+            pacer.wait(len(rows))
             deliver(rows)
             sub.advance(rows[-1]["time_us"])
 

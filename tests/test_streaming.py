@@ -144,3 +144,48 @@ def test_backfill_respects_filters_and_seq(spark, tmp_path):
         if r["type"] == "com":
             assert r["collection"] == "app.bsky.feed.post"
     assert {r["type"] for r in got} >= {"com", "acc", "id"}, "bypass rule must hold in backfill"
+
+
+@pytest.mark.timeout(300)
+def test_backfill_replay_rate_limit(spark, tmp_path):
+    """persist.go:149 analogue: the ENGINE paces the replay loop at
+    rate_per_s (burst = one second), independent of the edge's limiter."""
+    import time as _time
+
+    from jetstream_spark.atproto.normalize import normalize_frames
+    from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
+    from jetstream_spark.atproto.subscribe import CUTOVER_THRESHOLD_US
+
+    log_dir = str(tmp_path / "log")
+    fdf = spark.createDataFrame(make_frames(), schema=RAW_FRAME_SCHEMA)
+    normalized = normalize_frames(fdf)
+    head = eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1_000_000)
+    total = eventlog.read_log(spark, log_dir).count()
+    assert total >= 20
+
+    # keep the reported head far ahead so the loop replays the whole log
+    # instead of cutting over to live after its first round
+    far_head = head + 10 * CUTOVER_THRESHOLD_US
+
+    def run(rate):
+        sub = Subscription.parse(cursor="0", server_time_us=head)
+        sub.cursor = 0
+        got: list = []
+        t0 = _time.monotonic()
+        n = backfill(
+            spark, log_dir, sub, server_head_us=lambda: far_head, deliver=got.extend,
+            batch_limit=max(1, total // 5), rate_per_s=rate,
+        )
+        return n, _time.monotonic() - t0
+
+    n_fast, _ = run(float("inf"))
+    assert n_fast == total
+
+    # burst covers the first second's worth; the rest must wait for refill:
+    # expected extra wall time >= (total - rate) / rate
+    rate = total / 2.0
+    n_slow, elapsed = run(rate)
+    assert n_slow == total, "pacing must not drop events"
+    assert elapsed >= (total - rate) / rate * 0.8, (
+        f"replay of {total} at {rate}/s finished in {elapsed:.2f}s — not paced"
+    )
