@@ -26,6 +26,9 @@ _PRIORITY = (
     "ann_ivf_topk",              # real SQL oracle added (was rows-only)
     "ann_lsh_indexed",           # new in r3: materialized bucket-partitioned index
     "ann_ivf_indexed",           # new in r3: materialized cell-partitioned inverted file
+    "vocab_top_terms",           # new in r3
+    "text_pii_scrub",            # new in r3
+    "stratified_sample",         # new in r3
     # ---- the 21 queries with r1-only driver evidence ----
     "q7_nation_volume",
     "q10_returned_items",
@@ -71,9 +74,6 @@ _PRIORITY = (
     "variant_props_stats",
     "conversion_funnel",
     "geomean_value",
-    "doc_chunking",
-    "doc_packing",
-    "sample_split",
 )
 
 

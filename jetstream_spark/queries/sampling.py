@@ -190,7 +190,46 @@ FROM c
 """
 
 
+# --- stratified sampling ---------------------------------------------------------
+STRATUM_SAMPLE_PCT = 10  # deterministic 10% per language stratum
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum (language) deterministic sampling: the same engine-
+    independent md5 bucket as sample_split selects ~10% of each stratum,
+    and the per-stratum audit (totals, sampled count, sampled stats) comes
+    out of ONE aggregation — no join, no second scan. The shape of drawing
+    a balanced eval slice from a multilingual corpus."""
+    docs = table(spark, sf_dir, "documents")
+    in_sample = F.col("bucket") < STRATUM_SAMPLE_PCT
+    return (
+        docs.select("lang", "doc_id", "n_chars", _bucket_expr())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(in_sample.cast("long")).alias("n_sampled"),
+            F.round(F.avg(F.when(in_sample, F.col("n_chars"))), 6).alias("sampled_avg_chars"),
+            F.min(F.when(in_sample, F.col("doc_id"))).alias("first_sampled_doc"),
+        )
+    )
+
+
+Q_STRATIFIED_ORACLE = f"""
+WITH b AS (
+  SELECT lang, doc_id, n_chars, {_BUCKET_SQL} AS bucket FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN bucket < {STRATUM_SAMPLE_PCT} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       round(avg(CASE WHEN bucket < {STRATUM_SAMPLE_PCT} THEN n_chars END), 6) AS sampled_avg_chars,
+       min(CASE WHEN bucket < {STRATUM_SAMPLE_PCT} THEN doc_id END) AS first_sampled_doc
+FROM b
+GROUP BY lang
+"""
+
+
 QUERIES = [
+    QuerySpec("stratified_sample", q_stratified_sample, Q_STRATIFIED_ORACLE, "per-language deterministic sampling audit", ("sampling",)),
     QuerySpec("sample_split", q_sample_split, Q_SAMPLE_SPLIT_ORACLE, "deterministic hash train/val/test split", ("sampling",)),
     QuerySpec("doc_packing", q_doc_packing, Q_DOC_PACKING_ORACLE, "shard-parallel token-budget sequence packing", ("sampling",)),
     QuerySpec("doc_chunking", q_doc_chunking, Q_DOC_CHUNKING_ORACLE, "overlapping context-window chunking via Spark 4 UDTF + LATERAL", ("sampling",)),

@@ -256,10 +256,89 @@ FROM t
 """
 
 
+# --- corpus vocabulary ----------------------------------------------------------
+VOCAB_TOP_N = 100
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide vocabulary: explode tokens, one shuffle on term for
+    count + document frequency, then distributed top-100 (orderBy+limit →
+    TakeOrderedAndProject, no single-partition global sort). The
+    tokenize→count→truncate shape of building a training vocab."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("term_count"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_count"), "term")
+        .limit(VOCAB_TOP_N)
+    )
+
+
+Q_VOCAB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+), agg AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS term_count,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+  FROM toks GROUP BY term
+)
+SELECT term, term_count, doc_freq
+FROM agg ORDER BY term_count DESC, term LIMIT {VOCAB_TOP_N}
+"""
+
+
+# --- PII scrubbing ---------------------------------------------------------------
+# POSIX-simple patterns only: must mean the same thing to Java regex (Spark)
+# and RE2 (DuckDB).
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_LONGNUM_RE = r"[0-9]{6,}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """The scrubbing transform on any (doc_id, text) frame — separated from
+    the query wrapper so real-PII fixtures can drive it directly in tests
+    (the synthetic corpus contains no PII-shaped spans)."""
+    low = F.lower(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(low, _EMAIL_RE, "<email>"), _LONGNUM_RE, "<num>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(low, F.lit(_LONGNUM_RE), F.lit(0))).alias("n_long_numbers"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count email-shaped and long-digit-run spans and
+    report the post-scrub length (emails → <email>, digit runs → <num>).
+    Pure JVM regexp — the per-document shape of a corpus scrubbing job."""
+    return pii_scrub(table(spark, sf_dir, "documents")).drop("scrubbed_text")
+
+
+Q_PII_ORACLE = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(lower(text), '{_LONGNUM_RE}')) AS n_long_numbers,
+       CAST(length(regexp_replace(regexp_replace(lower(text), '{_EMAIL_RE}', '<email>', 'g'),
+                                  '{_LONGNUM_RE}', '<num>', 'g')) AS INT) AS scrubbed_len
+FROM documents
+"""
+
+
 QUERIES = [
     QuerySpec("text_token_count", q_token_count, Q_TOKEN_COUNT_ORACLE, "token + subword counting", ("text",)),
     QuerySpec("text_repetition", q_repetition, Q_REPETITION_ORACLE, "repetition/boilerplate features", ("text",)),
     QuerySpec("text_quality_score", q_quality_score, Q_QUALITY_ORACLE, "quality-filter features", ("text",)),
     QuerySpec("text_lang_id", q_lang_id, Q_LANG_ID_ORACLE, "stopword-marker language ID", ("text",)),
     QuerySpec("text_fingerprint", q_fingerprint, Q_FINGERPRINT_ORACLE, "md5 + rolling-hash fingerprints", ("text",)),
+    QuerySpec("vocab_top_terms", q_vocab_top_terms, Q_VOCAB_ORACLE, "corpus vocabulary top-terms (explode + distributed top-k)", ("text",)),
+    QuerySpec("text_pii_scrub", q_pii_scrub, Q_PII_ORACLE, "PII span counting + redacted length", ("text",)),
 ]
