@@ -48,6 +48,9 @@ EXTRAS = [
     "doc_packing",
     "sample_split",
     "salted_join_revenue",
+    "ann_lsh_indexed",       # r3: index build + partition-pruned probe
+    "ann_ivf_indexed",       # r3: inverted-file build + nprobe-cell probe
+    "vocab_top_terms",       # r3: explode + distributed top-k
 ]
 
 REGRESSION_FACTOR = 1.15
