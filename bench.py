@@ -54,7 +54,10 @@ EXTRAS = [
 ]
 
 REGRESSION_FACTOR = 1.15
-REGRESSION_FLOOR_S = 0.2  # ignore sub-200 ms noise
+# Sub-half-second timings swing ±25% run-to-run on this machine (measured:
+# doc_packing 0.45-0.55 s across settled runs) — a 1.15× factor below that
+# floor would only ever flag noise.
+REGRESSION_FLOOR_S = 0.5
 
 
 def _prev_bench_queries(current_sf) -> dict:

@@ -61,6 +61,29 @@ def build_coll_index(spark: SparkSession, log_dir: str, index_dir: str) -> None:
     )
 
 
+def refresh_coll_index(
+    spark: SparkSession, log_dir: str, index_dir: str, buckets: list[int]
+) -> None:
+    """Incremental refresh: rewrite ONLY the given (sealed) hour buckets
+    into the derived layout — dynamic partition overwrite replaces exactly
+    the (coll_group, hour_bucket) partitions the new data touches, leaving
+    every other bucket's directories untouched. This is the standing
+    deployment's per-sealed-bucket maintenance step; build_coll_index is
+    the bootstrap."""
+    df = (
+        read_log(spark, log_dir)
+        .where(F.col("hour_bucket").isin([int(b) for b in buckets]))
+        .withColumn("coll_group", coll_group_expr())
+        .sortWithinPartitions("time_us")
+    )
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("coll_group", "hour_bucket")
+        .parquet(index_dir)
+    )
+
+
 def probe_groups(wanted_collections: list[str]) -> list[int]:
     """Groups a filtered replay must read: each wanted collection's group
     plus the no-collection group (account/identity bypass, server.go's

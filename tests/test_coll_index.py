@@ -76,3 +76,44 @@ def test_filtered_replay_with_cursor_and_dids(spark, log_and_index):
         spark, index_dir, wanted, cursor=cursor, wanted_dids=dids
     ).collect()
     assert sorted(map(tuple, derived)) == sorted(map(tuple, primary))
+
+
+def test_incremental_refresh_overwrites_only_touched_buckets(spark, tmp_path):
+    """refresh_coll_index must replace exactly the refreshed hour bucket's
+    partitions and leave other buckets' directories byte-untouched."""
+    import os
+
+    from jetstream_spark.atproto.coll_index import refresh_coll_index
+
+    log_dir = str(tmp_path / "log")
+    frames = spark.createDataFrame(make_frames(), schema=RAW_FRAME_SCHEMA)
+    norm = normalize_frames(frames)
+    # bucket 0 and a second batch an hour later (bucket 1)
+    h = eventlog.ingest_batch(norm, log_dir, wall_clock_us=1_000_000)
+    eventlog.ingest_batch(norm, log_dir, wall_clock_us=h + 3_600_000_000)
+    index_dir = str(tmp_path / "idx")
+    build_coll_index(spark, log_dir, index_dir)
+
+    def bucket_files(bucket):
+        out = {}
+        for g in os.listdir(index_dir):
+            if not g.startswith("coll_group="):
+                continue
+            d = os.path.join(index_dir, g, f"hour_bucket={bucket}")
+            if os.path.isdir(d):
+                for fn in os.listdir(d):
+                    if fn.endswith(".parquet"):
+                        p = os.path.join(d, fn)
+                        out[p] = os.path.getmtime(p)
+        return out
+
+    before_b0, before_b1 = bucket_files(0), bucket_files(1)
+    assert before_b0 and before_b1
+    refresh_coll_index(spark, log_dir, index_dir, buckets=[1])
+    assert bucket_files(0) == before_b0, "untouched bucket must keep its files"
+    assert set(bucket_files(1)) != set(before_b1) or bucket_files(1) != before_b1
+
+    # full equality with the primary log after refresh
+    primary = eventlog.replay(spark, log_dir, wanted_collections=["app.bsky.feed.post"]).collect()
+    derived = replay_filtered(spark, index_dir, ["app.bsky.feed.post"]).collect()
+    assert sorted(map(tuple, derived)) == sorted(map(tuple, primary))
