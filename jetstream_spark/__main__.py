@@ -135,9 +135,12 @@ def cmd_trim(args) -> int:
 
 
 def cmd_compact(args) -> int:
-    from jetstream_spark.atproto.log import US_PER_HOUR, compact_bucket
+    from jetstream_spark.atproto.log import US_PER_HOUR, compact_bucket, recover_compaction
 
     spark = _spark(args.cpus)
+    recovered = recover_compaction(args.data_dir)
+    if recovered:
+        print(f"recovered {recovered} interrupted compaction(s)")
     current = int(time.time() * 1_000_000) // US_PER_HOUR
     n = skipped = 0
     for entry in sorted(os.listdir(args.data_dir)):

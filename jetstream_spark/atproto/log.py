@@ -202,6 +202,36 @@ def apply_subscription_filters(
     return df
 
 
+def recover_compaction(log_dir: str) -> int:
+    """Crash recovery for compact_bucket's rename-swap: each step is one
+    atomic directory rename, so the only possible leftovers are
+      - `_compact_tmp_{b}`: staged rewrite never swapped in → drop it (the
+        live partition is intact);
+      - `_compact_old_{b}` WITH the live partition present: swap completed,
+        crash before cleanup → drop the old copy;
+      - `_compact_old_{b}` WITHOUT the live partition: crashed BETWEEN the
+        two renames — the old copy IS the data; rename it back.
+    Idempotent; returns the number of leftovers resolved. Run before
+    compacting (cmd_compact does)."""
+    resolved = 0
+    if not os.path.isdir(log_dir):
+        return 0
+    for entry in list(os.listdir(log_dir)):
+        if entry.startswith("_compact_tmp_"):
+            shutil.rmtree(os.path.join(log_dir, entry), ignore_errors=True)
+            resolved += 1
+        elif entry.startswith("_compact_old_"):
+            bucket = entry[len("_compact_old_"):]
+            part = os.path.join(log_dir, f"hour_bucket={bucket}")
+            aside = os.path.join(log_dir, entry)
+            if os.path.isdir(part):
+                shutil.rmtree(aside, ignore_errors=True)
+            else:
+                os.rename(aside, part)
+            resolved += 1
+    return resolved
+
+
 def _batch_id_of(filename: str) -> int | None:
     """Batch id from a batch-tagged log file name (`b{batch_id}-{i}.parquet`,
     written by _commit_batch); None for untagged files (plain appends or

@@ -271,3 +271,41 @@ def test_cutover_threshold():
     sub.seq = 1_000_000
     assert sub.caught_up(server_head_us=1_400_000)  # within 500ms
     assert not sub.caught_up(server_head_us=1_600_000)
+
+
+def test_recover_compaction_all_crash_points(spark, normalized, tmp_path):
+    """Every compact_bucket crash point leaves a state recover_compaction
+    resolves to exactly one intact copy of the partition."""
+    import os
+    import shutil
+
+    log_dir = str(tmp_path / "log")
+    h = eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1_000_000, batch_id=0)
+    eventlog.ingest_batch(normalized, log_dir, wall_clock_us=h + 1, batch_id=1)
+    for b in (0, 1):
+        eventlog.mark_batch_done(log_dir, b)
+    part = os.path.join(log_dir, "hour_bucket=0")
+    baseline = sorted((r["time_us"], r["did"]) for r in eventlog.replay(spark, log_dir).collect())
+
+    # crash point A: staged tmp exists, swap never started
+    tmp_dir = os.path.join(log_dir, "_compact_tmp_0")
+    os.makedirs(tmp_dir)
+    assert eventlog.recover_compaction(log_dir) == 1
+    assert not os.path.isdir(tmp_dir) and os.path.isdir(part)
+
+    # crash point B: between the two renames — only the old copy exists
+    aside = os.path.join(log_dir, "_compact_old_0")
+    os.rename(part, aside)
+    assert eventlog.recover_compaction(log_dir) == 1
+    assert os.path.isdir(part) and not os.path.isdir(aside)
+    after_b = sorted((r["time_us"], r["did"]) for r in eventlog.replay(spark, log_dir).collect())
+    assert after_b == baseline
+
+    # crash point C: swap done, old copy not yet dropped
+    shutil.copytree(part, aside)
+    assert eventlog.recover_compaction(log_dir) == 1
+    assert os.path.isdir(part) and not os.path.isdir(aside)
+    after_c = sorted((r["time_us"], r["did"]) for r in eventlog.replay(spark, log_dir).collect())
+    assert after_c == baseline
+
+    assert eventlog.recover_compaction(log_dir) == 0, "idempotent when clean"
