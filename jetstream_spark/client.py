@@ -96,6 +96,8 @@ class JetstreamClient:
         wanted_collections: list[str] | None = None,
         wanted_dids: list[str] | None = None,
         use_websocket: bool = False,
+        use_tls: bool = False,
+        tls_ca: str | None = None,
     ):
         self.host = host
         self.port = port
@@ -103,6 +105,8 @@ class JetstreamClient:
         self.wanted_collections = wanted_collections or []
         self.wanted_dids = wanted_dids or []
         self.use_websocket = use_websocket  # the reference's wire protocol
+        self.use_tls = use_tls  # wss:// upstreams; system trust unless tls_ca given
+        self.tls_ca = tls_ca
         self.cursor: int | None = None  # last delivered time_us
 
     def _path(self, cursor: int | None) -> str:
@@ -157,6 +161,11 @@ class JetstreamClient:
 
         key = base64.b64encode(os.urandom(16)).decode()
         sock = socket.create_connection((self.host, self.port), timeout=timeout)
+        if self.use_tls:
+            import ssl
+
+            ctx = ssl.create_default_context(cafile=self.tls_ca)
+            sock = ctx.wrap_socket(sock, server_hostname=self.host)
         try:
             sock.sendall(
                 (

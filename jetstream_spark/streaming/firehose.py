@@ -16,12 +16,14 @@ main.go:150). Here that becomes a `DataSource`/`DataSourceStreamReader`:
     index and transcoded to JSON; pre-decoded JSONL frames pass through.
     The transport is pluggable. Three transports exist:
 
-    - `ws_url` ("host:port"): the REAL upstream protocol — RFC 6455
-      websocket dial (stdlib implementation) to
-      `/xrpc/com.atproto.sync.subscribeRepos?cursor=N`, BINARY frames of
-      DAG-CBOR header+body events with CAR blocks, decoded per partition
-      by carcbor.decode_xrpc_frame (tests/test_firehose_ws.py drives it
-      against a local websocket relay end-to-end);
+    - `ws_url` ("host:port", "ws://host:port", or "wss://host:port" for
+      TLS — the real relay's form; `tls_ca` option for private CAs): the
+      REAL upstream protocol — RFC 6455 websocket dial (stdlib
+      implementation) to `/xrpc/com.atproto.sync.subscribeRepos?cursor=N`,
+      BINARY frames of DAG-CBOR header+body events with CAR blocks,
+      decoded per partition by carcbor.decode_xrpc_frame
+      (tests/test_firehose_ws.py and test_firehose_wss.py drive it against
+      local plaintext and TLS relays end-to-end);
     - `socket_url` ("host:port"): the same dial/cursor semantics over
       HTTP-flavored ndjson lines (a simpler bridge wire;
       tests/test_firehose_socket.py, incl. checkpoint resume);
@@ -56,11 +58,36 @@ from jetstream_spark.wsutil import send_masked_frame
 from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
 
 
-def _socket_request(socket_url: str, path: str):
+def _parse_dial_url(url: str) -> tuple[bool, str, int]:
+    """`[ws://|wss://]host:port` → (tls, host, port). A `wss://` scheme
+    turns on TLS — the real relay (wss://bsky.network) is TLS-only."""
+    tls = False
+    if url.startswith("wss://"):
+        tls, url = True, url[len("wss://"):]
+    elif url.startswith("ws://"):
+        url = url[len("ws://"):]
+    host, port = url.rsplit(":", 1)
+    return tls, host, int(port)
+
+
+def _dial(url: str, tls_ca: str = "") -> tuple[socket.socket, str]:
+    """Connect (optionally TLS-wrapped) → (socket, host). `tls_ca` points
+    at a CA bundle for private relays/tests; default = system trust +
+    hostname verification (ssl.create_default_context)."""
+    tls, host, port = _parse_dial_url(url)
+    conn = socket.create_connection((host, port), timeout=60)
+    if tls:
+        import ssl
+
+        ctx = ssl.create_default_context(cafile=tls_ca or None)
+        conn = ctx.wrap_socket(conn, server_hostname=host)
+    return conn, host
+
+
+def _socket_request(socket_url: str, path: str, tls_ca: str = ""):
     """Dial `host:port`, send a GET, return a text file object positioned
     after the response headers (the body)."""
-    host, port = socket_url.rsplit(":", 1)
-    conn = socket.create_connection((host, int(port)), timeout=60)
+    conn, host = _dial(socket_url, tls_ca)
     conn.sendall(f"GET {path} HTTP/1.1\r\nHost: {host}\r\n\r\n".encode())
     f = conn.makefile("r", encoding="utf-8")
     f.readline()  # status line
@@ -69,10 +96,10 @@ def _socket_request(socket_url: str, path: str):
     return conn, f
 
 
-def _socket_head(socket_url: str) -> int:
+def _socket_head(socket_url: str, tls_ca: str = "") -> int:
     """Relay head seq — the upstream equivalent of 'how far can this
     microbatch go'."""
-    conn, f = _socket_request(socket_url, "/head")
+    conn, f = _socket_request(socket_url, "/head", tls_ca)
     try:
         return int(f.readline().strip() or 0)
     finally:
@@ -101,14 +128,14 @@ def _socket_fetch(socket_url: str, start: int, end: int):
         conn.close()
 
 
-def _ws_dial(ws_url: str, path: str):
-    """RFC 6455 client handshake → (socket, buffered reader past headers)."""
+def _ws_dial(ws_url: str, path: str, tls_ca: str = ""):
+    """RFC 6455 client handshake → (socket, buffered reader past headers).
+    A `wss://` scheme in ws_url dials through TLS (the real relay's form)."""
     import base64 as _b64
     import os as _os
 
-    host, port = ws_url.rsplit(":", 1)
     key = _b64.b64encode(_os.urandom(16)).decode()
-    conn = socket.create_connection((host, int(port)), timeout=60)
+    conn, host = _dial(ws_url, tls_ca)
     conn.sendall(
         (
             f"GET {path} HTTP/1.1\r\nHost: {host}\r\nUpgrade: websocket\r\n"
@@ -125,12 +152,12 @@ def _ws_dial(ws_url: str, path: str):
     return conn, f
 
 
-def _ws_fetch(ws_url: str, start: int, end: int):
+def _ws_fetch(ws_url: str, start: int, end: int, tls_ca: str = ""):
     """The REAL upstream protocol (cmd/jetstream/main.go:294-328):
     websocket dial with `?cursor=start`, each BINARY frame a DAG-CBOR
     header+body event (`com.atproto.sync.subscribeRepos`), decoded by
     carcbor.decode_xrpc_frame — CAR blocks and all. Detach past `end`."""
-    conn, f = _ws_dial(ws_url, f"/xrpc/com.atproto.sync.subscribeRepos?cursor={start}")
+    conn, f = _ws_dial(ws_url, f"/xrpc/com.atproto.sync.subscribeRepos?cursor={start}", tls_ca)
     try:
         def read_exact(k: int) -> bytes:
             buf = f.read(k)
@@ -179,12 +206,21 @@ def _ws_fetch(ws_url: str, start: int, end: int):
 
 
 class SeqRange(InputPartition):
-    def __init__(self, start: int, end: int, replay_dir: str, socket_url: str = "", ws_url: str = ""):
+    def __init__(
+        self,
+        start: int,
+        end: int,
+        replay_dir: str,
+        socket_url: str = "",
+        ws_url: str = "",
+        tls_ca: str = "",
+    ):
         self.start = start
         self.end = end
         self.replay_dir = replay_dir
         self.socket_url = socket_url
         self.ws_url = ws_url
+        self.tls_ca = tls_ca
 
 
 class FirehoseStreamReader(DataSourceStreamReader):
@@ -198,6 +234,7 @@ class FirehoseStreamReader(DataSourceStreamReader):
         self.ws_url = options.get("ws_url", "")
         self.batch_size = int(options.get("batch_size", "1000"))
         self.num_partitions = int(options.get("numPartitions", "4"))
+        self.tls_ca = options.get("tls_ca", "")
         self._last_end: int | None = None
 
     def _head_seq(self) -> int:
@@ -213,7 +250,7 @@ class FirehoseStreamReader(DataSourceStreamReader):
         framing itself, _ws_fetch, is protocol-correct against the real
         relay)."""
         if self.socket_url or self.ws_url:
-            return _socket_head(self.socket_url or self.ws_url)
+            return _socket_head(self.socket_url or self.ws_url, self.tls_ca)
         head = 0
         if os.path.isdir(self.replay_dir):
             for name in os.listdir(self.replay_dir):
@@ -240,11 +277,11 @@ class FirehoseStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         lo, hi = start["seq"], end["seq"]
         if hi <= lo:
-            return [SeqRange(lo, lo, self.replay_dir, self.socket_url, self.ws_url)]
+            return [SeqRange(lo, lo, self.replay_dir, self.socket_url, self.ws_url, self.tls_ca)]
         n = self.num_partitions
         step = max(1, (hi - lo + n - 1) // n)
         return [
-            SeqRange(s, min(s + step, hi), self.replay_dir, self.socket_url, self.ws_url)
+            SeqRange(s, min(s + step, hi), self.replay_dir, self.socket_url, self.ws_url, self.tls_ca)
             for s in range(lo, hi, step)
         ]
 
@@ -252,7 +289,7 @@ class FirehoseStreamReader(DataSourceStreamReader):
         """Yield frames with start < seq <= end. Decode (S5/S8) happens
         here in a real transport; the JSONL stand-in is already decoded."""
         if partition.ws_url:
-            for frame in _ws_fetch(partition.ws_url, partition.start, partition.end):
+            for frame in _ws_fetch(partition.ws_url, partition.start, partition.end, partition.tls_ca):
                 yield tuple(
                     _to_row_value(frame.get(field.name), field.name)
                     for field in RAW_FRAME_SCHEMA.fields
