@@ -29,6 +29,7 @@ _PRIORITY = (
     "vocab_top_terms",           # new in r3
     "text_pii_scrub",            # new in r3
     "stratified_sample",         # new in r3
+    "dedup_components",          # new in r3: pairs → connected-component clusters
     # ---- the 21 queries with r1-only driver evidence ----
     "q7_nation_volume",
     "q10_returned_items",
@@ -73,7 +74,6 @@ _PRIORITY = (
     "json_props_stats",
     "variant_props_stats",
     "conversion_funnel",
-    "geomean_value",
 )
 
 

@@ -516,10 +516,59 @@ FROM p WHERE cos >= {COS_T}
 """
 
 
+# --- near-dup cluster resolution (pairs → connected components) -------------------
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the minhash-LSH pair stream is a graph; resolve it
+    to transitively-closed components so "drop all but one per cluster" is a
+    single anti-join downstream. component = min doc_id in the cluster (the
+    canonical survivor), csize = cluster population.
+
+    Distribution: min-label propagation over the pair edges — one
+    join+aggregate shuffle pair per round, rounds = graph diameter (near-dup
+    graphs are unions of near-cliques, so a handful). See
+    operators/components.py for the scale notes.
+    """
+    from pyspark.sql import Window
+
+    from jetstream_spark.operators.components import connected_components
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component"),
+        F.count(F.lit(1)).over(Window.partitionBy("label")).alias("csize"),
+    )
+
+
+# Transitive closure of the exact-Jaccard pair set (minhash+verify == exact
+# pairs whenever LSH recall is 1, as for the pair query itself). Closure is
+# fine at oracle scale: components are tiny.
+Q_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE jp AS (
+  {_JACCARD_PAIRS_SQL}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jp
+), reach AS (
+  SELECT a AS v, a AS r FROM edges
+  UNION
+  SELECT reach.v, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+), lab AS (
+  SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
+)
+SELECT doc_id, component,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
+FROM lab
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", q_dedup_exact, Q_DEDUP_EXACT_ORACLE, "content-hash exact dedup", ("dedup",)),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, _JACCARD_PAIRS_SQL, "exact char-8-gram Jaccard pairs", ("dedup",)),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, _JACCARD_PAIRS_SQL, "MinHash-LSH + exact verify (== exact pairs)", ("dedup",)),
     QuerySpec("dedup_simhash", q_dedup_simhash, _simhash_oracle(), "SimHash hamming≤3 pairs via exact pigeonhole banding", ("dedup",)),
     QuerySpec("dedup_embedding_cosine", q_dedup_embedding_cosine, Q_EMB_NEARDUP_ORACLE, "embedding cosine≥0.4 near-dup pairs", ("dedup",)),
+    QuerySpec("dedup_components", q_dedup_components, Q_COMPONENTS_ORACLE, "near-dup pairs → connected-component clusters", ("dedup",)),
 ]

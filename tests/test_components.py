@@ -1,0 +1,50 @@
+"""Connected components (hash-to-min label propagation) unit tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from jetstream_spark.operators.components import connected_components
+
+
+def _labels(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r["node"]: r["label"] for r in connected_components(df, **kw).collect()}
+
+
+def test_two_cliques_and_a_chain(spark):
+    # clique {1,2,3}, clique {10,11}, chain 20-21-22-23 (diameter 3)
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+    got = _labels(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_direction_insensitive(spark):
+    # same component regardless of edge orientation
+    assert _labels(spark, [(5, 2), (2, 9)]) == {2: 2, 5: 2, 9: 2}
+
+
+def test_bridged_cliques_merge(spark):
+    # two near-cliques joined by one bridge edge collapse to one component
+    edges = [(1, 2), (2, 3), (1, 3), (7, 8), (8, 9), (7, 9), (3, 7)]
+    got = _labels(spark, edges)
+    assert set(got.values()) == {1}
+    assert len(got) == 6
+
+
+def test_self_loop_is_singleton(spark):
+    assert _labels(spark, [(4, 4)]) == {4: 4}
+
+
+def test_diameter_cap_raises(spark):
+    edges = [(i, i + 1) for i in range(6)]  # path graph, diameter 6
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(spark.createDataFrame(edges, ["src", "dst"]), max_iter=2)
+
+
+def test_long_chain_converges_within_diameter(spark):
+    n = 12
+    edges = [(i, i + 1) for i in range(n)]
+    got = _labels(spark, edges, max_iter=n + 2)
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
