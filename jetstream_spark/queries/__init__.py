@@ -30,6 +30,9 @@ _PRIORITY = (
     "text_pii_scrub",            # new in r3
     "stratified_sample",         # new in r3
     "dedup_components",          # new in r3: pairs → connected-component clusters
+    "dedup_keep_canonical",      # new in r3: surviving corpus after cluster resolution
+    "embedding_quantize_int8",   # new in r3
+    "tfidf_top_terms",           # new in r3
     # ---- the 21 queries with r1-only driver evidence ----
     "q7_nation_volume",
     "q10_returned_items",
@@ -69,11 +72,8 @@ _PRIORITY = (
     "monotonic_delivery",
     "per_key_ordering",
     "tumbling_window_hourly",
-    "hopping_window_hourly",
     "asof_join_purchases",
-    "json_props_stats",
     "variant_props_stats",
-    "conversion_funnel",
 )
 
 

@@ -564,6 +564,51 @@ FROM lab
 """
 
 
+# --- the dedup pipeline's last mile: keep one survivor per cluster ----------------
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surviving corpus after near-dup resolution: every document except
+    non-canonical cluster members (node != component label). This is the
+    shape of an actual corpus-dedup job's output — pairs → clusters →
+    one anti-join back onto the full table.
+
+    Scale: the victim set (labels where node != label) is proportional to
+    the duplicate count, typically ≪ corpus; a broadcast or shuffled
+    left_anti join on doc_id, no second pass over text.
+    """
+    from jetstream_spark.operators.components import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    victims = (
+        connected_components(pairs, src="doc_a", dst="doc_b")
+        .where(F.col("node") != F.col("label"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        docs.join(victims, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+Q_KEEP_CANONICAL_ORACLE = f"""
+WITH RECURSIVE jp AS (
+  {_JACCARD_PAIRS_SQL}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jp
+), reach AS (
+  SELECT a AS v, a AS r FROM edges
+  UNION
+  SELECT reach.v, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+), lab AS (
+  SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
+)
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE component <> doc_id)
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", q_dedup_exact, Q_DEDUP_EXACT_ORACLE, "content-hash exact dedup", ("dedup",)),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, _JACCARD_PAIRS_SQL, "exact char-8-gram Jaccard pairs", ("dedup",)),
@@ -571,4 +616,5 @@ QUERIES = [
     QuerySpec("dedup_simhash", q_dedup_simhash, _simhash_oracle(), "SimHash hamming≤3 pairs via exact pigeonhole banding", ("dedup",)),
     QuerySpec("dedup_embedding_cosine", q_dedup_embedding_cosine, Q_EMB_NEARDUP_ORACLE, "embedding cosine≥0.4 near-dup pairs", ("dedup",)),
     QuerySpec("dedup_components", q_dedup_components, Q_COMPONENTS_ORACLE, "near-dup pairs → connected-component clusters", ("dedup",)),
+    QuerySpec("dedup_keep_canonical", q_dedup_keep_canonical, Q_KEEP_CANONICAL_ORACLE, "surviving corpus after cluster resolution (anti-join)", ("dedup",)),
 ]

@@ -434,6 +434,64 @@ FROM p
 """
 
 
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/serving form of
+    an embedding corpus (4x smaller than float32, 8x than float64):
+    scale = max|x| / 127, q_i = clamp(round(x_i / scale), ±127), and the
+    round-trip reconstruction error (MSE + max abs) per vector.
+
+    All JVM HOF arithmetic (whole-stage codegen, one narrow pass, no
+    shuffle) — at 100 TB this is a map-only rewrite job. Half-up rounding
+    on both engines (Spark F.round == DuckDB round); zero vectors guarded
+    (Spark double/0 is NULL, not inf)."""
+    emb = table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    mx = F.aggregate(dbl, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+    base = emb.select("vec_id", dbl.alias("v"), (mx / F.lit(127.0)).alias("qscale"))
+    q = F.transform(
+        "v",
+        lambda x: F.when(F.col("qscale") == 0.0, F.lit(0.0))
+        .otherwise(F.greatest(F.lit(-127.0), F.least(F.lit(127.0), F.round(x / F.col("qscale")))))
+        .cast("int"),
+    )
+    errs = F.zip_with("v", "q", lambda x, qi: x - qi.cast("double") * F.col("qscale"))
+    per_vec = base.withColumn("q", q).withColumn("errs", errs)
+    mse = F.aggregate("errs", F.lit(0.0), lambda acc, e: acc + e * e) / F.size("errs")
+    max_abs_err = F.aggregate("errs", F.lit(0.0), lambda acc, e: F.greatest(acc, F.abs(e)))
+    return per_vec.select(
+        "vec_id",
+        F.round("qscale", 9).alias("qscale"),
+        F.round(mse, 9).alias("mse"),
+        F.round(max_abs_err, 9).alias("max_abs_err"),
+        F.element_at("q", 1).alias("q_first"),
+    )
+
+
+Q_EMB_QUANTIZE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max') / 127.0 AS qscale
+  FROM embeddings
+), qd AS (
+  SELECT vec_id, v, qscale,
+         list_transform(v, x -> CAST(CASE WHEN qscale = 0 THEN 0.0
+                                          ELSE greatest(-127.0, least(127.0, round(x / qscale)))
+                                     END AS INT)) AS q
+  FROM e
+), er AS (
+  SELECT vec_id, qscale, q,
+         list_transform(generate_series(1, len(v)), i -> v[i] - CAST(q[i] AS DOUBLE) * qscale) AS errs
+  FROM qd
+)
+SELECT vec_id,
+       round(qscale, 9) AS qscale,
+       round(list_aggregate(list_transform(errs, e -> e * e), 'sum') / len(errs), 9) AS mse,
+       round(list_aggregate(list_transform(errs, e -> abs(e)), 'max'), 9) AS max_abs_err,
+       q[1] AS q_first
+FROM er
+"""
+
+
 QUERIES = [
     QuerySpec("ann_brute_force_topk", q_ann_brute_force, Q_ANN_ORACLE, "exact cosine top-k (numpy block products)", ("similarity",)),
     QuerySpec("ann_lsh_topk", q_ann_lsh, _lsh_oracle(), "random-hyperplane LSH ANN (approximate scale path)", ("similarity",)),
@@ -442,4 +500,5 @@ QUERIES = [
     QuerySpec("ann_ivf_indexed", q_ann_ivf_indexed, _ivf_oracle(), "IVF ANN through the materialized cell-partitioned inverted file", ("similarity",)),
     QuerySpec("embedding_norms", q_embedding_norms, Q_EMB_NORMS_ORACLE, "vector norm/stats ops", ("similarity",)),
     QuerySpec("embedding_downproject", q_embedding_downproject, Q_EMB_DOWNPROJECT_ORACLE, "adjacent-pair dim reduction", ("similarity",)),
+    QuerySpec("embedding_quantize_int8", q_embedding_quantize_int8, Q_EMB_QUANTIZE_ORACLE, "symmetric int8 quantization + reconstruction error", ("similarity",)),
 ]

@@ -333,6 +333,73 @@ FROM documents
 """
 
 
+# --- TF-IDF -----------------------------------------------------------------------
+TFIDF_TOP_N = 50
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: tf = term count / doc tokens, idf = ln(N / df),
+    top-50 (doc, term) pairs by score — the relevance-weighting shape of
+    quality filtering and topic probes over a training corpus.
+
+    Shuffle shape: one explode → (doc_id, term) groupBy for tf, one term
+    groupBy for df, one broadcast-size join of the df table back on term
+    (vocab ≪ corpus; at 100 TB the df side is still only the vocabulary),
+    then distributed top-k (TakeOrderedAndProject, no global sort). N is a
+    scalar agg folded in via a literal-free cross join of one row.
+
+    Ties: equal (tf, df) pairs produce bit-identical scores in both
+    engines (same IEEE ops, same order), broken by (doc_id, term)."""
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_tokens"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("term_count"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("term_count") / F.col("doc_tokens"))
+            * F.log(F.col("n_docs") / F.col("doc_freq")),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), "doc_id", "term")
+        .limit(TFIDF_TOP_N)
+        .select(
+            "doc_id",
+            "term",
+            "term_count",
+            "doc_freq",
+            F.round("score", 6).alias("tfidf"),
+        )
+    )
+
+
+Q_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_tokens FROM toks GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS term_count FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq FROM toks GROUP BY term
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.term_count, df.doc_freq,
+         (CAST(tf.term_count AS DOUBLE) / dl.doc_tokens) * ln(n.n_docs / df.doc_freq) AS score
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id JOIN df ON tf.term = df.term, n
+)
+SELECT doc_id, term, term_count, doc_freq, round(score, 6) AS tfidf
+FROM scored ORDER BY score DESC, doc_id, term LIMIT {TFIDF_TOP_N}
+"""
+
+
 QUERIES = [
     QuerySpec("text_token_count", q_token_count, Q_TOKEN_COUNT_ORACLE, "token + subword counting", ("text",)),
     QuerySpec("text_repetition", q_repetition, Q_REPETITION_ORACLE, "repetition/boilerplate features", ("text",)),
@@ -341,4 +408,5 @@ QUERIES = [
     QuerySpec("text_fingerprint", q_fingerprint, Q_FINGERPRINT_ORACLE, "md5 + rolling-hash fingerprints", ("text",)),
     QuerySpec("vocab_top_terms", q_vocab_top_terms, Q_VOCAB_ORACLE, "corpus vocabulary top-terms (explode + distributed top-k)", ("text",)),
     QuerySpec("text_pii_scrub", q_pii_scrub, Q_PII_ORACLE, "PII span counting + redacted length", ("text",)),
+    QuerySpec("tfidf_top_terms", q_tfidf_top_terms, Q_TFIDF_ORACLE, "corpus TF-IDF top (doc, term) pairs", ("text",)),
 ]
