@@ -51,6 +51,9 @@ EXTRAS = [
     "ann_lsh_indexed",       # r3: index build + partition-pruned probe
     "ann_ivf_indexed",       # r3: inverted-file build + nprobe-cell probe
     "vocab_top_terms",       # r3: explode + distributed top-k
+    "dedup_components",      # r3: pair graph → connected components (iterative)
+    "embedding_quantize_int8",  # r3: map-only int8 rewrite
+    "tfidf_top_terms",       # r3: tf-idf + broadcast vocab join + top-k
 ]
 
 REGRESSION_FACTOR = 1.15
