@@ -228,8 +228,96 @@ GROUP BY lang
 """
 
 
+# --- split decontamination --------------------------------------------------------
+DECONTAM_GRAM_N = 8  # word n-gram size, the Dolma/FineWeb-style decontam unit
+
+
+def q_decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination check: for every TEST-split document, how many
+    of its distinct word 8-grams also occur anywhere in the TRAIN split.
+    This is the decontamination pass run before evals are trusted — overlap
+    at the n-gram level catches verbatim leakage that document-level dedup
+    misses (a test doc quoted inside a larger train doc).
+
+    Scale shape: both sides explode to (doc_id, gram) / (gram) with
+    map-side distinct; the contamination join shuffles on the gram string —
+    the standard decontam pipeline shape. The train side collapses to its
+    DISTINCT gram set first (vocabulary-sized, not corpus-sized). Hot
+    boilerplate grams skew the join key; AQE skew-split handles it (same
+    policy as the dedup band joins).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    # Spark's sequence(1, n) DESCENDS when n < 1 — guard short docs explicitly
+    grams = F.when(
+        F.size("toks") >= DECONTAM_GRAM_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (DECONTAM_GRAM_N - 1)),
+                lambda i: F.array_join(F.slice("toks", i, DECONTAM_GRAM_N), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", _bucket_expr(), toks.alias("toks")).select(
+        "doc_id", "bucket", grams.alias("grams")
+    )
+    test = base.where(F.col("bucket") >= TRAIN_PCT + VAL_PCT)
+    train_grams = (
+        base.where(F.col("bucket") < TRAIN_PCT)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    test_grams = test.select("doc_id", F.explode("grams").alias("gram"))
+    hits = (
+        test_grams.join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        test.select("doc_id", F.size("grams").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.when(F.col("n_grams") == 0, F.lit(0.0))
+            .otherwise(F.round(F.coalesce("n_contaminated", F.lit(0)) / F.col("n_grams"), 6))
+            .alias("contamination"),
+        )
+    )
+
+
+Q_DECONTAM_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, {_BUCKET_SQL} AS bucket,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, bucket,
+         list_distinct(list_transform(generate_series(1, len(t) - {DECONTAM_GRAM_N - 1}),
+                                      i -> array_to_string(t[i:i + {DECONTAM_GRAM_N - 1}], ' '))) AS grams
+  FROM b
+), tg AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g WHERE bucket >= {TRAIN_PCT + VAL_PCT}
+), trg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE bucket < {TRAIN_PCT}
+), hits AS (
+  SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+  FROM tg JOIN trg USING (gram) GROUP BY tg.doc_id
+)
+SELECT g.doc_id,
+       len(g.grams) AS n_grams,
+       coalesce(hits.n_contaminated, 0) AS n_contaminated,
+       CASE WHEN len(g.grams) = 0 THEN 0.0
+            ELSE round(coalesce(hits.n_contaminated, 0) / len(g.grams), 6) END AS contamination
+FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+WHERE g.bucket >= {TRAIN_PCT + VAL_PCT}
+"""
+
+
 QUERIES = [
     QuerySpec("stratified_sample", q_stratified_sample, Q_STRATIFIED_ORACLE, "per-language deterministic sampling audit", ("sampling",)),
+    QuerySpec("decontaminate_splits", q_decontaminate_splits, Q_DECONTAM_ORACLE, "test-split n-gram contamination vs train split", ("sampling",)),
     QuerySpec("sample_split", q_sample_split, Q_SAMPLE_SPLIT_ORACLE, "deterministic hash train/val/test split", ("sampling",)),
     QuerySpec("doc_packing", q_doc_packing, Q_DOC_PACKING_ORACLE, "shard-parallel token-budget sequence packing", ("sampling",)),
     QuerySpec("doc_chunking", q_doc_chunking, Q_DOC_CHUNKING_ORACLE, "overlapping context-window chunking via Spark 4 UDTF + LATERAL", ("sampling",)),
