@@ -41,6 +41,20 @@ from jetstream_spark.queries.similarity import (
 from jetstream_spark.tables import table
 
 
+def index_is_fresh(index_path: str, sf_dir: str) -> bool:
+    """True when a completed index write (Spark's _SUCCESS marker) is newer
+    than the source embeddings parquet — the standing-deployment contract:
+    build once, probe many times, rebuild only when the corpus changes."""
+    import os
+
+    marker = os.path.join(index_path, "_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        return os.path.getmtime(marker) >= os.path.getmtime(src)
+    except OSError:
+        return False
+
+
 def lsh_planes(dim: int = 64) -> np.ndarray:
     """The deterministic hyperplane matrix shared with q_ann_lsh."""
     return np.random.RandomState(LSH_SEED).randn(LSH_PLANES, dim)

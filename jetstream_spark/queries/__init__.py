@@ -33,6 +33,7 @@ _PRIORITY = (
     "dedup_keep_canonical",      # new in r3: surviving corpus after cluster resolution
     "embedding_quantize_int8",   # new in r3
     "tfidf_top_terms",           # new in r3
+    "decontaminate_splits",      # new in r3
     # ---- the 21 queries with r1-only driver evidence ----
     "q7_nation_volume",
     "q10_returned_items",
@@ -73,7 +74,6 @@ _PRIORITY = (
     "per_key_ordering",
     "tumbling_window_hourly",
     "asof_join_purchases",
-    "variant_props_stats",
 )
 
 

@@ -295,17 +295,22 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket=<id>/ directories within hamming<=2 of a query signature —
     partition pruning makes the 100 TB probe-subset claim physical
     (plan-asserted in tests/test_ann_index.py). Same bucket semantics as
-    q_ann_lsh, so the same SQL oracle checks it. The index build is
-    re-run per call to keep the query self-contained; a standing
-    deployment builds once and probes many times."""
+    q_ann_lsh, so the same SQL oracle checks it. The index is reused when
+    a completed build is newer than the source corpus (build once, probe
+    many times); a stale or absent index is rebuilt in-line."""
     import os
     import tempfile
 
-    from jetstream_spark.operators.ann_index import build_lsh_index, probe_lsh_index
+    from jetstream_spark.operators.ann_index import (
+        build_lsh_index,
+        index_is_fresh,
+        probe_lsh_index,
+    )
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     index_path = os.path.join(tempfile.gettempdir(), f"jetstream_ann_index_{tag}")
-    build_lsh_index(spark, sf_dir, index_path)
+    if not index_is_fresh(index_path, sf_dir):
+        build_lsh_index(spark, sf_dir, index_path)
     return probe_lsh_index(spark, sf_dir, index_path)
 
 
@@ -362,15 +367,22 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/ann_index.py): embeddings written once partitioned by IVF
     cell id, probe reads only the nprobe cell=<id>/ directories — the
     partition-pruned physical form of 'a probe touches nprobe/cells of the
-    data'. Same cell-assignment semantics as q_ann_ivf, same SQL oracle."""
+    data'. Same cell-assignment semantics as q_ann_ivf, same SQL oracle.
+    The inverted file is reused when a completed build is newer than the
+    source corpus; a stale or absent one is rebuilt in-line."""
     import os
     import tempfile
 
-    from jetstream_spark.operators.ann_index import build_ivf_index, probe_ivf_index
+    from jetstream_spark.operators.ann_index import (
+        build_ivf_index,
+        index_is_fresh,
+        probe_ivf_index,
+    )
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     index_path = os.path.join(tempfile.gettempdir(), f"jetstream_ivf_index_{tag}")
-    build_ivf_index(spark, sf_dir, index_path)
+    if not index_is_fresh(index_path, sf_dir):
+        build_ivf_index(spark, sf_dir, index_path)
     return probe_ivf_index(spark, sf_dir, index_path)
 
 
