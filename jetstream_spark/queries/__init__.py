@@ -21,6 +21,10 @@ from jetstream_spark.queries.spec import QuerySpec
 # Everything in the tail has fresh (r2) driver evidence.
 _PRIORITY = (
     # ---- changed this round (r3) ----
+    "quality_gopher_rules",      # new in r3: Gopher rule bundle
+    "unigram_perplexity",        # new in r3: unigram-LM ppl + CCNet terciles
+    "domain_mix_weights",        # new in r3: source mixing weights
+    "importance_weights_dsir",   # new in r3: DSIR hashed-ngram weights
     "sessionization",            # oracle CAST fix (r2's only red row)
     "ann_lsh_topk",              # real SQL oracle added (was rows-only)
     "ann_ivf_topk",              # real SQL oracle added (was rows-only)
@@ -79,10 +83,10 @@ _PRIORITY = (
 
 def all_queries() -> dict[str, QuerySpec]:
     # imports deferred so a syntax error in one domain doesn't break the rest
-    from jetstream_spark.queries import dedup, eventlog, multimodal, relational, relational2, relational3, sampling, similarity, text
+    from jetstream_spark.queries import dedup, eventlog, multimodal, quality, relational, relational2, relational3, sampling, similarity, text
 
     collected: dict[str, QuerySpec] = {}
-    for module in (relational, relational2, relational3, eventlog, dedup, similarity, text, multimodal, sampling):
+    for module in (relational, relational2, relational3, eventlog, dedup, similarity, text, quality, multimodal, sampling):
         for spec in module.QUERIES:
             assert spec.name not in collected, f"duplicate query name {spec.name}"
             collected[spec.name] = spec

@@ -1,0 +1,337 @@
+"""Corpus-curation operators (SURVEY.md §2.3 extensions): the filter /
+score / mix decisions a pre-training data pipeline makes between raw
+crawl and tokenizer handoff.
+
+- quality_gopher_rules: the Gopher-style rule bundle (word-count bounds,
+  mean word length, alphabetic-word fraction, stopword presence) as
+  per-document boolean verdicts. Pure codegen HOFs — one scan, no shuffle.
+- unigram_perplexity: CCNet-style quality scoring — fit a unigram LM on
+  the train split (same md5 bucket assignment as `sample_split`), score
+  held-out docs by average negative log-likelihood, bucket into
+  head/middle/tail terciles per language.
+- domain_mix_weights: per-source token shares and temperature-scaled
+  (alpha=0.5) multinomial sampling weights — the data-mixing table a
+  multi-source training run consumes.
+- importance_weights_dsir: DSIR-shaped importance weights — hashed
+  unigram features (md5 fold mod 256, engine-independent), per-bucket
+  log-ratio of a target distribution (lang='en') vs the raw corpus,
+  summed per document.
+
+Scale notes (100 TB): gopher rules are map-only. The perplexity and DSIR
+models are aggregates whose size is bounded by vocab/bucket cardinality —
+vocabulary counts and 256-bucket ratio tables broadcast to every executor,
+so scoring is one map-side join pass over the corpus (no fact-fact
+shuffle). domain_mix_weights reduces to one row per source. Every
+expression is JVM-side; no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jetstream_spark.queries.sampling import _BUCKET_SQL, TRAIN_PCT, _bucket_expr
+from jetstream_spark.queries.spec import QuerySpec
+from jetstream_spark.queries.text import _STOPWORDS, _TOKENS_SQL, _tokens
+from jetstream_spark.tables import table
+
+# --- Gopher-style rule bundle -------------------------------------------------
+# Thresholds follow the published Gopher filters, scaled to this corpus's
+# short synthetic docs only where noted.
+GOPHER_MIN_WORDS = 20      # Gopher uses 50 on web pages; docs here are 10-120 words
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.80
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher rule verdicts over any (doc_id, text) frame.
+    Each rule is computed on exact integer/rational arithmetic (identical
+    in both engines) and reported both as the raw feature and the boolean
+    verdict; `pass_gopher` is the conjunction. Map-only."""
+    toks = _tokens()
+    n_words = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long"))
+    mean_len = F.when(n_words > 0, tok_chars / n_words.cast("double")).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    alpha_frac = F.when(n_words > 0, n_alpha / n_words.cast("double")).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    p_count = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    p_mean = (mean_len >= GOPHER_MIN_MEAN_LEN) & (mean_len <= GOPHER_MAX_MEAN_LEN)
+    p_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    p_stop = n_stop >= GOPHER_MIN_STOP_HITS
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.alias("n_stopword_hits"),
+        p_count.alias("pass_word_count"),
+        p_mean.alias("pass_mean_word_len"),
+        p_alpha.alias("pass_alpha_frac"),
+        p_stop.alias("pass_stopwords"),
+        (p_count & p_mean & p_alpha & p_stop).alias("pass_gopher"),
+    )
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_rules(table(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+
+Q_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(toks)
+              ELSE 0.0 END AS alpha_frac,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop
+  FROM t
+)
+SELECT doc_id,
+       n_words,
+       round(mean_len, 6) AS mean_word_len,
+       round(alpha_frac, 6) AS alpha_word_frac,
+       n_stop AS n_stopword_hits,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS pass_word_count,
+       (mean_len >= {GOPHER_MIN_MEAN_LEN} AND mean_len <= {GOPHER_MAX_MEAN_LEN}) AS pass_mean_word_len,
+       (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS pass_alpha_frac,
+       (n_stop >= {GOPHER_MIN_STOP_HITS}) AS pass_stopwords,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_len >= {GOPHER_MIN_MEAN_LEN} AND mean_len <= {GOPHER_MAX_MEAN_LEN}
+        AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+        AND n_stop >= {GOPHER_MIN_STOP_HITS}) AS pass_gopher
+FROM m
+"""
+
+
+# --- unigram-LM perplexity scoring (CCNet shape) ------------------------------
+def unigram_perplexity_scores(train_docs: DataFrame, eval_docs: DataFrame) -> DataFrame:
+    """Fit add-one-smoothed unigram LM on `train_docs`, score every
+    `eval_docs` row: avg_nll = mean over tokens of -ln((cnt+1)/(T+V)),
+    ppl = exp(avg_nll), then CCNet head/middle/tail terciles per language
+    (ntile over the ROUNDED score + doc_id so the ordering is engine-exact).
+
+    Scale: the model is a vocabulary-sized count table — broadcast — so
+    scoring is a map-side join over exploded tokens; the only corpus-wide
+    shuffle is the per-doc aggregation."""
+    train_terms = train_docs.select(F.explode(_tokens()).alias("term"))
+    vocab = train_terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").cast("long").alias("t_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    eval_terms = eval_docs.select("doc_id", "lang", F.explode(_tokens()).alias("term"))
+    scored = eval_terms.join(F.broadcast(vocab), "term", "left").join(F.broadcast(totals))
+    nll = -F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+        / (F.col("t_total") + F.col("v_size")).cast("double")
+    )
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(nll), 6).alias("avg_nll"),
+        F.round(F.exp(F.avg(nll)), 6).alias("ppl"),
+    )
+    tercile = F.ntile(3).over(Window.partitionBy("lang").orderBy("avg_nll", "doc_id"))
+    bucket_name = (
+        F.when(tercile == 1, "head").when(tercile == 2, "middle").otherwise("tail")
+    )
+    return per_doc.select(
+        "doc_id", "lang", "n_tokens", "avg_nll", "ppl", bucket_name.alias("ppl_bucket")
+    )
+
+
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval membership is the exact `sample_split` md5 assignment
+    (bucket < TRAIN_PCT trains the LM; the held-out 20% is scored)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text", _bucket_expr())
+    return unigram_perplexity_scores(
+        docs.filter(F.col("bucket") < TRAIN_PCT),
+        docs.filter(F.col("bucket") >= TRAIN_PCT),
+    )
+
+
+Q_UNIGRAM_PPL_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lang, text, {_BUCKET_SQL} AS bucket FROM documents
+), tr AS (
+  SELECT unnest({_TOKENS_SQL}) AS term FROM b WHERE bucket < {TRAIN_PCT}
+), vocab AS (
+  SELECT term, count(*) AS cnt FROM tr GROUP BY term
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS t_total, count(*) AS v_size FROM vocab
+), ev AS (
+  SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS term FROM b WHERE bucket >= {TRAIN_PCT}
+), sc AS (
+  SELECT ev.doc_id, ev.lang,
+         -ln((coalesce(vocab.cnt, 0) + 1) * 1.0 / (tot.t_total + tot.v_size)) AS nll
+  FROM ev LEFT JOIN vocab USING (term) CROSS JOIN tot
+), pd AS (
+  SELECT doc_id, lang, count(*) AS n_tokens,
+         round(avg(nll), 6) AS avg_nll,
+         round(exp(avg(nll)), 6) AS ppl
+  FROM sc GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_tokens, avg_nll, ppl,
+       CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM pd
+"""
+
+
+# --- domain mixing weights ----------------------------------------------------
+def domain_mix(docs: DataFrame) -> DataFrame:
+    """Per-source corpus stats + multinomial sampling weights with a 0.5
+    temperature (w_s ∝ sqrt(token_share), renormalized) — the standard
+    smoothing that upweights small domains. One aggregation to |sources|
+    rows; the normalizing window runs over that tiny result."""
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_tokens())).cast("long").alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    shared = per_src.withColumn(
+        "share", F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    )
+    weight = F.sqrt("share") / F.sum(F.sqrt("share")).over(everything)
+    return shared.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("share", 6).alias("token_share"),
+        F.round(weight, 6).alias("mix_weight"),
+    )
+
+
+def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return domain_mix(table(spark, sf_dir, "documents"))
+
+
+Q_DOMAIN_MIX_ORACLE = f"""
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), sh AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens * 1.0 / sum(n_tokens) OVER () AS share
+  FROM s
+)
+SELECT source, n_docs, n_tokens,
+       round(share, 6) AS token_share,
+       round(sqrt(share) / sum(sqrt(share)) OVER (), 6) AS mix_weight
+FROM sh
+"""
+
+
+# --- DSIR importance weights --------------------------------------------------
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def _term_bucket() -> Column:
+    # first 4 hex chars of md5(term) -> 16-bit int -> mod DSIR_BUCKETS;
+    # engine-independent arithmetic, same device as sample_split's bucket
+    h = F.md5(F.col("term").cast("binary"))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % DSIR_BUCKETS)
+
+
+_TERM_BUCKET_SQL = (
+    "(("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(term), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    + f") % {DSIR_BUCKETS})"
+)
+
+
+def dsir_weights(docs: DataFrame, target_lang: str = DSIR_TARGET_LANG) -> DataFrame:
+    """DSIR-shaped importance weights: hashed-unigram features (md5 fold mod
+    DSIR_BUCKETS), per-bucket add-one log-ratio ln(p_target/p_raw) between
+    the target distribution (lang=target_lang) and the raw corpus, summed
+    over each document's tokens. Docs that look like the target get
+    positive weight — the resampling score of Xie et al.'s data selection.
+
+    Scale: both feature models are DSIR_BUCKETS-row tables (broadcast);
+    per-doc scoring is one map-side join + one aggregation by doc."""
+    terms = docs.select(
+        "doc_id", "lang", F.explode(_tokens()).alias("term")
+    ).withColumn("b", _term_bucket())
+    raw = terms.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_raw"))
+    tgt = (
+        terms.filter(F.col("lang") == target_lang)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt_tgt"))
+    )
+    totals = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("tot_raw"),
+        F.sum((F.col("lang") == target_lang).cast("long")).cast("long").alias("tot_tgt"),
+    )
+    ratios = (
+        raw.join(tgt, "b", "left")
+        .join(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("cnt_tgt"), F.lit(0)) + 1).cast("double") / (F.col("tot_tgt") + DSIR_BUCKETS).cast("double"))
+                - F.log((F.col("cnt_raw") + 1).cast("double") / (F.col("tot_raw") + DSIR_BUCKETS).cast("double"))
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        terms.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("log_ratio"), 6).alias("dsir_logweight"),
+        )
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_weights(table(spark, sf_dir, "documents"))
+
+
+Q_DSIR_ORACLE = f"""
+WITH terms AS (
+  SELECT doc_id, lang, unnest({_TOKENS_SQL}) AS term FROM documents
+), tb AS (
+  SELECT doc_id, lang, {_TERM_BUCKET_SQL} AS b FROM terms
+), raw AS (
+  SELECT b, count(*) AS cnt_raw FROM tb GROUP BY b
+), tgt AS (
+  SELECT b, count(*) AS cnt_tgt FROM tb WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+), tot AS (
+  SELECT count(*) AS tot_raw,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS BIGINT) AS tot_tgt
+  FROM tb
+), ratios AS (
+  SELECT raw.b,
+         ln((coalesce(tgt.cnt_tgt, 0) + 1) * 1.0 / (tot.tot_tgt + {DSIR_BUCKETS}))
+         - ln((raw.cnt_raw + 1) * 1.0 / (tot.tot_raw + {DSIR_BUCKETS})) AS log_ratio
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+)
+SELECT tb.doc_id, tb.lang, count(*) AS n_tokens,
+       round(sum(log_ratio), 6) AS dsir_logweight
+FROM tb JOIN ratios USING (b)
+GROUP BY tb.doc_id, tb.lang
+"""
+
+
+QUERIES = [
+    QuerySpec("quality_gopher_rules", q_gopher_rules, Q_GOPHER_ORACLE, "Gopher rule-bundle verdicts per doc", ("text", "quality")),
+    QuerySpec("unigram_perplexity", q_unigram_perplexity, Q_UNIGRAM_PPL_ORACLE, "unigram-LM perplexity + CCNet terciles", ("text", "quality")),
+    QuerySpec("domain_mix_weights", q_domain_mix_weights, Q_DOMAIN_MIX_ORACLE, "per-source token shares + temperature mixing weights", ("quality",)),
+    QuerySpec("importance_weights_dsir", q_dsir_weights, Q_DSIR_ORACLE, "DSIR hashed-ngram importance weights", ("quality",)),
+]
