@@ -21,6 +21,10 @@ from jetstream_spark.queries.spec import QuerySpec
 # Everything in the tail has fresh (r2) driver evidence.
 _PRIORITY = (
     # ---- changed this round (r3) ----
+    "q13_order_count_distribution",  # new in r3: outer join w/ ON-filter + double agg
+    "q11_revenue_concentration",     # new in r3: global scalar-subquery HAVING
+    "q21_sole_blame_suppliers",      # new in r3: EXISTS + NOT EXISTS self-join
+    "q22_idle_rich_customers",       # new in r3: scalar subquery + anti join
     "quality_gopher_rules",      # new in r3: Gopher rule bundle
     "unigram_perplexity",        # new in r3: unigram-LM ppl + CCNet terciles
     "domain_mix_weights",        # new in r3: source mixing weights
@@ -83,10 +87,10 @@ _PRIORITY = (
 
 def all_queries() -> dict[str, QuerySpec]:
     # imports deferred so a syntax error in one domain doesn't break the rest
-    from jetstream_spark.queries import dedup, eventlog, multimodal, quality, relational, relational2, relational3, sampling, similarity, text
+    from jetstream_spark.queries import dedup, eventlog, multimodal, quality, relational, relational2, relational3, relational4, sampling, similarity, text
 
     collected: dict[str, QuerySpec] = {}
-    for module in (relational, relational2, relational3, eventlog, dedup, similarity, text, quality, multimodal, sampling):
+    for module in (relational, relational2, relational3, relational4, eventlog, dedup, similarity, text, quality, multimodal, sampling):
         for spec in module.QUERIES:
             assert spec.name not in collected, f"duplicate query name {spec.name}"
             collected[spec.name] = spec
