@@ -54,6 +54,9 @@ EXTRAS = [
     "dedup_components",      # r3: pair graph → connected components (iterative)
     "embedding_quantize_int8",  # r3: map-only int8 rewrite
     "tfidf_top_terms",       # r3: tf-idf + broadcast vocab join + top-k
+    "unigram_perplexity",    # r3: broadcast unigram LM + per-doc scoring
+    "importance_weights_dsir",  # r3: hashed-ngram log-ratio weights
+    "q21_sole_blame_suppliers",  # r3: EXISTS/NOT-EXISTS self-join on the fact
 ]
 
 REGRESSION_FACTOR = 1.15
