@@ -25,6 +25,7 @@ _PRIORITY = (
     "q11_revenue_concentration",     # new in r3: global scalar-subquery HAVING
     "q21_sole_blame_suppliers",      # new in r3: EXISTS + NOT EXISTS self-join
     "q22_idle_rich_customers",       # new in r3: scalar subquery + anti join
+    "curation_pipeline",         # new in r3: dedup → filter → split composition
     "quality_gopher_rules",      # new in r3: Gopher rule bundle
     "unigram_perplexity",        # new in r3: unigram-LM ppl + CCNet terciles
     "domain_mix_weights",        # new in r3: source mixing weights

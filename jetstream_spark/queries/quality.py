@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from jetstream_spark.queries.sampling import _BUCKET_SQL, TRAIN_PCT, _bucket_expr
+from jetstream_spark.queries.sampling import _BUCKET_SQL, TRAIN_PCT, VAL_PCT, _bucket_expr
 from jetstream_spark.queries.spec import QuerySpec
 from jetstream_spark.queries.text import _STOPWORDS, _TOKENS_SQL, _tokens
 from jetstream_spark.tables import table
@@ -47,11 +47,10 @@ GOPHER_MIN_ALPHA_FRAC = 0.80
 GOPHER_MIN_STOP_HITS = 2
 
 
-def gopher_rules(docs: DataFrame) -> DataFrame:
-    """Per-document Gopher rule verdicts over any (doc_id, text) frame.
-    Each rule is computed on exact integer/rational arithmetic (identical
-    in both engines) and reported both as the raw feature and the boolean
-    verdict; `pass_gopher` is the conjunction. Map-only."""
+def _gopher_parts() -> tuple[Column, Column, Column, Column, Column, Column, Column, Column]:
+    """(n_words, mean_len, alpha_frac, n_stop, p_count, p_mean, p_alpha,
+    p_stop) over the `text` column — shared by the verdict query and the
+    curation pipeline so both filter on the identical arithmetic."""
     toks = _tokens()
     n_words = F.size(toks)
     tok_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x).cast("long"))
@@ -64,6 +63,21 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     p_mean = (mean_len >= GOPHER_MIN_MEAN_LEN) & (mean_len <= GOPHER_MAX_MEAN_LEN)
     p_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
     p_stop = n_stop >= GOPHER_MIN_STOP_HITS
+    return n_words, mean_len, alpha_frac, n_stop, p_count, p_mean, p_alpha, p_stop
+
+
+def gopher_pass() -> Column:
+    """The conjunction of all Gopher rules as one boolean Column."""
+    _, _, _, _, p_count, p_mean, p_alpha, p_stop = _gopher_parts()
+    return p_count & p_mean & p_alpha & p_stop
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher rule verdicts over any (doc_id, text) frame.
+    Each rule is computed on exact integer/rational arithmetic (identical
+    in both engines) and reported both as the raw feature and the boolean
+    verdict; `pass_gopher` is the conjunction. Map-only."""
+    n_words, mean_len, alpha_frac, n_stop, p_count, p_mean, p_alpha, p_stop = _gopher_parts()
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -329,8 +343,87 @@ GROUP BY tb.doc_id, tb.lang
 """
 
 
+# --- end-to-end curation pipeline ---------------------------------------------
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed the way a real curation run chains them:
+    exact-dedup survivors (min doc_id per md5(text)) → Gopher rule filter →
+    md5 train/val/test assignment → per-split corpus stats. One declarative
+    plan: Catalyst collapses the dedup window, the filter, and the split
+    arithmetic into a single pass over the scan plus one window shuffle on
+    the content hash — proof the curation operators compose without
+    materialization barriers."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    survivors = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    kept = survivors.filter(gopher_pass())
+    split = (
+        F.when(F.col("bucket") < TRAIN_PCT, "train")
+        .when(F.col("bucket") < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        kept.select("doc_id", F.size(_tokens()).alias("n_tokens"), _bucket_expr())
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+Q_CURATION_ORACLE = f"""
+WITH surv AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+), feats AS (
+  SELECT doc_id, text, {_TOKENS_SQL} AS toks FROM surv
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0
+              THEN CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 1.0 / len(toks)
+              ELSE 0.0 END AS alpha_frac,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop,
+         len(toks) AS n_tokens
+  FROM feats
+), kept AS (
+  SELECT doc_id, n_tokens, {_BUCKET_SQL} AS bucket FROM m
+  WHERE n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+    AND mean_len >= {GOPHER_MIN_MEAN_LEN} AND mean_len <= {GOPHER_MAX_MEAN_LEN}
+    AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+    AND n_stop >= {GOPHER_MIN_STOP_HITS}
+), s AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+              WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM kept
+)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM s GROUP BY split ORDER BY split
+"""
+
+
 QUERIES = [
     QuerySpec("quality_gopher_rules", q_gopher_rules, Q_GOPHER_ORACLE, "Gopher rule-bundle verdicts per doc", ("text", "quality")),
+    QuerySpec("curation_pipeline", q_curation_pipeline, Q_CURATION_ORACLE, "dedup → Gopher filter → split: composed curation pipeline", ("quality", "pipeline")),
     QuerySpec("unigram_perplexity", q_unigram_perplexity, Q_UNIGRAM_PPL_ORACLE, "unigram-LM perplexity + CCNet terciles", ("text", "quality")),
     QuerySpec("domain_mix_weights", q_domain_mix_weights, Q_DOMAIN_MIX_ORACLE, "per-source token shares + temperature mixing weights", ("quality",)),
     QuerySpec("importance_weights_dsir", q_dsir_weights, Q_DSIR_ORACLE, "DSIR hashed-ngram importance weights", ("quality",)),
