@@ -57,6 +57,7 @@ EXTRAS = [
     "unigram_perplexity",    # r3: broadcast unigram LM + per-doc scoring
     "importance_weights_dsir",  # r3: hashed-ngram log-ratio weights
     "q21_sole_blame_suppliers",  # r3: EXISTS/NOT-EXISTS self-join on the fact
+    "semdedup_pairs",        # r3: within-cluster cosine dedup (SemDeDup)
 ]
 
 REGRESSION_FACTOR = 1.15
