@@ -25,6 +25,7 @@ _PRIORITY = (
     "q11_revenue_concentration",     # new in r3: global scalar-subquery HAVING
     "q21_sole_blame_suppliers",      # new in r3: EXISTS + NOT EXISTS self-join
     "q22_idle_rich_customers",       # new in r3: scalar subquery + anti join
+    "cms_heavy_hitters",         # new in r3: deterministic count-min sketch
     "kmeans_cluster_stats",      # new in r3: one Lloyd round over the IVF quantizer
     "semdedup_pairs",            # new in r3: within-cluster cosine near-dups
     "curation_pipeline",         # new in r3: dedup → filter → split composition
@@ -90,10 +91,10 @@ _PRIORITY = (
 
 def all_queries() -> dict[str, QuerySpec]:
     # imports deferred so a syntax error in one domain doesn't break the rest
-    from jetstream_spark.queries import clustering, dedup, eventlog, multimodal, quality, relational, relational2, relational3, relational4, sampling, similarity, text
+    from jetstream_spark.queries import clustering, dedup, eventlog, multimodal, quality, relational, relational2, relational3, relational4, sampling, similarity, sketches, text
 
     collected: dict[str, QuerySpec] = {}
-    for module in (relational, relational2, relational3, relational4, eventlog, dedup, similarity, clustering, text, quality, multimodal, sampling):
+    for module in (relational, relational2, relational3, relational4, eventlog, dedup, similarity, clustering, sketches, text, quality, multimodal, sampling):
         for spec in module.QUERIES:
             assert spec.name not in collected, f"duplicate query name {spec.name}"
             collected[spec.name] = spec
