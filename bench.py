@@ -56,6 +56,8 @@ EXTRAS = [
     "tfidf_top_terms",       # r3: tf-idf + broadcast vocab join + top-k
     "unigram_perplexity",    # r3: broadcast unigram LM + per-doc scoring
     "importance_weights_dsir",  # r3: hashed-ngram log-ratio weights
+    "q6_forecast_revenue",   # r3: full-pushdown scan-filter-agg (TPC-H Q6)
+    "q9_product_profit",     # r3: 4-way join profit rollup (TPC-H Q9)
     "q21_sole_blame_suppliers",  # r3: EXISTS/NOT-EXISTS self-join on the fact
     "semdedup_pairs",        # r3: within-cluster cosine dedup (SemDeDup)
 ]

@@ -20,6 +20,17 @@ from jetstream_spark.queries.spec import QuerySpec
 # of the r2 window), (3) representatives of code paths touched this round.
 # Everything in the tail has fresh (r2) driver evidence.
 _PRIORITY = (
+    # ---- new this round (r3, late session): remaining TPC-H shapes ----
+    "q2_min_cost_supplier",          # correlated min + join-back
+    "q4_priority_checking",          # EXISTS semi join w/ date inequality
+    "q6_forecast_revenue",           # full-pushdown scan-filter-agg
+    "q8_market_share",               # dual-role dims + conditional share
+    "q9_product_profit",             # multi-join profit rollup
+    "q12_priority_by_linestatus",    # conditional counts by class
+    "q15_top_supplier",              # view + global-max join-back
+    "q16_supplier_diversity",        # distinct-count + NOT IN anti join
+    "q17_small_quantity_revenue",    # correlated avg threshold
+    "q20_excess_shippers",           # nested agg + semi join chain
     # ---- changed this round (r3) ----
     "q13_order_count_distribution",  # new in r3: outer join w/ ON-filter + double agg
     "q11_revenue_concentration",     # new in r3: global scalar-subquery HAVING
@@ -46,19 +57,16 @@ _PRIORITY = (
     "embedding_quantize_int8",   # new in r3
     "tfidf_top_terms",           # new in r3
     "decontaminate_splits",      # new in r3
-    # ---- the 21 queries with r1-only driver evidence ----
+    # ---- r1-only driver evidence (15 of 21 fit the window; the 6 moved
+    # ---- to the tail are window/cube shapes whose family representatives
+    # ---- window_running_revenue / rollup_revenue / grouping_sets_status
+    # ---- are r2-green) ----
     "q7_nation_volume",
     "q10_returned_items",
     "q14_promo_share",
     "q18_large_orders",
     "q19_disjunctive",
-    "window_rank_customers",
-    "window_order_gaps",
-    "range_frame_window",
-    "ntile_quartiles",
-    "latest_order_per_customer",
     "user_journey",
-    "cube_segment_priority",
     "distinct_agg",
     "bool_aggs",
     "ordered_string_agg",
@@ -68,6 +76,14 @@ _PRIORITY = (
     "monthly_density",
     "date_functions",
     "regexp_extract_ids",
+    # ================= driver window boundary (~50) ==================
+    # ---- r1-green window/cube shapes displaced by the new TPC-H set ----
+    "window_rank_customers",
+    "window_order_gaps",
+    "range_frame_window",
+    "ntile_quartiles",
+    "latest_order_per_customer",
+    "cube_segment_priority",
     # ---- code paths touched this round (broadcast policy, minhash) ----
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -91,10 +107,10 @@ _PRIORITY = (
 
 def all_queries() -> dict[str, QuerySpec]:
     # imports deferred so a syntax error in one domain doesn't break the rest
-    from jetstream_spark.queries import clustering, dedup, eventlog, multimodal, quality, relational, relational2, relational3, relational4, sampling, similarity, sketches, text
+    from jetstream_spark.queries import clustering, dedup, eventlog, multimodal, quality, relational, relational2, relational3, relational4, relational5, sampling, similarity, sketches, text
 
     collected: dict[str, QuerySpec] = {}
-    for module in (relational, relational2, relational3, relational4, eventlog, dedup, similarity, clustering, sketches, text, quality, multimodal, sampling):
+    for module in (relational, relational2, relational3, relational4, relational5, eventlog, dedup, similarity, clustering, sketches, text, quality, multimodal, sampling):
         for spec in module.QUERIES:
             assert spec.name not in collected, f"duplicate query name {spec.name}"
             collected[spec.name] = spec
