@@ -167,11 +167,20 @@ def main() -> None:
     specs["q1_pricing_summary"].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
     specs["multimodal_frame_sample"].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Headline queries: min of 2 runs. Measured on this box, the first
+    # execution of a query pays Python-worker spawn + codegen + shuffle-file
+    # cache effects worth 1.5-3x (dedup_minhash_lsh: 7.6 s cold, 2.3-2.8 s
+    # settled over 4 consecutive runs), and a single sample under transient
+    # machine load once recorded a 12 s outlier for the same plan. min-of-2
+    # reports steady-state engine cost — the number that scales.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        specs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            specs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     ingest_sec, ingest_events = bench_ingest_pipeline(spark, sf_dir)
     timings["ingest_pipeline"] = round(ingest_sec, 3)
@@ -179,11 +188,17 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     timings["ingest_events_per_sec"] = round(ingest_events / ingest_sec, 1)  # rate, not in total
 
+    # Extras get the same min-of-2 treatment (a cold dedup_embedding_cosine
+    # measured 3.8x its settled time; the 1.15x regression guard would flag
+    # pure warmup noise on single samples).
     extras: dict[str, float] = {}
     for name in EXTRAS:
-        t0 = time.time()
-        specs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        extras[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            specs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        extras[name] = round(best, 3)
 
     print(
         json.dumps(
@@ -197,6 +212,8 @@ def main() -> None:
                     {**timings, **extras}, float(sf) if sf.replace(".", "").isdigit() else sf
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": 2,  # min-of-2 since r3; r1/r2 were single-run
+                "agg": "min",
             }
         )
     )
