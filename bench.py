@@ -52,6 +52,7 @@ EXTRAS = [
     "ann_ivf_indexed",       # r3: inverted-file build + nprobe-cell probe
     "vocab_top_terms",       # r3: explode + distributed top-k
     "dedup_components",      # r3: pair graph → connected components (iterative)
+    "dedup_incremental",     # r3: batch probe of the materialized band index
     "embedding_quantize_int8",  # r3: map-only int8 rewrite
     "tfidf_top_terms",       # r3: tf-idf + broadcast vocab join + top-k
     "unigram_perplexity",    # r3: broadcast unigram LM + per-doc scoring

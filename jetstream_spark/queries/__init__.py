@@ -54,6 +54,7 @@ _PRIORITY = (
     "stratified_sample",         # new in r3
     "dedup_components",          # new in r3: pairs → connected-component clusters
     "dedup_keep_canonical",      # new in r3: surviving corpus after cluster resolution
+    "dedup_incremental",         # new in r3: batch vs materialized bucketed band index
     "embedding_quantize_int8",   # new in r3
     "tfidf_top_terms",           # new in r3
     "decontaminate_splits",      # new in r3
@@ -75,8 +76,9 @@ _PRIORITY = (
     "above_nation_avg",
     "monthly_density",
     "date_functions",
-    "regexp_extract_ids",
     # ================= driver window boundary (~50) ==================
+    "regexp_extract_ids",  # r1-green; displaced by dedup_incremental — its
+    #                        family reps scalar_functions/date_functions stay in-window
     # ---- r1-green window/cube shapes displaced by the new TPC-H set ----
     "window_rank_customers",
     "window_order_gaps",

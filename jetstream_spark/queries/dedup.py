@@ -24,8 +24,6 @@ must reproduce it (verified in tests at the driver's correctness SF).
 
 from __future__ import annotations
 
-import random
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -186,13 +184,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash + LSH -----------------------------------------------------------------
-_MH_K = 24  # signature length
-_MH_R = 3  # rows per band
-_MH_B = _MH_K // _MH_R  # 8 bands → P(candidate | j=0.9) ≈ 1 - (1-0.729)^8 ≈ 0.99998
-_MH_P = 4294967311  # prime > 2^32
-_rng = random.Random(42)
-_MH_A = [_rng.randrange(1, 1 << 30) for _ in range(_MH_K)]
-_MH_B_ = [_rng.randrange(0, _MH_P) for _ in range(_MH_K)]
+# Signature kernel + banding constants live in operators/dedup_index.py now,
+# shared between this one-shot query and the materialized incremental index.
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,63 +205,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified exactly, so output == the exact-Jaccard oracle whenever LSH
     recall is 1 (asserted against the exact query in tests).
     """
-    import numpy as np
+    from jetstream_spark.operators.dedup_index import minhash_bands
 
     docs = table(spark, sf_dir, "documents")
-    A = np.array(_MH_A, dtype=np.uint64)
-    B = np.array(_MH_B_, dtype=np.uint64)
-
-    def kernel(batches):
-        # whole-batch vectorization: ONE sliding-window/hash/permutation pass
-        # over the concatenated batch, per-doc mins via minimum.reduceat —
-        # no per-document numpy-call loop. Duplicate shingles need no dedup:
-        # min over a multiset == min over its set, so signatures are
-        # unchanged vs the per-doc unique() formulation.
-        W = SHINGLE_W
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            texts = [t.lower().encode("utf-8") for t in pdf["text"]]
-            texts = [t if len(t) >= W else t + b"\x00" * (W - len(t)) for t in texts]
-            lens = np.array([len(t) for t in texts], dtype=np.int64)
-            concat = np.frombuffer(b"".join(texts), dtype=np.uint8).astype(np.uint64)
-            win = np.lib.stride_tricks.sliding_window_view(concat, W)
-            poly = np.zeros(len(win), dtype=np.uint64)
-            for k in range(W):  # poly-31 rolling hash, mod-2^64 wraparound
-                poly = poly * np.uint64(31) + win[:, k]
-            x = (poly * np.uint64(_SH_MIX)) % np.uint64(1 << 32)
-            # keep only windows fully inside one doc (drop straddlers)
-            n_docs = len(lens)
-            n_win = lens - W + 1
-            doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            group_starts = np.concatenate(([0], np.cumsum(n_win)[:-1]))
-            tot = int(n_win.sum())
-            doc_of = np.repeat(np.arange(n_docs), n_win)
-            intra = np.arange(tot) - np.repeat(group_starts, n_win)
-            xs = x[doc_starts[doc_of] + intra]
-            sig_all = (A[None, :] * xs[:, None] + B[None, :]) % np.uint64(_MH_P)
-            sigs = np.minimum.reduceat(sig_all, group_starts, axis=0)  # (docs, K)
-            bands = sigs.reshape(n_docs, _MH_B, _MH_R)
-            keys = np.zeros((n_docs, _MH_B), dtype=np.uint64)
-            for r in range(_MH_R):
-                keys = keys * np.uint64(_MH_P) + bands[:, :, r]
-            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.repeat(ids, _MH_B),
-                    "band_idx": np.tile(np.arange(_MH_B, dtype=np.int32), n_docs),
-                    "band_key": keys.reshape(-1).view(np.int64),
-                }
-            )
-
-    # documents.parquet is one file → one input partition; spread the kernel.
     # No cache on bands: the self-join's two identical sides share one
     # shuffle write via ReuseExchange, so the kernel already runs once —
     # an explicit cache only adds a materialization barrier (measured).
-    par = spark.sparkContext.defaultParallelism
-    bands = docs.select("doc_id", "text").repartition(par).mapInPandas(
-        kernel, schema="doc_id long, band_idx int, band_key long"
-    )
+    bands = minhash_bands(docs)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -609,6 +552,64 @@ WHERE doc_id NOT IN (SELECT doc_id FROM lab WHERE component <> doc_id)
 """
 
 
+# --- incremental dedup: new batch vs materialized history index -------------------
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the INCOMING batch (doc_id % 10 == 7) probed
+    against a MATERIALIZED MinHash band index of history (everything else) —
+    the shape a standing 100 TB pipeline actually runs, where history is
+    signatured once and each new batch costs O(batch), not O(corpus).
+
+    Physical contract (operators/dedup_index.py, plan-asserted in tests):
+    the index is a bucketed table on (band_idx, band_key), so the candidate
+    join reads it shuffle-free; only the batch side shuffles. Exact-Jaccard
+    verification shingles the batch plus ONLY the candidate history docs
+    (broadcast semi join — the KV-point-lookup analogue). Output ==
+    the exact cross-split pair set whenever LSH recall is 1, same guarantee
+    as dedup_minhash_lsh (both checked against the exact SQL oracle).
+    """
+    from jetstream_spark.operators.dedup_index import (
+        INC_MOD,
+        INC_REM,
+        ensure_band_index,
+        probe_candidates,
+    )
+
+    name = ensure_band_index(spark, sf_dir)
+    cand = probe_candidates(spark, sf_dir, name)
+
+    docs = table(spark, sf_dir, "documents")
+    base_ids = cand.select(F.col("base_doc_id").alias("doc_id")).distinct()
+    base_sh = (
+        docs.join(F.broadcast(base_ids), "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("a_id"), F.expr(_SHINGLES_EXPR).alias("a_sh"))
+    )
+    inc_sh = (
+        docs.where((F.col("doc_id") % INC_MOD) == INC_REM)
+        .select(F.col("doc_id").alias("b_id"), F.expr(_SHINGLES_EXPR).alias("b_sh"))
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = inter / (F.size("a_sh") + F.size("b_sh") - inter)
+    return (
+        cand.join(base_sh, F.col("base_doc_id") == F.col("a_id"))
+        .join(inc_sh, F.col("new_doc_id") == F.col("b_id"))
+        .where(jac >= JACCARD_T)
+        .select("base_doc_id", "new_doc_id", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# Exact cross-split pairs: the full exact-Jaccard pair set restricted to
+# pairs with exactly one member in the incoming split, oriented
+# (history, incoming). INC_MOD/INC_REM mirrored literally (10/7).
+Q_DEDUP_INCREMENTAL_ORACLE = f"""
+WITH jp AS ({_JACCARD_PAIRS_SQL})
+SELECT CASE WHEN doc_a % 10 = 7 THEN doc_b ELSE doc_a END AS base_doc_id,
+       CASE WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END AS new_doc_id,
+       jaccard
+FROM jp
+WHERE (doc_a % 10 = 7) <> (doc_b % 10 = 7)
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", q_dedup_exact, Q_DEDUP_EXACT_ORACLE, "content-hash exact dedup", ("dedup",)),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, _JACCARD_PAIRS_SQL, "exact char-8-gram Jaccard pairs", ("dedup",)),
@@ -617,4 +618,5 @@ QUERIES = [
     QuerySpec("dedup_embedding_cosine", q_dedup_embedding_cosine, Q_EMB_NEARDUP_ORACLE, "embedding cosine≥0.4 near-dup pairs", ("dedup",)),
     QuerySpec("dedup_components", q_dedup_components, Q_COMPONENTS_ORACLE, "near-dup pairs → connected-component clusters", ("dedup",)),
     QuerySpec("dedup_keep_canonical", q_dedup_keep_canonical, Q_KEEP_CANONICAL_ORACLE, "surviving corpus after cluster resolution (anti-join)", ("dedup",)),
+    QuerySpec("dedup_incremental", q_dedup_incremental, Q_DEDUP_INCREMENTAL_ORACLE, "incoming batch vs materialized bucketed band index", ("dedup",)),
 ]
