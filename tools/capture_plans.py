@@ -36,6 +36,7 @@ AUDIT = {
     "topk_brand_revenue": "TakeOrderedAndProject, no global sort",
     "dedup_exact": "one shuffle on md5 hash",
     "dedup_minhash_lsh": "band equi-join with ReuseExchange on the self-join scan",
+    "dedup_incremental": "bucketed index scan (SelectedBucketsCount, no Exchange below it); only the incoming batch shuffles; broadcast semi join restricts verification",
     "ann_brute_force_topk": "mapInPandas scoring + per-query top-k window",
     "vocab_top_terms": "explode -> partial count -> exchange -> TakeOrderedAndProject",
     "stratified_sample": "single aggregation, no join, no second scan",
