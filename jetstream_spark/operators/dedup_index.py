@@ -189,6 +189,9 @@ def probe_candidates(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         (F.col("doc_id") % INC_MOD) == INC_REM
     )
     inc_bands = minhash_bands(incoming)
+    # sessions cache table file listings; refresh so a probe never reads a
+    # listing staler than the last index write (bit the streaming variant)
+    spark.catalog.refreshTable(name)
     idx = spark.table(name)
     return (
         idx.alias("h")
