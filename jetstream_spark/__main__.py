@@ -163,6 +163,46 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_dedup_stream(args) -> int:
+    from jetstream_spark.streaming.dedup_stream import (
+        init_dedup_state,
+        read_pairs,
+        start_streaming_dedup,
+    )
+
+    spark = _spark(args.cpus)
+    marker = os.path.join(args.state_dir, "docs")
+    if not os.path.isdir(marker):
+        init_dedup_state(spark, args.state_dir)
+    else:
+        # existing state from an earlier run: re-register the band table
+        from jetstream_spark.streaming.dedup_stream import _bands_table_name
+        from jetstream_spark.operators.dedup_index import N_BUCKETS
+
+        name = _bands_table_name(args.state_dir)
+        if not spark.catalog.tableExists(name):
+            spark.sql(
+                f"CREATE TABLE {name} (doc_id BIGINT, band_idx INT, band_key BIGINT) "
+                f"USING PARQUET CLUSTERED BY (band_idx, band_key) "
+                f"SORTED BY (band_idx, band_key) INTO {N_BUCKETS} BUCKETS "
+                f"LOCATION '{os.path.join(args.state_dir, 'bands')}'"
+            )
+    ckpt = os.path.join(args.state_dir, "_dedup_ckpt")
+    q = start_streaming_dedup(spark, args.docs_dir, args.state_dir, ckpt)
+    print(f"deduping {args.docs_dir} into {args.state_dir} (checkpoint {ckpt})", flush=True)
+    try:
+        if args.drain:
+            q.processAllAvailable()
+            q.stop()
+            n = read_pairs(spark, args.state_dir).count()
+            print(f"near-dup pairs so far: {n}")
+        else:
+            q.awaitTermination()
+    except KeyboardInterrupt:
+        q.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="jetstream_spark")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] cores (default: all)")
@@ -200,6 +240,12 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact", help="compact sealed hour partitions")
     p.add_argument("--data-dir", **common["--data-dir"])
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("dedup-stream", help="standing near-dup detection over a doc drop dir")
+    p.add_argument("--docs-dir", default="./docs_in", help="ndjson {doc_id, text} drop directory")
+    p.add_argument("--state-dir", default="./dedup_state", help="index + history + pair output root")
+    p.add_argument("--drain", action="store_true", help="process available input then exit (batch mode)")
+    p.set_defaults(fn=cmd_dedup_stream)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -71,6 +71,28 @@ def test_cli_compact_and_trim(log_dir, spark):
 
 
 @pytest.mark.timeout(300)
+def test_cli_dedup_stream_drain(tmp_path):
+    docs_dir = tmp_path / "docs_in"
+    docs_dir.mkdir()
+    base = "a perfectly ordinary document about shuffle boundaries " * 3
+    with open(docs_dir / "batch1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": base}) + "\n")
+        f.write(json.dumps({"doc_id": 2, "text": "unrelated words entirely here " * 4}) + "\n")
+    state = str(tmp_path / "state")
+    out = _run("dedup-stream", "--docs-dir", str(docs_dir), "--state-dir", state, "--drain")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "near-dup pairs so far: 0" in out.stdout
+
+    # second invocation: fresh process re-registers the band table over the
+    # existing state and catches the cross-run near-dup
+    with open(docs_dir / "batch2.json", "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": base + " zz"}) + "\n")
+    out = _run("dedup-stream", "--docs-dir", str(docs_dir), "--state-dir", state, "--drain")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "near-dup pairs so far: 1" in out.stdout
+
+
+@pytest.mark.timeout(300)
 def test_cli_serve_boots_and_scrapes(log_dir):
     proc = subprocess.Popen(
         [sys.executable, "-m", "jetstream_spark", "serve", "--data-dir", log_dir,
