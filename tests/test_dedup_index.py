@@ -112,3 +112,23 @@ def test_band_rows_shape_and_determinism(spark):
     for r in a:
         per_doc.setdefault(r["doc_id"], []).append(r["band_idx"])
     assert all(sorted(v) == list(range(8)) for v in per_doc.values())
+
+
+def test_band_signatures_invariant_to_batch_partitioning(spark):
+    """The kernel concatenates whole Arrow batches before hashing — a doc's
+    signature must not depend on which docs share its batch or partition.
+    (This is what lets the index, the one-shot query, and the streaming
+    probe agree: each signatures different subsets in different layouts.)"""
+    from jetstream_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents").limit(40)
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["band_idx"], r["band_key"])
+            for r in minhash_bands(df).collect()
+        )
+
+    one = rows(docs.coalesce(1))
+    many = rows(docs.repartition(13))
+    assert one == many
