@@ -53,7 +53,12 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from jetstream_spark.atproto.carcbor import CborError, decode_frame, decode_xrpc_frame
+from jetstream_spark.atproto.carcbor import (
+    CborError,
+    decode_frame,
+    decode_xrpc_frame,
+    decode_xrpc_frame_seq,
+)
 from jetstream_spark.wsutil import send_masked_frame
 from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
 
@@ -152,6 +157,37 @@ def _ws_dial(ws_url: str, path: str, tls_ca: str = ""):
     return conn, f
 
 
+def _ws_binary_payloads(conn, f):
+    """Yield the BINARY payloads of one websocket connection, answering
+    pings with masked pongs (RFC 6455 §5.5.3) and stopping on close/EOF."""
+    def read_exact(k: int) -> bytes:
+        buf = f.read(k)
+        if buf is None or len(buf) < k:
+            raise EOFError
+        return buf
+
+    while True:
+        try:
+            h = read_exact(2)
+        except EOFError:
+            return
+        opcode = h[0] & 0x0F
+        ln = h[1] & 0x7F
+        if ln == 126:
+            ln = int.from_bytes(read_exact(2), "big")
+        elif ln == 127:
+            ln = int.from_bytes(read_exact(8), "big")
+        payload = read_exact(ln) if ln else b""
+        if opcode == 0x9:  # relay ping → masked pong (RFC 6455 §5.5.3)
+            send_masked_frame(conn, 0xA, payload)
+            continue
+        if opcode == 0x8:  # server close
+            return
+        if opcode != 0x2:  # subscribeRepos frames are binary
+            continue
+        yield payload
+
+
 def _ws_fetch(ws_url: str, start: int, end: int, tls_ca: str = ""):
     """The REAL upstream protocol (cmd/jetstream/main.go:294-328):
     websocket dial with `?cursor=start`, each BINARY frame a DAG-CBOR
@@ -159,31 +195,7 @@ def _ws_fetch(ws_url: str, start: int, end: int, tls_ca: str = ""):
     carcbor.decode_xrpc_frame — CAR blocks and all. Detach past `end`."""
     conn, f = _ws_dial(ws_url, f"/xrpc/com.atproto.sync.subscribeRepos?cursor={start}", tls_ca)
     try:
-        def read_exact(k: int) -> bytes:
-            buf = f.read(k)
-            if buf is None or len(buf) < k:
-                raise EOFError
-            return buf
-
-        while True:
-            try:
-                h = read_exact(2)
-            except EOFError:
-                return
-            opcode = h[0] & 0x0F
-            ln = h[1] & 0x7F
-            if ln == 126:
-                ln = int.from_bytes(read_exact(2), "big")
-            elif ln == 127:
-                ln = int.from_bytes(read_exact(8), "big")
-            payload = read_exact(ln) if ln else b""
-            if opcode == 0x9:  # relay ping → masked pong (RFC 6455 §5.5.3)
-                send_masked_frame(conn, 0xA, payload)
-                continue
-            if opcode == 0x8:  # server close
-                return
-            if opcode != 0x2:  # subscribeRepos frames are binary
-                continue
+        for payload in _ws_binary_payloads(conn, f):
             try:
                 frame = decode_xrpc_frame(payload)
             except CborError:
@@ -203,6 +215,82 @@ def _ws_fetch(ws_url: str, start: int, end: int, tls_ca: str = ""):
                 return
     finally:
         conn.close()
+
+
+class _WsTail:
+    """Planning-side head tracker for the ws transport. The real
+    `com.atproto.sync.subscribeRepos` relay serves NOTHING but the
+    subscribe socket (cmd/jetstream/main.go:294-328), so microbatch
+    planning can't ask an out-of-band route how far it may read. Instead
+    the driver keeps ONE persistent tail subscription and uses the highest
+    seq it has observed on the wire as `latestOffset` — exactly the
+    information the reference's consumer loop has. The tail decodes only
+    each frame's seq (decode_xrpc_frame_seq — no CAR walk); full decode
+    stays in the executor partitions. Reconnects with `?cursor=<last
+    seen>` on any socket error, so planning survives relay restarts."""
+
+    def __init__(self, ws_url: str, cursor: int, tls_ca: str = ""):
+        import threading
+
+        self.ws_url = ws_url
+        self.tls_ca = tls_ca
+        self.seq = cursor
+        self._seen_frame = threading.Event()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, name="firehose-ws-tail", daemon=True
+        )
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            conn = None
+            try:
+                conn, f = _ws_dial(
+                    self.ws_url,
+                    f"/xrpc/com.atproto.sync.subscribeRepos?cursor={self.seq}",
+                    self.tls_ca,
+                )
+                for payload in _ws_binary_payloads(conn, f):
+                    try:
+                        seq = decode_xrpc_frame_seq(payload)
+                    except CborError:
+                        continue
+                    if seq is not None and seq > self.seq:
+                        self.seq = seq
+                        self._seen_frame.set()
+                    if self._stop.is_set():
+                        return
+            except (OSError, EOFError, ConnectionError):
+                pass
+            finally:
+                if conn is not None:
+                    conn.close()
+            self._stop.wait(0.2)  # backoff before re-dial
+
+    def head(self, wait_first: float = 0.0) -> int:
+        """Current head. `wait_first` (cold start only) blocks until the
+        tail has both seen a frame AND gone quiet for one poll interval —
+        i.e. the reconnect replay of the relay's backlog has drained — so
+        the first plan after a (re)start sees the real head, not whatever
+        prefix the thread happened to have replayed when asked. Capped at
+        `wait_first` seconds: on a relay that never goes quiet (a live
+        firehose) any snapshot is valid, the next microbatch plans further."""
+        if wait_first > 0:
+            import time
+
+            deadline = time.monotonic() + wait_first
+            last = -1
+            while time.monotonic() < deadline:
+                cur = self.seq
+                if cur == last and self._seen_frame.is_set():
+                    break
+                last = cur
+                time.sleep(0.25)
+        return self.seq
+
+    def stop(self) -> None:
+        self._stop.set()
 
 
 class SeqRange(InputPartition):
@@ -236,21 +324,27 @@ class FirehoseStreamReader(DataSourceStreamReader):
         self.num_partitions = int(options.get("numPartitions", "4"))
         self.tls_ca = options.get("tls_ca", "")
         self._last_end: int | None = None
+        self._tail: _WsTail | None = None
 
     def _head_seq(self) -> int:
-        """Highest seq available from the transport (relay head). For the
-        live transports this is a plain HTTP GET `/head` on the same port.
+        """Highest seq available from the transport (relay head).
 
-        BRIDGE/TEST-RELAY ONLY for ws_url: the real
-        `com.atproto.sync.subscribeRepos` relay serves no `/head` route, so
-        microbatch planning against an actual upstream requires a bridge
-        that exposes one (the in-repo test relay does) — or deriving head
-        from the last seq seen on a persistent tail connection, which is
-        what a production deployment of this source would do (the subscribe
-        framing itself, _ws_fetch, is protocol-correct against the real
-        relay)."""
-        if self.socket_url or self.ws_url:
-            return _socket_head(self.socket_url or self.ws_url, self.tls_ca)
+        ws_url: derived from a persistent tail subscription (_WsTail) — the
+        ONLY thing a real `com.atproto.sync.subscribeRepos` relay offers is
+        the subscribe socket itself (cmd/jetstream/main.go:294-328), so
+        planning needs no out-of-band route. socket_url (the ndjson bridge
+        wire, our own protocol) keeps its plain HTTP GET `/head` probe."""
+        if self.ws_url:
+            if self._tail is None:
+                self._tail = _WsTail(self.ws_url, 0, self.tls_ca)
+                # cold start: give the tail one chance to observe the
+                # backlog before the first plan, else an empty relay (or a
+                # slow dial) would make batch 0 a no-op and
+                # processAllAvailable could return before any data flows
+                return self._tail.head(wait_first=5.0)
+            return self._tail.head()
+        if self.socket_url:
+            return _socket_head(self.socket_url, self.tls_ca)
         head = 0
         if os.path.isdir(self.replay_dir):
             for name in os.listdir(self.replay_dir):
@@ -323,6 +417,11 @@ class FirehoseStreamReader(DataSourceStreamReader):
         # offsets live in the Spark checkpoint (the S12 analogue); the
         # transport needs no server-side ack (websocket replay is by cursor)
         pass
+
+    def stop(self) -> None:
+        if self._tail is not None:
+            self._tail.stop()
+            self._tail = None
 
 
 def _to_row_value(value, field_name: str):

@@ -76,11 +76,15 @@ def test_decode_xrpc_frame_kinds():
 
 class _WsRelay:
     """Local subscribeRepos stand-in: websocket upgrade on the xrpc path,
-    binary CBOR frames with seq > cursor; `/head` as a plain-HTTP probe."""
+    binary CBOR frames with seq > cursor — and NOTHING else. Like the real
+    relay (cmd/jetstream/main.go:294-328) it serves no `/head` or other
+    out-of-band planning route: any non-upgrade request gets a 404 and is
+    counted, so tests can assert the client never needed one."""
 
     def __init__(self):
         self.frames: list[tuple[int, bytes]] = []  # (seq, wire bytes)
         self.pongs: list[tuple[bool, bytes]] = []  # (was_masked, payload)
+        self.non_ws_requests: list[str] = []  # paths probed without upgrade
         self.lock = threading.Lock()
         outer = self
 
@@ -96,10 +100,10 @@ class _WsRelay:
                         k, _, v = line.partition(":")
                         headers[k.strip().lower()] = v.strip()
                     path = request_line.split()[1]
-                    if path == "/head":
+                    if headers.get("upgrade", "").lower() != "websocket":
                         with outer.lock:
-                            head = outer.frames[-1][0] if outer.frames else 0
-                        self.wfile.write(b"HTTP/1.1 200 OK\r\n\r\n" + f"{head}\n".encode())
+                            outer.non_ws_requests.append(path)
+                        self.wfile.write(b"HTTP/1.1 404 Not Found\r\n\r\n")
                         return
                     key = headers.get("sec-websocket-key", "")
                     accept = SubscribeServer._ws_accept(key)
@@ -209,3 +213,61 @@ def test_firehose_ws_binary_cbor_end_to_end(spark, tmp_path):
     # answered each with a MASKED pong echoing the ping payload
     assert relay.pongs, "client never answered the relay's ping"
     assert all(masked and body == b"hb" for masked, body in relay.pongs)
+
+    # the relay served ONLY the subscribe socket: planning must not have
+    # probed /head (or any other plain-HTTP route) — head came from the
+    # persistent tail subscription, the reference's own information source
+    assert relay.non_ws_requests == [], relay.non_ws_requests
+
+
+@pytest.mark.timeout(300)
+def test_firehose_ws_checkpoint_resume_without_head_route(spark, tmp_path):
+    """Stop the query mid-stream, append more frames, restart on the same
+    checkpoint: every event exactly once, against a relay that serves
+    nothing but the subscribe socket (no /head)."""
+    from jetstream_spark.atproto.normalize import normalize_frames
+
+    spark.dataSource.register(FirehoseDataSource)
+    relay = _WsRelay()
+    for i in range(1, 9):
+        relay.append(i, _commit_frame_bytes(i, f"did:plc:u{i % 2}", f"resume post {i}"))
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_until_drained():
+        stream = (
+            spark.readStream.format("atproto_firehose")
+            .option("ws_url", f"127.0.0.1:{relay.port}")
+            .option("numPartitions", "2")
+            .load()
+        )
+        q = (
+            normalize_frames(stream).writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    try:
+        run_until_drained()
+        assert spark.read.parquet(out_dir).count() == 8
+        for i in range(9, 15):
+            relay.append(i, _commit_frame_bytes(i, "did:plc:late", f"resume post {i}"))
+        run_until_drained()
+    finally:
+        relay.stop()
+
+    df = spark.read.parquet(out_dir)
+    assert df.count() == 14, "resume must deliver the new frames exactly once"
+    import json as _json
+
+    texts = sorted(
+        _json.loads(r["record"])["text"]
+        for r in df.selectExpr("commit.record as record").collect()
+    )
+    assert texts == sorted(f"resume post {i}" for i in range(1, 15))
+    assert relay.non_ws_requests == [], relay.non_ws_requests
