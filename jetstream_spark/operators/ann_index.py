@@ -42,17 +42,26 @@ from jetstream_spark.tables import table
 
 
 def index_is_fresh(index_path: str, sf_dir: str) -> bool:
-    """True when a completed index write (Spark's _SUCCESS marker) is newer
-    than the source embeddings parquet — the standing-deployment contract:
-    build once, probe many times, rebuild only when the corpus changes."""
+    """Build-once/probe-many contract: rebuild only when the corpus
+    changed, decided by fingerprint VALUE (operators/freshness.py) rather
+    than mtime ordering — survives mtime-preserving regenerations."""
     import os
 
-    marker = os.path.join(index_path, "_SUCCESS")
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        return os.path.getmtime(marker) >= os.path.getmtime(src)
-    except OSError:
-        return False
+    from jetstream_spark.operators import freshness
+
+    return freshness.index_is_fresh(
+        index_path, os.path.join(sf_dir, "embeddings.parquet")
+    )
+
+
+def _stamp(index_path: str, sf_dir: str) -> None:
+    import os
+
+    from jetstream_spark.operators import freshness
+
+    freshness.write_source_fingerprint(
+        index_path, os.path.join(sf_dir, "embeddings.parquet")
+    )
 
 
 def lsh_planes(dim: int = 64) -> np.ndarray:
@@ -89,6 +98,7 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
         .partitionBy("bucket")
         .parquet(index_path)
     )
+    _stamp(index_path, sf_dir)
 
 
 def probe_buckets(q_buckets: np.ndarray) -> list[int]:
@@ -199,6 +209,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
         .partitionBy("cell")
         .parquet(index_path)
     )
+    _stamp(index_path, sf_dir)
 
 
 def probe_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> DataFrame:

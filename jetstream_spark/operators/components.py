@@ -8,10 +8,11 @@ Algorithm: min-label propagation ("hash-to-min"). Every node starts labeled
 with itself; each round every node takes the min of its own label and its
 neighbors' labels. Converges in O(graph diameter) rounds. Near-dup graphs
 are band-join outputs, i.e. unions of near-cliques, so the diameter — and
-the round count — stays small at any corpus size; the cap exists to fail
-loudly on pathological chain graphs rather than loop forever (for those,
-the alternating large-star/small-star variant [Kiveris et al., CC in
-MapReduce] drops rounds to O(log² n) at the cost of 2× the shuffles/round).
+the round count — stays small at any corpus size; on hitting the round cap
+(a pathological chain graph) the public entry point escalates to the
+alternating large-star/small-star variant [Kiveris et al., CC in
+MapReduce], which drops rounds to O(log² n) at the cost of 2× the
+shuffles/round — so any graph shape terminates with the same contract.
 
 Scale shape per round: one shuffle to join labels onto edges + one shuffle
 for the min-aggregate, both keyed by node id — no driver materialization,
@@ -75,10 +76,11 @@ def connected_components(
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds "
-        "(graph diameter exceeds the cap; use connected_components_star)"
-    )
+    # diameter exceeded the cap — a chain-shaped graph, the one shape
+    # hash-to-min handles badly. Escalate to the O(log² n)-round
+    # large-star/small-star variant instead of failing: same output
+    # contract, so callers never need to know which algorithm ran.
+    return connected_components_star(edges, src, dst)
 
 
 def connected_components_star(
@@ -100,9 +102,12 @@ def connected_components_star(
     every neighbor v <= u (and u itself) to m(u). Each is one
     groupBy-min + one join keyed on node id — no driver materialization;
     lineage cut per round with eager localCheckpoint (same OOM rationale
-    as above). Convergence = the directed edge multiset is stable, checked
-    with a 2-number action (count + sum of a key fold) on frames that only
-    ever contract."""
+    as above). Convergence = the directed edge set is EXACTLY stable:
+    count compared first (1-number action), then a set difference only
+    when counts tie — a hashed/summed signature could collide (two edge
+    sets swapping endpoints can preserve both count and sum) and a long
+    sum can overflow under ANSI mode. Both frames are localCheckpointed,
+    so the difference scans materialized leaves."""
     all_nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -116,13 +121,6 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
-
-    def signature(e: DataFrame) -> tuple[int, int]:
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("u") * F.lit(1_000_003) + F.col("v")).alias("s"),
-        ).collect()[0]
-        return int(row["n"]), int(row["s"] or 0)
 
     def large_star(e: DataFrame) -> DataFrame:
         # neighborhoods over the SYMMETRIZED edge set; rewire every strictly
@@ -148,15 +146,16 @@ def connected_components_star(
         )
         return out.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
 
-    prev = signature(sym)
+    prev_e, prev_n = sym, sym.count()
     e = sym
     for _ in range(max_iter):
-        e = large_star(e)
-        e = small_star(e)
-        cur = signature(e)
-        if cur == prev:
+        e = small_star(large_star(prev_e))
+        n = e.count()
+        # both sides are distinct() + localCheckpointed: equal counts plus an
+        # empty difference is exact set equality, no collision risk
+        if n == prev_n and e.exceptAll(prev_e).isEmpty():
             break
-        prev = cur
+        prev_e, prev_n = e, n
     else:
         raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")
     # after convergence e is a union of stars: every non-root points at its

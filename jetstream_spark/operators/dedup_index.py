@@ -30,6 +30,8 @@ import os
 import random
 import tempfile
 
+from jetstream_spark.operators import freshness
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -125,14 +127,17 @@ def index_path(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"jetstream_band_index_{_tag(sf_dir)}")
 
 
+_FPRINT_FILE = freshness.FPRINT_FILE
+
+
+def write_source_fingerprint(path: str, sf_dir: str) -> None:
+    freshness.write_source_fingerprint(path, os.path.join(sf_dir, "documents.parquet"))
+
+
 def index_is_fresh(path: str, sf_dir: str) -> bool:
-    """A completed write (_SUCCESS) newer than the source corpus parquet."""
-    try:
-        return os.path.getmtime(os.path.join(path, "_SUCCESS")) >= os.path.getmtime(
-            os.path.join(sf_dir, "documents.parquet")
-        )
-    except OSError:
-        return False
+    """Fingerprint-by-value freshness (operators/freshness.py) against the
+    documents corpus — survives mtime-preserving regenerations."""
+    return freshness.index_is_fresh(path, os.path.join(sf_dir, "documents.parquet"))
 
 
 def build_band_index(spark: SparkSession, sf_dir: str, name: str, path: str) -> None:
@@ -152,6 +157,7 @@ def build_band_index(spark: SparkSession, sf_dir: str, name: str, path: str) -> 
         .sortBy("band_idx", "band_key")
         .saveAsTable(name)
     )
+    write_source_fingerprint(path, sf_dir)
 
 
 def ensure_band_index(spark: SparkSession, sf_dir: str) -> str:

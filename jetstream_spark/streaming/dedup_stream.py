@@ -19,7 +19,10 @@ micro-batch
 Exactly-once: the externally visible output (pairs/, docs/) uses the same
 delete-before-rewrite + batch-id marker contract as the ingest pipeline —
 a crash-replayed batch first removes its own batch directory, so any crash
-point converges to one copy. Band rows go through the bucketed table's
+point converges to one copy. The replay also excludes the batch's OWN
+docs/ directory from history (a crash after the docs write but before the
+done-marker would otherwise turn the batch into its own history, emitting
+self- and within-batch pairs). Band rows go through the bucketed table's
 append path, which cannot delete-by-batch; a replay can therefore leave
 duplicate band ROWS — harmless by construction, because bands only feed
 candidate generation and `probe`'s distinct() collapses duplicates (the
@@ -50,8 +53,14 @@ _BANDS_TABLE = "streaming_band_index"
 
 
 def _bands_table_name(state_dir: str) -> str:
-    # one catalog entry per state root (tests run several streams per session)
-    return f"{_BANDS_TABLE}_{abs(hash(os.path.abspath(state_dir))) % 10**8}"
+    # one catalog entry per state root (tests run several streams per
+    # session), stable ACROSS processes: built-in hash() is salted per
+    # interpreter (PYTHONHASHSEED), which would register a fresh table name
+    # over the same bands/ location on every CLI invocation
+    import hashlib
+
+    digest = hashlib.md5(os.path.abspath(state_dir).encode()).hexdigest()[:8]
+    return f"{_BANDS_TABLE}_{digest}"
 
 
 def init_dedup_state(spark: SparkSession, state_dir: str) -> None:
@@ -70,9 +79,20 @@ def init_dedup_state(spark: SparkSession, state_dir: str) -> None:
     )
 
 
-def _history_docs(spark: SparkSession, state_dir: str) -> DataFrame | None:
+def _history_docs(
+    spark: SparkSession, state_dir: str, exclude_batch_id: int | None = None
+) -> DataFrame | None:
+    """Docs ingested by prior batches. `exclude_batch_id` skips that
+    batch's own docs/ directory: a crash between the docs write and
+    mark_batch_done would otherwise let the REPLAY see the batch's own
+    documents as history — emitting permanent self-pairs (jaccard 1.0)
+    and within-batch pairs, which are out of scope by contract. Because
+    verification inner-joins candidates to history shingles, excluding
+    the directory also drops any own-batch candidates arising from the
+    batch's already-appended band rows."""
     docs_dir = os.path.join(state_dir, "docs")
-    batches = [d for d in os.listdir(docs_dir) if d.startswith("b")]
+    skip = f"b{exclude_batch_id}" if exclude_batch_id is not None else None
+    batches = [d for d in os.listdir(docs_dir) if d.startswith("b") and d != skip]
     if not batches:
         return None
     return spark.read.parquet(*[os.path.join(docs_dir, d) for d in batches])
@@ -107,7 +127,7 @@ def _handle_batch(state_dir: str, batch_df: DataFrame, batch_id: int) -> None:
     # 1-2. probe history + exact verify (history may still be empty)
     pairs_out = os.path.join(state_dir, "pairs", f"b{batch_id}")
     shutil.rmtree(pairs_out, ignore_errors=True)  # delete-before-rewrite
-    hist = _history_docs(spark, state_dir)
+    hist = _history_docs(spark, state_dir, exclude_batch_id=batch_id)
     if hist is not None:
         cand = (
             spark.table(name)

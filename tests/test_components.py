@@ -46,10 +46,16 @@ def test_self_loop_is_singleton(spark):
     assert _labels(spark, [(4, 4)]) == {4: 4}
 
 
-def test_diameter_cap_raises(spark):
-    edges = [(i, i + 1) for i in range(6)]  # path graph, diameter 6
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(spark.createDataFrame(edges, ["src", "dst"]), max_iter=2)
+def test_diameter_cap_escalates_to_star(spark):
+    """Hitting the hash-to-min round cap must fall through to the
+    large-star/small-star variant, not raise: a 200-node path graph
+    (diameter 200) through the PUBLIC entry point with a tiny cap still
+    yields one component labeled by its min node."""
+    n = 200
+    edges = [(i, i + 1) for i in range(n)]
+    got = _labels(spark, edges, max_iter=3)
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
 
 
 def test_long_chain_converges_within_diameter(spark):

@@ -45,6 +45,10 @@ def test_index_is_bucketed_and_probe_join_reads_it_shuffle_free(spark, index_nam
     assert "SelectedBucketsCount" in plan, plan
     scan_idx = plan.index("SelectedBucketsCount")
     join_idx = plan.index("SortMergeJoin") if "SortMergeJoin" in plan else plan.index("Join")
+    # the guarded segment must be non-empty: if the bucketed scan ever
+    # printed BEFORE the join node the slice below would be empty and the
+    # Exchange check would pass vacuously
+    assert join_idx < scan_idx, plan
     between = plan[join_idx:scan_idx]
     # walking down from the join to the index scan there must be no shuffle;
     # the index subtree is printed after the streamed side, so check the
@@ -54,6 +58,10 @@ def test_index_is_bucketed_and_probe_join_reads_it_shuffle_free(spark, index_nam
 
 
 def test_index_reused_when_fresh_and_rebuilt_when_stale(spark, index_name):
+    import json
+
+    from jetstream_spark.operators.dedup_index import _FPRINT_FILE
+
     path = index_path(SF_DIR)
     assert index_is_fresh(path, SF_DIR)
     marker = os.path.join(path, "_SUCCESS")
@@ -61,11 +69,22 @@ def test_index_reused_when_fresh_and_rebuilt_when_stale(spark, index_name):
     # fresh → reuse: ensure must not rewrite
     assert ensure_band_index(spark, SF_DIR) == index_name
     assert os.path.getmtime(marker) == before
-    # stale (marker older than source) → rebuild
-    src = os.path.getmtime(os.path.join(SF_DIR, "documents.parquet"))
-    os.utime(marker, (src - 10, src - 10))
+    # stale = the recorded source fingerprint no longer matches the corpus
+    # (the testdata-regeneration case, which can preserve or backdate
+    # mtimes — a raw mtime ORDERING check would miss it); simulate by
+    # tampering the recorded size
+    fp = os.path.join(path, _FPRINT_FILE)
+    with open(fp) as f:
+        rec = json.load(f)
+    rec["total_size"] += 1
+    with open(fp, "w") as f:
+        json.dump(rec, f)
+    assert not index_is_fresh(path, SF_DIR)
+    # a missing sidecar (pre-fingerprint index) is also stale
+    os.remove(fp)
+    assert not index_is_fresh(path, SF_DIR)
     ensure_band_index(spark, SF_DIR)
-    assert os.path.getmtime(marker) > src - 10
+    assert index_is_fresh(path, SF_DIR), "rebuild must restore the fingerprint"
 
 
 def test_index_reregistered_from_disk_without_rewrite(spark, index_name):

@@ -78,3 +78,45 @@ def test_replay_is_exactly_once_on_pairs(spark, tmp_path):
     # batch-id markers and delete-before-rewrite keep outputs single-copy
     _drain(spark, docs_dir, state_dir, tmp_path / "ck_replay")
     assert sorted(map(tuple, read_pairs(spark, state_dir).collect())) == first
+
+
+def test_crash_after_state_writes_before_marker_replays_clean(spark, tmp_path):
+    """The worst crash point: docs/b{id} written AND band rows appended, but
+    mark_batch_done never ran. The replay must not treat the batch's own
+    documents as history — no self-pairs (jaccard 1.0), no within-batch
+    pairs, output identical to the uncrashed run."""
+    import os as _os
+
+    from jetstream_spark.streaming.dedup_stream import _handle_batch
+    from jetstream_spark.atproto.log import BATCH_STATE_FILE, load_done_batches
+
+    state_dir = str(tmp_path / "state")
+    init_dedup_state(spark, state_dir)
+
+    base = NOVEL[1].format(i=7) * 3
+    b0 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    _handle_batch(state_dir, b0, 0)
+
+    # batch 1: a near-dup of history doc 1 plus TWO near-identical docs
+    # within the batch (the within-batch pair must never appear)
+    b1 = spark.createDataFrame(
+        [(10, base + " z"), (20, NOVEL[2].format(i=9) * 3), (21, NOVEL[2].format(i=9) * 3 + " q")],
+        "doc_id long, text string",
+    )
+    _handle_batch(state_dir, b1, 1)
+    expected = sorted(map(tuple, read_pairs(spark, state_dir).collect()))
+    assert [(b, n) for b, n, _ in expected] == [(1, 10)]
+
+    # simulate the crash window: erase the done-marker for batch 1 only,
+    # leaving docs/b1 and its band rows in place, then replay
+    markers = load_done_batches(state_dir)
+    assert markers == {0, 1}
+    import json as _json
+
+    with open(_os.path.join(state_dir, BATCH_STATE_FILE), "w") as f:
+        _json.dump([0], f)
+
+    _handle_batch(state_dir, b1, 1)  # crash-replay
+    replayed = sorted(map(tuple, read_pairs(spark, state_dir).collect()))
+    assert replayed == expected, "replay emitted self- or within-batch pairs"
+    assert load_done_batches(state_dir) == {0, 1}
