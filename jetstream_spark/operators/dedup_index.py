@@ -110,9 +110,15 @@ def minhash_bands(df: DataFrame) -> DataFrame:
                 }
             )
 
-    # single-file parquet input → spread the kernel across all cores
+    # spread the kernel across all cores, but only when the source scan
+    # yields fewer splits than cores (the single-file fixture): multi-file
+    # corpora are already parallel and a round-robin repartition here would
+    # shuffle the whole corpus once for nothing at scale
+    src = df.select("doc_id", "text")
     par = df.sparkSession.sparkContext.defaultParallelism
-    return df.select("doc_id", "text").repartition(par).mapInPandas(kernel, schema=BANDS_SCHEMA)
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(kernel, schema=BANDS_SCHEMA)
 
 
 def _tag(sf_dir: str) -> str:

@@ -48,11 +48,16 @@ _SHINGLES_SQL = (
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # repartition first: documents.parquet is a single file, and the shingle
-    # transform is the expensive part — compute it on all cores
-    docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # The shingle transform is the expensive part, so it must run on all
+    # cores — but ONLY the single-file fixture needs a repartition to get
+    # there (one parquet file, one row group ⇒ one scan split). A real
+    # corpus arrives pre-parallel from the scan (many files / row groups,
+    # maxPartitionBytes splits), and an unconditional repartition would
+    # shuffle every text byte once for nothing at 100 TB.
+    docs = table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
     return docs.select("doc_id", F.expr(_SHINGLES_EXPR).alias("shingles"))
 
 

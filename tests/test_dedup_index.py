@@ -133,6 +133,38 @@ def test_band_rows_shape_and_determinism(spark):
     assert all(sorted(v) == list(range(8)) for v in per_doc.values())
 
 
+def test_no_corpus_shuffle_for_multi_split_input(spark, tmp_path):
+    """A pre-parallel corpus (≥cores scan splits) must flow into the band
+    kernel AND the shingle projection without any repartition exchange —
+    at 100 TB that shuffle would move every text byte once for nothing.
+    The single-split fixture still gets spread across cores."""
+    from jetstream_spark.queries.dedup import _doc_shingles
+    from jetstream_spark.tables import table
+
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, SF_DIR, "documents")
+
+    # multi-file documents.parquet layout under a tmp sf_dir
+    sf_multi = tmp_path / "sfm"
+    sf_multi.mkdir()
+    docs.repartition(par).write.parquet(str(sf_multi / "documents.parquet"))
+
+    wide = table(spark, str(sf_multi), "documents")
+    assert wide.rdd.getNumPartitions() >= par
+    plan = minhash_bands(wide)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    sh_plan = (
+        _doc_shingles(spark, str(sf_multi))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in sh_plan, sh_plan
+
+    # the single-file fixture DOES need the spread (1 split < cores)
+    narrow_plan = minhash_bands(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in narrow_plan, narrow_plan
+
+
 def test_band_signatures_invariant_to_batch_partitioning(spark):
     """The kernel concatenates whole Arrow batches before hashing — a doc's
     signature must not depend on which docs share its batch or partition.
