@@ -47,8 +47,15 @@ def _query_matrix(spark: SparkSession, sf_dir: str):
     return ids, mat
 
 
-def _scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, vec_id, cosine) for all base vectors × all query vectors."""
+def _scores_df(spark: SparkSession, sf_dir: str, partial_topk: int | None = None) -> DataFrame:
+    """(query_id, vec_id, cosine) of base × query vectors (self-matches
+    excluded). With `partial_topk=k` each PARTITION emits only its k best
+    rows per query — a running heap over the partition's Arrow batches by
+    the final global order (cosine desc, vec_id asc), the map-side combine
+    of top-k. Any globally top-k row is necessarily within its own
+    partition's top-k under the same order, so the downstream window sees
+    ≤ k·Q rows per partition instead of the full N·Q score matrix — at
+    100 TB the difference between shuffling ~everything and ~nothing."""
     q_ids, q_mat = _query_matrix(spark, sf_dir)
     q_norms = np.linalg.norm(q_mat, axis=1)
     bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norms))
@@ -56,17 +63,38 @@ def _scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches):
         ids, mat, norms = bq.value
+        nq = len(ids)
+        # per-query running candidates for this partition
+        run_v = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        run_c = [np.empty(0, dtype=np.float64) for _ in range(nq)]
         for pdf in batches:
             b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             b_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             b_norms = np.linalg.norm(b_mat, axis=1)
             cos = (b_mat @ mat.T) / np.outer(b_norms, norms)  # (batch, Q)
-            n, q = cos.shape
+            if partial_topk is None:
+                n = len(b_ids)
+                full = pd.DataFrame(
+                    {
+                        "query_id": np.repeat(ids, n),
+                        "vec_id": np.tile(b_ids, nq),
+                        "cosine": cos.T.ravel(),
+                    }
+                )
+                yield full[full["query_id"] != full["vec_id"]]
+                continue
+            for qi in range(nq):
+                keep = b_ids != ids[qi]  # self-match never competes for a slot
+                v = np.concatenate([run_v[qi], b_ids[keep]])
+                c = np.concatenate([run_c[qi], cos[keep, qi]])
+                order = np.lexsort((v, -c))[:partial_topk]
+                run_v[qi], run_c[qi] = v[order], c[order]
+        if partial_topk is not None and any(len(v) for v in run_v):
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(ids, n),
-                    "vec_id": np.tile(b_ids, q),
-                    "cosine": cos.T.ravel(),
+                    "query_id": np.repeat(ids, [len(v) for v in run_v]),
+                    "vec_id": np.concatenate(run_v),
+                    "cosine": np.concatenate(run_c),
                 }
             )
 
@@ -77,8 +105,10 @@ def _scores_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for each of the 10 query vectors
-    (self-match excluded); deterministic tiebreak (cosine desc, vec_id)."""
-    scores = _scores_df(spark, sf_dir).where(F.col("query_id") != F.col("vec_id"))
+    (self-match excluded); deterministic tiebreak (cosine desc, vec_id).
+    The kernel pre-reduces to TOP_K rows per query per partition, so the
+    window shuffle merges partials instead of ranking the full N·Q."""
+    scores = _scores_df(spark, sf_dir, partial_topk=TOP_K)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         scores.withColumn("rank", F.row_number().over(w))

@@ -62,6 +62,38 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.2, f"LSH recall collapsed: {recall:.2f}"
 
 
+def test_ann_brute_force_partial_topk_bounds_shuffle_input(spark):
+    """The score kernel must pre-reduce per partition: the window shuffle
+    sees at most k rows per query per partition, never the N·Q score
+    matrix — and the partial path must agree exactly with the full one."""
+    from jetstream_spark.queries.similarity import N_QUERIES, _scores_df
+
+    partial = _scores_df(spark, SF_DIR, partial_topk=TOP_K)
+    n_parts = partial.rdd.getNumPartitions()
+    n_rows = partial.count()
+    assert n_rows <= TOP_K * N_QUERIES * n_parts, (n_rows, n_parts)
+
+    full = _scores_df(spark, SF_DIR)
+    n_base = full.select("vec_id").distinct().count()
+    assert n_rows < full.count(), "partial top-k did not reduce anything"
+    assert n_base > TOP_K * n_parts or n_rows == full.count()
+
+    # same final answer either way
+    def topk(scores):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["cosine"], 6))
+            for r in scores.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .collect()
+        )
+
+    assert topk(partial) == topk(full)
+
+
 def test_aqe_skew_join_split(spark):
     """AQE's runtime skew-join split — the config session.py relies on for
     hot keys the optimizer can't see statically. A 95%-hot-key join under
