@@ -15,94 +15,78 @@ from jetstream_spark.queries.spec import QuerySpec
 
 # Names the driver should check FIRST. The driver verifies the first ~50
 # registry entries in declaration order, so this window is re-curated every
-# round: (1) queries whose code or oracle changed this round, (2) queries
-# whose only driver evidence is stale (the 21 checked in r1 but rotated out
-# of the r2 window), (3) representatives of code paths touched this round.
-# Everything in the tail has fresh (r2) driver evidence.
+# round: (1) queries whose only driver evidence is oldest, (2) queries whose
+# code changed this round, (3) the rest ordered oldest-evidence-first.
+# Round-4 rotation: everything in the r3 window (CORRECTNESS_r03) is fresh
+# and moves to the tail, except dedup/ANN entries whose code changed this
+# round; the 7 r1-only stragglers lead, then the full r2-latest cohort.
 _PRIORITY = (
-    # ---- new this round (r3, late session): remaining TPC-H shapes ----
-    "q2_min_cost_supplier",          # correlated min + join-back
-    "q4_priority_checking",          # EXISTS semi join w/ date inequality
-    "q6_forecast_revenue",           # full-pushdown scan-filter-agg
-    "q8_market_share",               # dual-role dims + conditional share
-    "q9_product_profit",             # multi-join profit rollup
-    "q12_priority_by_linestatus",    # conditional counts by class
-    "q15_top_supplier",              # view + global-max join-back
-    "q16_supplier_diversity",        # distinct-count + NOT IN anti join
-    "q17_small_quantity_revenue",    # correlated avg threshold
-    "q20_excess_shippers",           # nested agg + semi join chain
-    # ---- changed this round (r3) ----
-    "q13_order_count_distribution",  # new in r3: outer join w/ ON-filter + double agg
-    "q11_revenue_concentration",     # new in r3: global scalar-subquery HAVING
-    "q21_sole_blame_suppliers",      # new in r3: EXISTS + NOT EXISTS self-join
-    "q22_idle_rich_customers",       # new in r3: scalar subquery + anti join
-    "cms_heavy_hitters",         # new in r3: deterministic count-min sketch
-    "kmeans_cluster_stats",      # new in r3: one Lloyd round over the IVF quantizer
-    "semdedup_pairs",            # new in r3: within-cluster cosine near-dups
-    "curation_pipeline",         # new in r3: dedup → filter → split composition
-    "quality_gopher_rules",      # new in r3: Gopher rule bundle
-    "unigram_perplexity",        # new in r3: unigram-LM ppl + CCNet terciles
-    "domain_mix_weights",        # new in r3: source mixing weights
-    "importance_weights_dsir",   # new in r3: DSIR hashed-ngram weights
-    "sessionization",            # oracle CAST fix (r2's only red row)
-    "ann_lsh_topk",              # real SQL oracle added (was rows-only)
-    "ann_ivf_topk",              # real SQL oracle added (was rows-only)
-    "ann_lsh_indexed",           # new in r3: materialized bucket-partitioned index
-    "ann_ivf_indexed",           # new in r3: materialized cell-partitioned inverted file
-    "vocab_top_terms",           # new in r3
-    "text_pii_scrub",            # new in r3
-    "stratified_sample",         # new in r3
-    "dedup_components",          # new in r3: pairs → connected-component clusters
-    "dedup_keep_canonical",      # new in r3: surviving corpus after cluster resolution
-    "dedup_incremental",         # new in r3: batch vs materialized bucketed band index
-    "embedding_quantize_int8",   # new in r3
-    "tfidf_top_terms",           # new in r3
-    "decontaminate_splits",      # new in r3
-    # ---- r1-only driver evidence (15 of 21 fit the window; the 6 moved
-    # ---- to the tail are window/cube shapes whose family representatives
-    # ---- window_running_revenue / rollup_revenue / grouping_sets_status
-    # ---- are r2-green) ----
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "user_journey",
-    "distinct_agg",
-    "bool_aggs",
-    "ordered_string_agg",
-    "intersect_repeat_buyers",
-    "topk_brand_revenue",
-    "above_nation_avg",
-    "monthly_density",
-    "date_functions",
-    # ================= driver window boundary (~50) ==================
-    "regexp_extract_ids",  # r1-green; displaced by dedup_incremental — its
-    #                        family reps scalar_functions/date_functions stay in-window
-    # ---- r1-green window/cube shapes displaced by the new TPC-H set ----
+    # ---- r1-only driver evidence: the longest unchecked ----
+    "regexp_extract_ids",
     "window_rank_customers",
     "window_order_gaps",
     "range_frame_window",
     "ntile_quartiles",
     "latest_order_per_customer",
     "cube_segment_priority",
-    # ---- code paths touched this round (broadcast policy, minhash) ----
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q1_pricing_summary",
-    "salted_join_revenue",
-    "dedup_minhash_lsh",
-    # ---- coverage representatives filling the 50-window ----
+    # ---- code changed this round (r4): shingle-shuffle gate, partial
+    # ---- top-k kernel, component convergence/escalation, index freshness ----
     "dedup_exact",
+    "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_components",
+    "dedup_keep_canonical",
+    "dedup_incremental",
     "ann_brute_force_topk",
+    "ann_lsh_indexed",
+    "ann_ivf_indexed",
+    # ---- r2-latest evidence, unchanged code (oldest first by family) ----
+    "semi_join_late_orders",
+    "anti_join_idle_customers",
+    "window_running_revenue",
+    "rollup_revenue",
+    "grouping_sets_status",
+    "set_symdiff_buyers",
+    "scalar_functions",
+    "range_join_part_pairs",
+    "full_outer_nation_activity",
+    "percentiles_price",
+    "unpivot_measures",
+    "null_semantics",
+    "pivot_segment_revenue",
+    "tumbling_window_hourly",
+    "hopping_window_hourly",
+    "json_props_stats",
+    "variant_props_stats",
+    "geomean_value",
+    "conversion_funnel",
+    "embedding_norms",
+    "embedding_downproject",
+    "text_token_count",
+    "text_repetition",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "multimodal_metadata",
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
+    "sample_split",
+    "doc_packing",
+    "doc_chunking",
+    # ================= driver window boundary (~50) ==================
+    # r2-green entries deferred to the tail — each has strong independent
+    # pytest e2e coverage (S-operator pipelines, salted-join equality,
+    # as-of join) or a fresh r3-green family cousin (q1/q3/q5 vs q2-q22)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "salted_join_revenue",
     "replay_scan",
     "subscribe_filter",
     "monotonic_delivery",
     "per_key_ordering",
-    "tumbling_window_hourly",
     "asof_join_purchases",
 )
 

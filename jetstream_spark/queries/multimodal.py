@@ -63,16 +63,46 @@ FROM documents
 """
 
 
+def _pil_decode(payload: bytes):
+    """PIL path (optional dependency): decoded pixel bytes, or None when
+    PIL isn't installed."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image  # noqa: PLC0415 — optional dep, probed at call
+    except ImportError:
+        return None
+    with Image.open(BytesIO(payload)) as img:
+        return img.tobytes()
+
+
 def decode_media(payload: bytes, media_type: str, *, allow_stub: bool = True):
-    """The decode kernel. Real image/audio decode libs are absent from this
-    container — calling with allow_stub=False raises, marking exactly where
-    a real `PIL.Image.open` / `soundfile.read` would slot in."""
-    if not allow_stub:
-        raise NotImplementedError(
-            "real media decode requires image/audio libs not present in this container"
-        )
-    # deterministic fake: the payload bytes themselves are the "pixels"
-    return payload
+    """The decode kernel: scanline-major pixel bytes for images.
+
+    Resolution order: PIL when installed (any format it knows), else the
+    in-repo pure-stdlib PNG codec (operators/png.py) for `image/png`, else
+    — only with allow_stub=True — the deterministic fake used by the
+    oracle-checked byte-stat queries (`image/fake`: the payload bytes ARE
+    the pixels). allow_stub=False on an undecodable type raises instead of
+    silently faking, so pipelines can insist on real decode."""
+    if media_type == "image/fake":
+        if allow_stub:
+            return payload
+        raise NotImplementedError("image/fake is the stub type; real decode refused")
+    if media_type.startswith("image/"):
+        pixels = _pil_decode(payload)
+        if pixels is not None:
+            return pixels
+        if media_type == "image/png":
+            from jetstream_spark.operators.png import decode_png
+
+            _, _, _, pixels = decode_png(payload)
+            return pixels
+    if allow_stub:
+        return payload
+    raise NotImplementedError(
+        f"no decoder for {media_type!r}: PIL not installed and no stdlib codec"
+    )
 
 
 def q_multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
