@@ -21,6 +21,9 @@ from jetstream_spark.queries.spec import QuerySpec
 # and moves to the tail, except dedup/ANN entries whose code changed this
 # round; the 7 r1-only stragglers lead, then the full r2-latest cohort.
 _PRIORITY = (
+    # ---- NEW in r4: never driver-checked ----
+    "dedup_common_spans",     # C4-style span-level boilerplate detection
+    "decontaminate_bloom",    # bloom-bitmap decontam, map-only train probe
     # ---- r1-only driver evidence: the longest unchecked ----
     "regexp_extract_ids",
     "window_rank_customers",
@@ -72,10 +75,13 @@ _PRIORITY = (
     "multimodal_metadata",
     "multimodal_byte_stats",
     "multimodal_frame_sample",
-    "sample_split",
-    "doc_packing",
     "doc_chunking",
     # ================= driver window boundary (~50) ==================
+    # sample_split / doc_packing (r2-green) displaced by the two new r4
+    # queries; their family stays represented in-window (stratified_sample
+    # cousin decontaminate_bloom + doc_chunking)
+    "sample_split",
+    "doc_packing",
     # r2-green entries deferred to the tail — each has strong independent
     # pytest e2e coverage (S-operator pipelines, salted-join equality,
     # as-of join) or a fresh r3-green family cousin (q1/q3/q5 vs q2-q22)

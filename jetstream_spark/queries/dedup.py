@@ -615,8 +615,94 @@ WHERE (doc_a % 10 = 7) <> (doc_b % 10 = 7)
 """
 
 
+# --- corpus-common span detection (C4/RefinedWeb-style boilerplate) -----------
+SPAN_N = 5  # word n-gram span size
+SPAN_DF_T = 3  # a span present in ≥ this many distinct docs is boilerplate
+
+
+def q_dedup_common_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (sub-document) dedup signal, the C4 recipe: a word 5-gram
+    occurring in ≥ SPAN_DF_T distinct documents is corpus boilerplate;
+    report per doc how much of it is boilerplate. Document-level dedup
+    can't see this (two docs sharing one viral paragraph are not
+    near-dups); training pipelines cut such spans before tokenization.
+
+    Scale shape: explode distinct spans per doc → one count shuffle keyed
+    by span → join the (much smaller) boilerplate span set back. Both
+    shuffles key on the span string; hot spans are exactly the skew AQE's
+    skew-join split handles (session policy). No all-pairs anything —
+    cost is O(corpus tokens), not O(docs²)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    spans = F.when(
+        F.size("toks") >= SPAN_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (SPAN_N - 1)),
+                lambda i: F.array_join(F.slice("toks", i, SPAN_N), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", toks.alias("toks")).select("doc_id", spans.alias("spans"))
+    exploded = base.select("doc_id", F.explode("spans").alias("span"))
+    # spans are distinct per doc, so count(*) = distinct-doc frequency
+    boiler = (
+        exploded.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= SPAN_DF_T)
+        .select("span")
+    )
+    hits = (
+        exploded.join(boiler, "span")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    )
+    return (
+        base.select("doc_id", F.size("spans").alias("n_spans"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_boilerplate", F.lit(0)).cast("long").alias("n_boilerplate"),
+            F.when(F.col("n_spans") == 0, F.lit(0.0))
+            .otherwise(F.round(F.coalesce("n_boilerplate", F.lit(0)) / F.col("n_spans"), 6))
+            .alias("boilerplate_ratio"),
+        )
+    )
+
+
+Q_COMMON_SPANS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {SPAN_N}
+              THEN list_distinct(list_transform(generate_series(1, len(t) - {SPAN_N - 1}),
+                                                i -> array_to_string(t[i:i + {SPAN_N - 1}], ' ')))
+              ELSE [] END AS spans
+  FROM t
+), e AS (
+  SELECT doc_id, unnest(spans) AS span FROM s
+), boiler AS (
+  SELECT span FROM e GROUP BY span HAVING count(*) >= {SPAN_DF_T}
+), hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_boilerplate
+  FROM e JOIN boiler USING (span) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       len(s.spans) AS n_spans,
+       coalesce(hits.n_boilerplate, 0) AS n_boilerplate,
+       CASE WHEN len(s.spans) = 0 THEN 0.0
+            ELSE round(coalesce(hits.n_boilerplate, 0) / len(s.spans), 6) END AS boilerplate_ratio
+FROM s LEFT JOIN hits ON s.doc_id = hits.doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", q_dedup_exact, Q_DEDUP_EXACT_ORACLE, "content-hash exact dedup", ("dedup",)),
+    QuerySpec("dedup_common_spans", q_dedup_common_spans, Q_COMMON_SPANS_ORACLE, "C4-style corpus-common span (boilerplate) detection", ("dedup",)),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, _JACCARD_PAIRS_SQL, "exact char-8-gram Jaccard pairs", ("dedup",)),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, _JACCARD_PAIRS_SQL, "MinHash-LSH + exact verify (== exact pairs)", ("dedup",)),
     QuerySpec("dedup_simhash", q_dedup_simhash, _simhash_oracle(), "SimHash hamming≤3 pairs via exact pigeonhole banding", ("dedup",)),

@@ -315,7 +315,159 @@ WHERE g.bucket >= {TRAIN_PCT + VAL_PCT}
 """
 
 
+# --- bloom-filter decontamination ---------------------------------------------
+# The membership structure for decontamination at 100 TB: the eval set is
+# tiny, the train side is the corpus — so build a BITMAP over eval n-gram
+# hash positions once, then probe train grams with pure bit arithmetic and
+# no join at all. False positives are a bounded, deterministic property of
+# (m, k, n); false negatives are impossible — the guarantee decontamination
+# needs (never miss real leakage, over-flag slightly).
+BLOOM_M_BITS = 1 << 16  # bitmap size
+BLOOM_K = 3  # hash functions
+_BLOOM_WORDS = BLOOM_M_BITS // 64
+
+
+def _bloom_pos(gram: F.Column, i: int) -> F.Column:
+    """Hash position i of a gram: first 5 hex chars of md5(gram + '#i') —
+    engine-independent arithmetic, same contract as _bucket_expr."""
+    h = F.md5(F.concat(gram, F.lit(f"#{i}")).cast("binary"))
+    return F.conv(F.substring(h, 1, 5), 16, 10).cast("long") % BLOOM_M_BITS
+
+
+def _bloom_pos_sql(gram_sql: str, i: int) -> str:
+    fold = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({gram_sql} || '#{i}'), {j + 1}, 1)) - 1) * {16 ** (4 - j)}"
+        for j in range(5)
+    )
+    return f"(({fold}) % {BLOOM_M_BITS})"
+
+
+_GRAMS_SQL = (
+    "list_distinct(list_transform("
+    f"generate_series(1, len(t) - {DECONTAM_GRAM_N - 1}), "
+    f"i -> array_to_string(t[i:i + {DECONTAM_GRAM_N - 1}], ' ')))"
+)
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per TRAIN document: how many of its distinct word 8-grams the bloom
+    filter built over the TEST split flags. Two phases:
+
+    build — test grams hash to BLOOM_K positions; positions fold into
+    64-bit words with a distributed bit_or aggregate (state bounded by the
+    bitmap size, never the data), and the ≤1024-word bitmap comes back to
+    the driver exactly like the IVF centroid matrix;
+
+    probe — a map-only pass over train docs: each gram checks its K bits
+    against the bitmap literal inside JVM codegen. No shuffle touches the
+    train side at all (vs decontaminate_splits' gram join — this is the
+    shape that wins when the corpus is 10^6× the eval set).
+
+    Deterministic (md5 positions), so the DuckDB oracle reproduces the
+    exact flag set: bloom membership == "all K positions in the set of
+    set bits", which the oracle computes relationally."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    grams = F.when(
+        F.size("toks") >= DECONTAM_GRAM_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (DECONTAM_GRAM_N - 1)),
+                lambda i: F.array_join(F.slice("toks", i, DECONTAM_GRAM_N), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", _bucket_expr(), toks.alias("toks")).select(
+        "doc_id", "bucket", grams.alias("grams")
+    )
+
+    # build: distributed bitmap aggregate over test-split gram positions
+    test_grams = (
+        base.where(F.col("bucket") >= TRAIN_PCT + VAL_PCT)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    positions = test_grams.select(
+        F.explode(F.array(*[_bloom_pos(F.col("gram"), i) for i in range(BLOOM_K)])).alias("pos")
+    )
+    word_rows = (
+        positions.groupBy((F.col("pos") / 64).cast("int").alias("w"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("bigint"), (F.col("pos") % 64).cast("int")
+                )
+            ).alias("bits")
+        )
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in word_rows:
+        words[r["w"]] = r["bits"]
+    bitmap = F.array(*[F.lit(w).cast("bigint") for w in words])
+
+    def flagged(g: F.Column) -> F.Column:
+        hit = F.lit(True)
+        for i in range(BLOOM_K):
+            pos = _bloom_pos(g, i)
+            word = F.element_at(bitmap, (pos / 64).cast("int") + 1)
+            mask = F.call_function(
+                "shiftleft", F.lit(1).cast("bigint"), (pos % 64).cast("int")
+            )
+            hit = hit & (word.bitwiseAND(mask) != 0)
+        return hit
+
+    train = base.where(F.col("bucket") < TRAIN_PCT)
+    return train.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.size(F.filter("grams", flagged)).alias("n_flagged"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        F.col("n_flagged").cast("long").alias("n_flagged"),
+        F.when(F.col("n_grams") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("n_flagged") / F.col("n_grams"), 6))
+        .alias("flag_rate"),
+    )
+
+
+Q_DECONTAM_BLOOM_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, {_BUCKET_SQL} AS bucket,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, bucket,
+         CASE WHEN len(t) >= {DECONTAM_GRAM_N} THEN {_GRAMS_SQL}
+              ELSE [] END AS grams
+  FROM b
+), tg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE bucket >= {TRAIN_PCT + VAL_PCT}
+), pos AS (
+  SELECT DISTINCT p FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('gram', i)} AS p FROM tg" for i in range(BLOOM_K))}
+  )
+), trg AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g WHERE bucket < {TRAIN_PCT}
+), flags AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged
+  FROM trg
+  WHERE {" AND ".join(f"{_bloom_pos_sql('gram', i)} IN (SELECT p FROM pos)" for i in range(BLOOM_K))}
+  GROUP BY doc_id
+)
+SELECT g.doc_id,
+       len(g.grams) AS n_grams,
+       coalesce(flags.n_flagged, 0) AS n_flagged,
+       CASE WHEN len(g.grams) = 0 THEN 0.0
+            ELSE round(coalesce(flags.n_flagged, 0) / len(g.grams), 6) END AS flag_rate
+FROM g LEFT JOIN flags ON g.doc_id = flags.doc_id
+WHERE g.bucket < {TRAIN_PCT}
+"""
+
+
 QUERIES = [
+    QuerySpec("decontaminate_bloom", q_decontaminate_bloom, Q_DECONTAM_BLOOM_ORACLE, "bloom-filter decontamination: map-only train-side probe", ("sampling",)),
     QuerySpec("stratified_sample", q_stratified_sample, Q_STRATIFIED_ORACLE, "per-language deterministic sampling audit", ("sampling",)),
     QuerySpec("decontaminate_splits", q_decontaminate_splits, Q_DECONTAM_ORACLE, "test-split n-gram contamination vs train split", ("sampling",)),
     QuerySpec("sample_split", q_sample_split, Q_SAMPLE_SPLIT_ORACLE, "deterministic hash train/val/test split", ("sampling",)),

@@ -108,6 +108,26 @@ def test_edge_hub_drops_slow_consumer(spark, tmp_path):
 
 
 @pytest.mark.timeout(300)
+def test_hub_fanout_soak_no_drops_across_ten_subscribers(spark):
+    """Sustained shared-tail fan-out (the bench's delivery metric): ten
+    concurrent subscribers each receive EVERY event exactly once, in time
+    order — zero drops — and aggregate delivery stays well above one
+    subscriber's worth of the reference's 5k events/s live ceiling (the
+    per-subscriber ceiling comparison is recorded by bench.py at the
+    bench SF, where the one-time tick cost amortizes)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import bench_delivery_fanout
+
+    r = bench_delivery_fanout(spark, "/root/testdata/sf0.01", n_subs=10, cap=10000)
+    assert r["complete"], f"dropped events: {r}"
+    assert r["ordered"], f"out-of-order delivery: {r}"
+    assert r["events_per_sec_total"] >= 5000, r
+
+
+@pytest.mark.timeout(300)
 def test_edge_hub_filters_applied_at_emit(spark, tmp_path):
     """Per-subscriber predicates are evaluated at hub emit time (S17
     semantics incl. account/identity bypass) — one shared slice, N filtered
