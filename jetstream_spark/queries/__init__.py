@@ -24,6 +24,7 @@ _PRIORITY = (
     # ---- NEW in r4: never driver-checked ----
     "dedup_common_spans",     # C4-style span-level boilerplate detection
     "decontaminate_bloom",    # bloom-bitmap decontam, map-only train probe
+    "corpus_budget_selection",  # global greedy token budget, no global sort
     # ---- r1-only driver evidence: the longest unchecked ----
     "regexp_extract_ids",
     "window_rank_customers",
@@ -74,12 +75,12 @@ _PRIORITY = (
     "text_fingerprint",
     "multimodal_metadata",
     "multimodal_byte_stats",
-    "multimodal_frame_sample",
     "doc_chunking",
     # ================= driver window boundary (~50) ==================
-    # sample_split / doc_packing (r2-green) displaced by the two new r4
-    # queries; their family stays represented in-window (stratified_sample
-    # cousin decontaminate_bloom + doc_chunking)
+    # r2-green entries displaced by the three new r4 queries; each family
+    # stays represented in-window (multimodal_metadata/byte_stats,
+    # decontaminate_bloom, doc_chunking)
+    "multimodal_frame_sample",
     "sample_split",
     "doc_packing",
     # r2-green entries deferred to the tail — each has strong independent

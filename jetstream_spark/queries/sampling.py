@@ -466,8 +466,100 @@ WHERE g.bucket < {TRAIN_PCT}
 """
 
 
+# --- token-budget corpus selection --------------------------------------------
+SELECT_BUDGET = 15_000  # token budget — binding at every test SF
+_SCORE_BUCKETS = 1000  # score quantization for the threshold pass
+
+
+def q_corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the best documents under a global token budget: walk the
+    corpus in (quality score desc, doc_id) order and keep docs while the
+    running token total stays ≤ SELECT_BUDGET — the data-selection step of
+    a curation pipeline (score here = distinct-token ratio; any per-doc
+    score slots in).
+
+    The naive form is a GLOBAL sort + unpartitioned running-sum window —
+    a single-task bottleneck at any real scale. This runs the equivalent
+    two-phase threshold plan instead:
+
+      1. quantize score into monotone buckets; ONE aggregation to
+         ≤ _SCORE_BUCKETS rows gives per-bucket token totals; the driver
+         walks the (tiny) histogram to find the boundary bucket and the
+         budget remaining inside it — same trick as the CMS/centroid
+         collects, state bounded by a constant, never the corpus;
+      2. everything above the boundary bucket is selected with a map-only
+         filter; only the boundary bucket itself (corpus/1000 on average)
+         pays a sort+window, and it's partition-pruned by the bucket
+         filter first.
+
+    Because the bucket function is monotone in the global order, the
+    result is EXACTLY the global greedy prefix — the DuckDB oracle
+    computes it with the naive global window and must match row-for-row."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(F.size(F.array_distinct("toks")) / F.size("toks"), 6).alias("score"),
+    )
+    base = base.withColumn(
+        "bucket", F.floor(F.col("score") * _SCORE_BUCKETS).cast("int")
+    )
+
+    hist = (
+        base.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .collect()
+    )
+    hist.sort(key=lambda r: -r["bucket"])
+    cum, boundary, remaining = 0, None, 0
+    for r in hist:
+        if cum + r["bucket_tokens"] > SELECT_BUDGET:
+            boundary, remaining = r["bucket"], SELECT_BUDGET - cum
+            break
+        cum += r["bucket_tokens"]
+    if boundary is None:  # whole corpus fits the budget
+        return base.select("doc_id", "score", "n_tokens")
+
+    full = base.where(F.col("bucket") > boundary)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partial = (
+        base.where(F.col("bucket") == boundary)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .where(F.col("cum") <= remaining)
+    )
+    return full.select("doc_id", "score", "n_tokens").unionByName(
+        partial.select("doc_id", "score", "n_tokens")
+    )
+
+
+Q_BUDGET_SELECT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS score
+  FROM t
+), o AS (
+  SELECT doc_id, score, n_tokens,
+         sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM s
+)
+SELECT doc_id, score, n_tokens FROM o WHERE cum <= {SELECT_BUDGET}
+"""
+
+
 QUERIES = [
     QuerySpec("decontaminate_bloom", q_decontaminate_bloom, Q_DECONTAM_BLOOM_ORACLE, "bloom-filter decontamination: map-only train-side probe", ("sampling",)),
+    QuerySpec("corpus_budget_selection", q_corpus_budget_selection, Q_BUDGET_SELECT_ORACLE, "global token-budget greedy selection without a global sort", ("sampling",)),
     QuerySpec("stratified_sample", q_stratified_sample, Q_STRATIFIED_ORACLE, "per-language deterministic sampling audit", ("sampling",)),
     QuerySpec("decontaminate_splits", q_decontaminate_splits, Q_DECONTAM_ORACLE, "test-split n-gram contamination vs train split", ("sampling",)),
     QuerySpec("sample_split", q_sample_split, Q_SAMPLE_SPLIT_ORACLE, "deterministic hash train/val/test split", ("sampling",)),

@@ -58,6 +58,17 @@ AUDIT = {
     "q16_supplier_diversity": "anti join before the wide join; distinct-count partial agg before exchange",
     "q17_small_quantity_revenue": "correlated avg as window over l_partkey; single brand-filtered scan",
     "q20_excess_shippers": "agg -> window -> semi join on one chained shuffle; single lineitem scan",
+    "dedup_common_spans": "explode -> one span-count shuffle -> boilerplate set join-back; no all-pairs",
+    "decontaminate_bloom": "bitmap build side aggregates to <=1024 rows; train probe is map-only (no Exchange above the train scan before the bit filter)",
+}
+
+# join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
+# sample): verifies broadcast decisions degrade to shuffle joins safely
+# instead of forcing an OOM-sized broadcast
+SF1_AUDIT = {
+    "q3_shipping_priority": "orders/customer leave broadcast range at some scale; threshold (not hints) decides",
+    "q5_local_supplier_volume": "fixed-size region/nation stay broadcast; growing dims threshold-chosen",
+    "q9_product_profit": "4-way join strategy under 10x fact growth",
 }
 
 INTERESTING = (
@@ -113,6 +124,31 @@ def main() -> None:
         lines.extend(plan_lines(df))
         lines.append("```")
         lines.append("")
+    base = "/root/testdata/sf0.1"
+    if os.path.isdir(base):
+        from bench import ensure_scaled_sf1
+
+        sf1_dir = ensure_scaled_sf1(spark, base)
+        lines.append("# sf1 appendix — join strategies at 10× the bench SF")
+        lines.append("")
+        lines.append("Captured on the replica-scaled sf1 layout (bench.ensure_scaled_sf1).")
+        lines.append("The point under audit: no query pins a growing table to broadcast —")
+        lines.append("strategy is threshold-chosen from actual file sizes, so what is a")
+        lines.append("broadcast at sf0.01 may legitimately become a shuffle join here, and")
+        lines.append("AQE may re-plan at runtime. Join/Exchange lines only.")
+        lines.append("")
+        for name, expect in SF1_AUDIT.items():
+            df = specs[name].build(spark, sf1_dir)
+            lines.append(f"## {name} @sf1")
+            lines.append(f"**Expected:** {expect}")
+            lines.append("")
+            lines.append("```")
+            lines.extend(
+                line for line in plan_lines(df) if "Join" in line or "Exchange" in line
+            )
+            lines.append("```")
+            lines.append("")
+
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
