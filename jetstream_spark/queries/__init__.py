@@ -25,6 +25,7 @@ _PRIORITY = (
     "dedup_common_spans",     # C4-style span-level boilerplate detection
     "decontaminate_bloom",    # bloom-bitmap decontam, map-only train probe
     "corpus_budget_selection",  # global greedy token budget, no global sort
+    "bpe_pair_counts",        # BPE merge-candidate counts over the vocab table
     # ---- r1-only driver evidence: the longest unchecked ----
     "regexp_extract_ids",
     "window_rank_customers",
@@ -67,7 +68,6 @@ _PRIORITY = (
     "geomean_value",
     "conversion_funnel",
     "embedding_norms",
-    "embedding_downproject",
     "text_token_count",
     "text_repetition",
     "text_quality_score",
@@ -77,12 +77,13 @@ _PRIORITY = (
     "multimodal_byte_stats",
     "doc_chunking",
     # ================= driver window boundary (~50) ==================
-    # r2-green entries displaced by the three new r4 queries; each family
+    # r2-green entries displaced by the four new r4 queries; each family
     # stays represented in-window (multimodal_metadata/byte_stats,
-    # decontaminate_bloom, doc_chunking)
+    # decontaminate_bloom, doc_chunking, embedding_norms)
     "multimodal_frame_sample",
     "sample_split",
     "doc_packing",
+    "embedding_downproject",
     # r2-green entries deferred to the tail — each has strong independent
     # pytest e2e coverage (S-operator pipelines, salted-join equality,
     # as-of join) or a fresh r3-green family cousin (q1/q3/q5 vs q2-q22)

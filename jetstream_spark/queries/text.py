@@ -400,8 +400,67 @@ FROM scored ORDER BY score DESC, doc_id, term LIMIT {TFIDF_TOP_N}
 """
 
 
+# --- BPE pair statistics --------------------------------------------------------
+BPE_TOP_N = 20
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's inner loop as relational operators: corpus-wide
+    counts of adjacent character pairs (the statistic a byte-pair-encoding
+    tokenizer maximizes at each merge), top-N candidates.
+
+    Scale shape — the crucial reduction happens FIRST: one explode+count
+    shuffle collapses the corpus to its distinct-word frequency table
+    (vocabulary-sized, Heaps-law sublinear), and the character-pair
+    explosion runs over that table, not the corpus. A second shuffle
+    aggregates pair counts (≤ alphabet², trivially small), then
+    TakeOrdered. This is exactly how a distributed BPE trainer scales:
+    per-merge cost is O(vocab), corpus scanned once."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.concat(
+            F.col("word").substr(i, F.lit(1)),
+            F.lit(" "),
+            F.col("word").substr(i + 1, F.lit(1)),
+        ),
+    )
+    return (
+        words.where(F.length("word") >= 2)
+        .select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(BPE_TOP_N)
+    )
+
+
+Q_BPE_ORACLE = f"""
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+  FROM documents
+), v AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w GROUP BY word
+), p AS (
+  SELECT substr(word, i, 1) || ' ' || substr(word, i + 1, 1) AS pair, freq
+  FROM v, unnest(generate_series(1, len(word) - 1)) AS u(i)
+  WHERE len(word) >= 2
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+FROM p GROUP BY pair
+ORDER BY pair_count DESC, pair LIMIT {BPE_TOP_N}
+"""
+
+
 QUERIES = [
     QuerySpec("text_token_count", q_token_count, Q_TOKEN_COUNT_ORACLE, "token + subword counting", ("text",)),
+    QuerySpec("bpe_pair_counts", q_bpe_pair_counts, Q_BPE_ORACLE, "BPE merge-candidate pair counts over the vocab table", ("text",)),
     QuerySpec("text_repetition", q_repetition, Q_REPETITION_ORACLE, "repetition/boilerplate features", ("text",)),
     QuerySpec("text_quality_score", q_quality_score, Q_QUALITY_ORACLE, "quality-filter features", ("text",)),
     QuerySpec("text_lang_id", q_lang_id, Q_LANG_ID_ORACLE, "stopword-marker language ID", ("text",)),

@@ -1,0 +1,135 @@
+"""Invariants for the round-4 curation operators beyond oracle parity:
+bloom can over-flag but never under-flag; budget selection equals the naive
+global greedy for any budget; span detection matches a direct recount."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bloom_never_misses_real_contamination(spark):
+    """False negatives are impossible by construction: every gram the exact
+    decontamination join finds must also be bloom-flagged, per doc —
+    n_flagged >= n_contaminated with equality up to false positives."""
+    from jetstream_spark.queries.sampling import (
+        q_decontaminate_bloom,
+        q_decontaminate_splits,
+    )
+
+    bloom = {
+        r["doc_id"]: r["n_flagged"]
+        for r in q_decontaminate_bloom(spark, SF_DIR).collect()
+    }
+    # the exact query reports TEST docs vs TRAIN grams; the bloom query
+    # reports TRAIN docs vs TEST grams — recompute the exact counterpart
+    # of the bloom direction directly
+    from jetstream_spark.queries.sampling import (
+        DECONTAM_GRAM_N,
+        TRAIN_PCT,
+        VAL_PCT,
+        _bucket_expr,
+    )
+    from jetstream_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    grams = F.when(
+        F.size("toks") >= DECONTAM_GRAM_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (DECONTAM_GRAM_N - 1)),
+                lambda i: F.array_join(F.slice("toks", i, DECONTAM_GRAM_N), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select("doc_id", _bucket_expr(), toks.alias("toks")).select(
+        "doc_id", "bucket", grams.alias("grams")
+    )
+    test_grams = (
+        base.where(F.col("bucket") >= TRAIN_PCT + VAL_PCT)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    exact = {
+        r["doc_id"]: r["n"]
+        for r in base.where(F.col("bucket") < TRAIN_PCT)
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .join(test_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert exact, "fixture must contain at least one truly contaminated doc"
+    for doc_id, n_exact in exact.items():
+        assert bloom.get(doc_id, 0) >= n_exact, (
+            f"bloom under-flagged doc {doc_id}: {bloom.get(doc_id, 0)} < {n_exact}"
+        )
+
+
+@pytest.mark.parametrize("budget", [1, 500, 2500, 10**9])
+def test_budget_selection_equals_naive_greedy(spark, budget, monkeypatch):
+    """The two-phase threshold plan must equal the naive global greedy
+    prefix for ANY budget, including degenerate ones (nothing fits /
+    everything fits)."""
+    import jetstream_spark.queries.sampling as sampling
+
+    monkeypatch.setattr(sampling, "SELECT_BUDGET", budget)
+    got = sorted(
+        (r["doc_id"], r["score"], r["n_tokens"])
+        for r in sampling.q_corpus_budget_selection(spark, SF_DIR).collect()
+    )
+
+    from jetstream_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    rows = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.round(F.size(F.array_distinct("toks")) / F.size("toks"), 6).alias("score"),
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    want, cum = [], 0
+    for r in rows:
+        cum += r["n_tokens"]
+        if cum > budget:
+            break
+        want.append((r["doc_id"], r["score"], r["n_tokens"]))
+    assert got == sorted(want), f"budget={budget}"
+
+
+def test_common_spans_matches_direct_recount(spark):
+    from jetstream_spark.queries.dedup import SPAN_DF_T, SPAN_N, q_dedup_common_spans
+    from jetstream_spark.tables import table
+
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_boilerplate"])
+        for r in q_dedup_common_spans(spark, SF_DIR).collect()
+    }
+
+    texts = {
+        r["doc_id"]: r["text"] for r in table(spark, SF_DIR, "documents").collect()
+    }
+    import re
+    from collections import Counter
+
+    spans_by_doc = {}
+    for doc_id, text in texts.items():
+        t = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        spans_by_doc[doc_id] = (
+            {" ".join(t[i : i + SPAN_N]) for i in range(len(t) - SPAN_N + 1)}
+            if len(t) >= SPAN_N
+            else set()
+        )
+    df_count = Counter(s for spans in spans_by_doc.values() for s in spans)
+    boiler = {s for s, c in df_count.items() if c >= SPAN_DF_T}
+    assert any(boiler), "fixture must contain corpus-common spans"
+    for doc_id, spans in spans_by_doc.items():
+        assert got[doc_id] == (len(spans), len(spans & boiler)), doc_id
