@@ -22,6 +22,8 @@ from jetstream_spark.queries.spec import QuerySpec
 # round; the 7 r1-only stragglers lead, then the full r2-latest cohort.
 _PRIORITY = (
     # ---- NEW in r4: never driver-checked ----
+    "dedup_containment",      # directed quote-inclusion pairs, prefix-probe join
+    "weighted_sample",        # Efraimidis–Spirakis quality-weighted sample
     "dedup_common_spans",     # C4-style span-level boilerplate detection
     "decontaminate_bloom",    # bloom-bitmap decontam, map-only train probe
     "corpus_budget_selection",  # global greedy token budget, no global sort

