@@ -24,6 +24,8 @@ _PRIORITY = (
     # ---- NEW in r4: never driver-checked ----
     "dedup_containment",      # directed quote-inclusion pairs, prefix-probe join
     "weighted_sample",        # Efraimidis–Spirakis quality-weighted sample
+    "bpe_learn_merges",       # iterative distributed BPE trainer (rows-only)
+    "bpe_encode_stats",       # vocab-encoded per-doc BPE stats (rows-only)
     "dedup_common_spans",     # C4-style span-level boilerplate detection
     "decontaminate_bloom",    # bloom-bitmap decontam, map-only train probe
     "corpus_budget_selection",  # global greedy token budget, no global sort
@@ -103,10 +105,10 @@ _PRIORITY = (
 
 def all_queries() -> dict[str, QuerySpec]:
     # imports deferred so a syntax error in one domain doesn't break the rest
-    from jetstream_spark.queries import clustering, dedup, eventlog, multimodal, quality, relational, relational2, relational3, relational4, relational5, sampling, similarity, sketches, text
+    from jetstream_spark.queries import clustering, dedup, eventlog, multimodal, quality, relational, relational2, relational3, relational4, relational5, sampling, similarity, sketches, text, tokenizer
 
     collected: dict[str, QuerySpec] = {}
-    for module in (relational, relational2, relational3, relational4, relational5, eventlog, dedup, similarity, clustering, sketches, text, quality, multimodal, sampling):
+    for module in (relational, relational2, relational3, relational4, relational5, eventlog, dedup, similarity, clustering, sketches, text, quality, multimodal, sampling, tokenizer):
         for spec in module.QUERIES:
             assert spec.name not in collected, f"duplicate query name {spec.name}"
             collected[spec.name] = spec
