@@ -10,6 +10,7 @@ of the reference can run the same lifecycle:
     python -m jetstream_spark replay --data-dir ./data --cursor 0
     python -m jetstream_spark trim   --data-dir ./data --event-ttl-hours 24
     python -m jetstream_spark compact --data-dir ./data
+    python -m jetstream_spark sql "SELECT collection, count(*) FROM events_log GROUP BY 1" --data-dir ./data
 
 `serve` runs the /subscribe + /metrics edge fed by the shared LiveTailHub;
 `ingest` runs the standing exactly-once pipeline from either a frames drop
@@ -203,6 +204,33 @@ def cmd_dedup_stream(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc ANSI SQL over the engine's tables — the interactive read
+    surface the reference never had (its only read path is /subscribe).
+    Registers the event log as `events_log` (hour-partition pruning and
+    filter pushdown apply exactly as in replay) and, with --sf-dir, the
+    analytics tables as views; then hands the statement to Catalyst."""
+    spark = _spark(args.cpus)
+    if os.path.isdir(args.data_dir):
+        from jetstream_spark.atproto.log import read_log
+
+        read_log(spark, args.data_dir).createOrReplaceTempView("events_log")
+    if args.sf_dir:
+        from jetstream_spark.tables import TABLE_NAMES, table
+
+        for name in TABLE_NAMES:
+            table(spark, args.sf_dir, name).createOrReplaceTempView(name)
+    df = spark.sql(args.query)
+    if args.limit:
+        df = df.limit(args.limit)
+    if args.format == "json":
+        for line in df.toJSON().toLocalIterator():
+            print(line)
+    else:
+        df.show(n=args.limit or 20, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="jetstream_spark")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] cores (default: all)")
@@ -240,6 +268,14 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("compact", help="compact sealed hour partitions")
     p.add_argument("--data-dir", **common["--data-dir"])
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("sql", help="run ANSI SQL over the log (events_log) and analytics tables")
+    p.add_argument("query", help="SQL statement")
+    p.add_argument("--data-dir", **common["--data-dir"])
+    p.add_argument("--sf-dir", default="", help="parquet tables dir to register as views")
+    p.add_argument("--format", choices=("table", "json"), default="table")
+    p.add_argument("--limit", type=int, default=0, help="cap output rows (0 = unlimited)")
+    p.set_defaults(fn=cmd_sql)
 
     p = sub.add_parser("dedup-stream", help="standing near-dup detection over a doc drop dir")
     p.add_argument("--docs-dir", default="./docs_in", help="ndjson {doc_id, text} drop directory")

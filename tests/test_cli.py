@@ -125,3 +125,29 @@ def test_cli_serve_boots_and_scrapes(log_dir):
             proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
+
+
+@pytest.mark.timeout(300)
+def test_cli_sql(tmp_path, spark):
+    d = str(tmp_path / "sqllog")
+    frames = spark.createDataFrame(make_frames(), schema=RAW_FRAME_SCHEMA)
+    eventlog.ingest_batch(normalize_frames(frames), d, wall_clock_us=1_000_000, batch_id=0)
+    n_log = eventlog.read_log(spark, d).count()
+
+    # log + analytics views in one statement, json output
+    out = _run(
+        "sql",
+        "SELECT (SELECT count(*) FROM events_log) AS n_events, "
+        "(SELECT count(*) FROM documents) AS n_docs",
+        "--data-dir", d,
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--format", "json",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    row = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][0])
+    assert row["n_events"] == n_log
+    assert row["n_docs"] > 0
+
+    # bad SQL → nonzero exit, parse error surfaced
+    out = _run("sql", "SELEKT 1", "--data-dir", d)
+    assert out.returncode != 0
