@@ -22,7 +22,8 @@ from jetstream_spark.queries.spec import QuerySpec
 # round; the 7 r1-only stragglers lead, then the full r2-latest cohort.
 _PRIORITY = (
     # ---- NEW in r4: never driver-checked ----
-    "dedup_containment",      # directed quote-inclusion pairs, prefix-probe join
+    "dedup_containment",      # directed quote-inclusion pairs, inverted count join
+    "knn_graph",              # exact top-k neighbor graph, blocked cogroup
     "weighted_sample",        # Efraimidis–Spirakis quality-weighted sample
     "bpe_learn_merges",       # iterative distributed BPE trainer (rows-only)
     "bpe_encode_stats",       # vocab-encoded per-doc BPE stats (rows-only)

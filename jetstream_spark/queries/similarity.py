@@ -534,7 +534,105 @@ FROM er
 """
 
 
+# --- kNN graph (every vector's top-k neighbors) -------------------------------
+_KNN_BLOCKS = 8
+KNN_PARTIAL_PAD = 3  # per-block partial k padding against rounded-tie flips
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT k-nearest-neighbor GRAPH: top-{TOP_K} cosine neighbors for
+    EVERY vector, not just the {N_QUERIES} probe vectors — the structure
+    SemDeDup, graph-based clustering, and kNN-LM retrieval all start from.
+
+    Scale shape: the query side is the whole corpus, so the broadcast-
+    query-matrix trick of ann_brute_force doesn't apply. Instead vectors
+    hash into B blocks and all B² ordered block pairs are cogrouped (the
+    dedup_embedding_cosine topology); each task scores one block pair with
+    a single numpy float64 matrix product and pre-reduces to k+pad rows
+    per query vector BEFORE the shuffle, so the global per-vector window
+    merges ≤ (k+pad)·B candidate rows per vector instead of N. Executor
+    memory is bounded by two blocks; total work is the inherent O(N²·d) of
+    an exact kNN graph, spread over B² even tasks. The approximate scale
+    path at 100 TB is the same graph restricted to IVF cells (semdedup's
+    within-cell structure) or LSH buckets (ann_lsh) — both in-repo."""
+    B = _KNN_BLOCKS
+
+    def side(pair_col: str) -> DataFrame:
+        block_pairs = spark.createDataFrame(
+            [(i, j) for i in range(B) for j in range(B)], "bi int, bj int"
+        )
+        blocked = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("block")
+        )
+        return blocked.join(F.broadcast(block_pairs), F.col("block") == F.col(pair_col)).select(
+            "bi", "bj", "vec_id", "embedding"
+        )
+
+    keep = TOP_K + KNN_PARTIAL_PAD
+
+    def compare(key, lpdf, rpdf):
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cosine": []}).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+            )
+        l_ids = lpdf["vec_id"].to_numpy(dtype=np.int64)
+        r_ids = rpdf["vec_id"].to_numpy(dtype=np.int64)
+        l_mat = np.array(lpdf["embedding"].tolist(), dtype=np.float64)
+        r_mat = np.array(rpdf["embedding"].tolist(), dtype=np.float64)
+        cos = (l_mat @ r_mat.T) / np.outer(
+            np.linalg.norm(l_mat, axis=1), np.linalg.norm(r_mat, axis=1)
+        )
+        cos[l_ids[:, None] == r_ids[None, :]] = -np.inf  # self-match
+        out_q, out_n, out_c = [], [], []
+        k = min(keep, cos.shape[1])
+        for li in range(cos.shape[0]):
+            row = cos[li]
+            # top-k by (cosine desc, neighbor_id asc) — the global contract
+            idx = np.lexsort((r_ids, -row))[:k]
+            idx = idx[np.isfinite(row[idx])]
+            out_q.append(np.full(len(idx), l_ids[li]))
+            out_n.append(r_ids[idx])
+            out_c.append(row[idx])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    raw = (
+        side("bi").groupby("bi", "bj")
+        .cogroup(side("bj").groupby("bi", "bj"))
+        .applyInPandas(compare, schema="vec_id long, neighbor_id long, cosine double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        raw.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("vec_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+Q_KNN_GRAPH_ORACLE = f"""
+WITH e AS ({_COS_E_SQL}),
+scores AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_aggregate(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), 'sum')
+           / (a.nrm * b.nrm) AS cos
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scores
+)
+SELECT vec_id, neighbor_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = [
+    QuerySpec("knn_graph", q_knn_graph, Q_KNN_GRAPH_ORACLE, "exact top-k neighbor graph via blocked cogroup + partial top-k", ("similarity",)),
     QuerySpec("ann_brute_force_topk", q_ann_brute_force, Q_ANN_ORACLE, "exact cosine top-k (numpy block products)", ("similarity",)),
     QuerySpec("ann_lsh_topk", q_ann_lsh, _lsh_oracle(), "random-hyperplane LSH ANN (approximate scale path)", ("similarity",)),
     QuerySpec("ann_lsh_indexed", q_ann_lsh_indexed, _lsh_oracle(), "LSH ANN through the materialized bucket-partitioned index", ("similarity",)),

@@ -114,3 +114,26 @@ def test_ivf_indexed_probe_equals_on_the_fly(spark, ivf_path):
     indexed = {tuple(r) for r in probe_ivf_index(spark, SF_DIR, ivf_path).collect()}
     onthefly = {tuple(r) for r in q_ann_ivf(spark, SF_DIR).collect()}
     assert indexed == onthefly
+
+
+def test_knn_graph_consistent_with_brute_force(spark):
+    """The kNN graph restricted to the probe vectors must equal
+    ann_brute_force_topk exactly (same order contract, different
+    topology: blocked cogroup vs broadcast query matrix)."""
+    from jetstream_spark.queries.similarity import (
+        N_QUERIES,
+        q_ann_brute_force,
+        q_knn_graph,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    graph = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in q_knn_graph(spark, sf).collect()
+        if r["vec_id"] < N_QUERIES
+    }
+    brute = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in q_ann_brute_force(spark, sf).collect()
+    }
+    assert graph == brute and len(brute) > 0
