@@ -41,7 +41,6 @@ _PRIORITY = (
     "cube_segment_priority",
     # ---- code changed this round (r4): shingle-shuffle gate, partial
     # ---- top-k kernel, component convergence/escalation, index freshness ----
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -81,10 +80,12 @@ _PRIORITY = (
     "multimodal_metadata",
     "multimodal_byte_stats",
     "doc_chunking",
+    "dedup_exact",           # r3-green; md5-only path untouched by the r4 shingle gate
     # ================= driver window boundary (~50) ==================
-    # r2-green entries displaced by the four new r4 queries; each family
-    # stays represented in-window (multimodal_metadata/byte_stats,
-    # decontaminate_bloom, doc_chunking, embedding_norms)
+    # r2-green entries displaced by the nine new r4 queries; each family
+    # keeps an in-window representative (multimodal_metadata, doc_chunking,
+    # decontaminate_bloom, embedding_norms); dedup_exact demoted (r3-green,
+    # md5 path untouched by the shingle-gate change)
     "multimodal_frame_sample",
     "sample_split",
     "doc_packing",

@@ -732,27 +732,32 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    a = exploded.select(F.col("doc_id").alias("contained_doc"), "s")
-    b = exploded.select(F.col("doc_id").alias("container_doc"), "s")
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "s")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "s")
+    # count each UNORDERED pair once (a<b halves the join/agg volume), then
+    # test containment in both directions off the same inter count
     inter = (
         a.join(b, ["s"])
-        .where(F.col("contained_doc") != F.col("container_doc"))
-        .groupBy("contained_doc", "container_doc")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    n_a = sizes.select(
-        F.col("doc_id").alias("contained_doc"), F.col("n").alias("n_a")
+    with_sizes = inter.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a"
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")), "doc_b"
     )
-    containment = F.col("inter") / F.col("n_a")
-    return (
-        inter.join(n_a, "contained_doc")
-        .where(containment >= CONTAIN_T)
-        .select(
-            "contained_doc",
-            "container_doc",
-            F.round(containment, 6).alias("containment"),
-        )
+    fwd = with_sizes.where(F.col("inter") / F.col("n_a") >= CONTAIN_T).select(
+        F.col("doc_a").alias("contained_doc"),
+        F.col("doc_b").alias("container_doc"),
+        F.round(F.col("inter") / F.col("n_a"), 6).alias("containment"),
     )
+    rev = with_sizes.where(F.col("inter") / F.col("n_b") >= CONTAIN_T).select(
+        F.col("doc_b").alias("contained_doc"),
+        F.col("doc_a").alias("container_doc"),
+        F.round(F.col("inter") / F.col("n_b"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev)
 
 
 Q_CONTAINMENT_ORACLE = f"""

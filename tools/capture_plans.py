@@ -60,6 +60,11 @@ AUDIT = {
     "q20_excess_shippers": "agg -> window -> semi join on one chained shuffle; single lineitem scan",
     "dedup_common_spans": "explode -> one span-count shuffle -> boilerplate set join-back; no all-pairs",
     "decontaminate_bloom": "bitmap build side aggregates to <=1024 rows; train probe is map-only (no Exchange above the train scan before the bit filter)",
+    "weighted_sample": "map-only key computation; TakeOrderedAndProject (no global sort, no corpus shuffle)",
+    "dedup_containment": "inverted-index count join (one shingle + one pair shuffle); size table joined threshold-chosen, no hint",
+    "knn_graph": "B^2 blocked cogroup FlatMapCoGroupsInPandas; per-vector window merges partial top-k rows only",
+    "corpus_budget_selection": "histogram agg to <=1000 rows; map-only filter above boundary; sort+window only inside the boundary bucket",
+    "bpe_pair_counts": "corpus collapses to vocab first; pair explode over vocab; TakeOrdered",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
