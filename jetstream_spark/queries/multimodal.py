@@ -98,6 +98,11 @@ def decode_media(payload: bytes, media_type: str, *, allow_stub: bool = True):
 
             _, _, _, pixels = decode_png(payload)
             return pixels
+    if media_type == "audio/wav":
+        from jetstream_spark.operators.wav import decode_wav
+
+        _, _, _, frames = decode_wav(payload)
+        return frames
     if allow_stub:
         return payload
     raise NotImplementedError(
@@ -177,7 +182,93 @@ FROM documents
 """
 
 
+# --- audio: real WAV container round-trip ----------------------------------------
+AUDIO_RATE = 8_000
+
+
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction with a REAL container parse end-to-end:
+    each doc's payload is a PCM16 WAV (written by the stdlib `wave`
+    encoder; samples derive deterministically from the text bytes), and
+    the kernel decodes it with `decode_media(..., allow_stub=False)` —
+    the pure-stdlib RIFF parser in operators/wav.py, no stub anywhere.
+    Encoder and decoder are independent implementations, so the round
+    trip genuinely exercises the container format; the oracle recomputes
+    the stats straight from the text characters.
+
+    Scale shape: one mapInPandas pass, encode+decode+reduce per Arrow
+    batch — the partitioning/batching contract a real audio-feature
+    (fbank/embedding) kernel would inherit unchanged."""
+    import io
+    import struct as _struct
+    import wave
+
+    import numpy as np
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def extract(batches):
+        from jetstream_spark.operators.wav import wav_samples
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = text.encode("utf-8")  # ascii by fixture construction
+                pcm = _struct.pack(f"<{len(codes)}h", *((c - 96) * 256 for c in codes))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(AUDIO_RATE)
+                    w.writeframes(pcm)
+                payload = buf.getvalue()
+
+                frames = decode_media(payload, "audio/wav", allow_stub=False)
+                n_ch, rate, samples = wav_samples(payload)
+                assert n_ch == 1 and rate == AUDIO_RATE and len(frames) == len(pcm)
+                s = np.asarray(samples, dtype=np.float64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(samples),
+                        float(len(samples) * 1000.0 / AUDIO_RATE),
+                        float(np.abs(s).mean()),
+                        int(s.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "duration_ms", "mean_abs", "peak"]
+            )
+
+    raw = docs.mapInPandas(
+        extract,
+        schema="doc_id long, n_samples long, duration_ms double, mean_abs double, peak int",
+    )
+    return raw.select(
+        "doc_id",
+        "n_samples",
+        F.round("duration_ms", 4).alias("duration_ms"),
+        F.round("mean_abs", 4).alias("mean_abs"),
+        "peak",
+    )
+
+
+Q_MM_AUDIO_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, (ascii(substr(text, i, 1)) - 96) * 256 AS sample
+  FROM documents, unnest(generate_series(1, len(text))) AS u(i)
+)
+SELECT doc_id,
+       count(*) AS n_samples,
+       round(count(*) * 1000.0 / {AUDIO_RATE}, 4) AS duration_ms,
+       round(avg(abs(sample)), 4) AS mean_abs,
+       CAST(max(sample) AS INT) AS peak
+FROM c GROUP BY doc_id
+"""
+
+
 QUERIES = [
+    QuerySpec("multimodal_audio_stats", q_multimodal_audio_stats, Q_MM_AUDIO_ORACLE, "real WAV container round-trip (stdlib wave encode, in-repo RIFF decode)", ("multimodal",)),
     QuerySpec("multimodal_metadata", q_multimodal_metadata, Q_MM_META_ORACLE, "binary payload + typed metadata projection", ("multimodal",)),
     QuerySpec("multimodal_byte_stats", q_multimodal_byte_stats, Q_MM_BYTES_ORACLE, "mapInPandas feature extraction over decoded media", ("multimodal",)),
     QuerySpec("multimodal_frame_sample", q_multimodal_frame_sample, Q_MM_FRAMES_ORACLE, "frame sampling over binary payloads", ("multimodal",)),

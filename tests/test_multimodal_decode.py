@@ -88,8 +88,16 @@ def test_decode_media_stub_contract():
     with pytest.raises(NotImplementedError):
         decode_media(b"abc", "image/fake", allow_stub=False)
     with pytest.raises(NotImplementedError):
+        decode_media(b"abc", "video/mp4", allow_stub=False)
+    assert decode_media(b"abc", "video/mp4") == b"abc"  # stub passthrough
+    # audio/wav now has a real decoder: corrupt payloads fail loudly (same
+    # contract as image/png), they don't silently fall back to the stub
+    from jetstream_spark.operators.wav import WavError
+
+    with pytest.raises(WavError):
         decode_media(b"abc", "audio/wav", allow_stub=False)
-    assert decode_media(b"abc", "audio/wav") == b"abc"  # stub passthrough
+    with pytest.raises(WavError):
+        decode_media(b"abc", "audio/wav")
 
 
 def test_decode_media_prefers_pil_when_installed():
@@ -133,3 +141,86 @@ def test_spark_side_real_decode_pipeline(spark):
         d: (len(px), int(np.frombuffer(px, dtype=np.uint8).sum())) for d, _, _, px in rows
     }
     assert got == want
+
+
+# --- WAV decoder (operators/wav.py) -----------------------------------------
+
+
+def _wav_bytes(frames: bytes, channels=1, width=2, rate=8000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_wav_decode_roundtrip_mono16():
+    import struct
+
+    from jetstream_spark.operators.wav import wav_samples
+
+    samples = [0, 1, -1, 32767, -32768, 12345]
+    pcm = struct.pack("<6h", *samples)
+    n_ch, rate, got = wav_samples(_wav_bytes(pcm, channels=1, width=2, rate=16000))
+    assert (n_ch, rate, got) == (1, 16000, samples)
+
+
+def test_wav_decode_stereo_and_8bit():
+    import struct
+
+    from jetstream_spark.operators.wav import wav_samples
+
+    pcm = struct.pack("<4h", 10, -10, 20, -20)  # 2 frames x 2 channels
+    n_ch, rate, got = wav_samples(_wav_bytes(pcm, channels=2, width=2, rate=44100))
+    assert (n_ch, rate, got) == (2, 44100, [10, -10, 20, -20])
+
+    # 8-bit WAV is unsigned bytes
+    n_ch, rate, got = wav_samples(_wav_bytes(bytes([0, 128, 255]), channels=1, width=1))
+    assert (n_ch, rate, got) == (1, 8000, [0, 128, 255])
+
+
+def test_wav_decode_skips_unknown_chunks():
+    import struct
+
+    from jetstream_spark.operators.wav import wav_samples
+
+    payload = _wav_bytes(struct.pack("<2h", 7, -7))
+    # splice a LIST chunk (odd size -> pad byte) between fmt and data
+    fmt_end = payload.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = payload[:fmt_end] + extra + payload[fmt_end:]
+    assert wav_samples(spliced)[2] == [7, -7]
+
+
+def test_wav_decode_malformed_raises():
+    import struct
+
+    import pytest
+
+    from jetstream_spark.operators.wav import WavError, decode_wav
+
+    good = _wav_bytes(struct.pack("<2h", 1, 2))
+    for bad in (
+        b"",
+        b"RIFF" + b"\x00" * 8,            # not WAVE
+        good[:20],                          # truncated inside fmt
+        good.replace(b"data", b"dat@"),     # missing data chunk
+        good.replace(b"\x01\x00\x01\x00", b"\x03\x00\x01\x00", 1),  # float fmt
+    ):
+        with pytest.raises(WavError):
+            decode_wav(bad)
+
+
+def test_decode_media_audio_no_stub():
+    import struct
+
+    from jetstream_spark.queries.multimodal import decode_media
+
+    pcm = struct.pack("<3h", 5, -5, 9)
+    frames = decode_media(_wav_bytes(pcm), "audio/wav", allow_stub=False)
+    assert frames == pcm
