@@ -435,7 +435,50 @@ FROM firsts
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention cohorts: users grouped by first-activity day; for
+    each (cohort_day, week_offset) the count of cohort users active that
+    week-after-signup — the event-analytics staple (cohort triangle).
+    Cohort day formatted as a string in both engines (dtype-strict hash:
+    Spark dates and DuckDB dates canonicalize differently otherwise).
+
+    Scale shape: one per-user min-agg shuffle (map-side partial min), a
+    user-keyed join of cohort onto activity (both sides already hashed by
+    user_id — the Exchange is reused), then distinct+count on the tiny
+    (cohort, offset, user) key set. No window, no self-join over events."""
+    events = table(spark, sf_dir, "events")
+    daily = events.select("user_id", F.col("ts").cast("date").alias("day"))
+    cohorts = daily.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        daily.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.floor(F.datediff(F.col("day"), F.col("cohort_day")) / 7).cast("int").alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+Q_RETENTION_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), cohorts AS (
+  SELECT user_id, min(day) AS cohort_day FROM daily GROUP BY user_id
+), active AS (
+  SELECT DISTINCT d.user_id, strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+         CAST(floor(date_diff('day', c.cohort_day, d.day) / 7.0) AS INT) AS week_offset
+  FROM daily d JOIN cohorts c USING (user_id)
+)
+SELECT cohort_day, week_offset, count(*) AS n_users
+FROM active GROUP BY cohort_day, week_offset
+"""
+
+
 QUERIES = [
+    QuerySpec("retention_cohorts", q_retention_cohorts, Q_RETENTION_ORACLE, "weekly cohort retention triangle", ("eventlog",)),
     QuerySpec("replay_scan", q_replay_scan, Q_REPLAY_ORACLE, "S14: cursor time-range scan + filters", ("eventlog",)),
     QuerySpec("subscribe_filter", q_subscribe_filter, Q_SUBSCRIBE_ORACLE, "S17: subscription filter with bypass rule", ("eventlog",)),
     QuerySpec("monotonic_delivery", q_monotonic_delivery, Q_MONOTONIC_ORACLE, "S18: monotonic cursor delivery", ("eventlog",)),
