@@ -212,13 +212,35 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     _stamp(index_path, sf_dir)
 
 
+def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Resolve (and build if stale/absent) the canonical inverted-file
+    location for a corpus dir; returns the index path. Shared by the batch
+    query surface and the streaming probe."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    index_path = os.path.join(tempfile.gettempdir(), f"jetstream_ivf_index_{tag}")
+    if not index_is_fresh(index_path, sf_dir):
+        build_ivf_index(spark, sf_dir, index_path)
+    return index_path
+
+
 def probe_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> DataFrame:
     """Top-k cosine over only the probed cells of the materialized inverted
     file; same result as q_ann_ivf, partition-pruned physical access."""
-    import pandas as pd
-
     cents = ivf_centroids(spark, sf_dir)
     q_ids, q_mat = _query_matrix(spark, sf_dir)
+    return probe_ivf_with(spark, cents, q_ids, q_mat, index_path)
+
+
+def probe_ivf_with(spark: SparkSession, cents, q_ids, q_mat, index_path: str) -> DataFrame:
+    """The probe core, parameterized on the query matrix — shared by the
+    batch query (fixed probe vectors) and the streaming probe (each
+    micro-batch's incoming vectors). Only the nprobe cells' partitions are
+    read; the query matrix broadcasts."""
+    import pandas as pd
+
     q_norms = np.linalg.norm(q_mat, axis=1)
     q_cells = np.argsort(-(q_mat / q_norms[:, None]) @ cents.T, axis=1)[:, :IVF_NPROBE]
     union = sorted({int(c) for row in q_cells for c in row})

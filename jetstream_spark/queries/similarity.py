@@ -400,20 +400,9 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     data'. Same cell-assignment semantics as q_ann_ivf, same SQL oracle.
     The inverted file is reused when a completed build is newer than the
     source corpus; a stale or absent one is rebuilt in-line."""
-    import os
-    import tempfile
+    from jetstream_spark.operators.ann_index import ensure_ivf_index, probe_ivf_index
 
-    from jetstream_spark.operators.ann_index import (
-        build_ivf_index,
-        index_is_fresh,
-        probe_ivf_index,
-    )
-
-    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    index_path = os.path.join(tempfile.gettempdir(), f"jetstream_ivf_index_{tag}")
-    if not index_is_fresh(index_path, sf_dir):
-        build_ivf_index(spark, sf_dir, index_path)
-    return probe_ivf_index(spark, sf_dir, index_path)
+    return probe_ivf_index(spark, sf_dir, ensure_ivf_index(spark, sf_dir))
 
 
 # --- embedding vector ops (scalar outputs — oracle-safe) -------------------------

@@ -224,3 +224,26 @@ def test_decode_media_audio_no_stub():
     pcm = struct.pack("<3h", 5, -5, 9)
     frames = decode_media(_wav_bytes(pcm), "audio/wav", allow_stub=False)
     assert frames == pcm
+
+
+def test_wav_decode_fuzz_never_crashes():
+    """Arbitrary bytes → WavError or a valid parse, never IndexError /
+    struct.error (the carcbor fuzz contract, applied to RIFF)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jetstream_spark.operators.wav import WavError, decode_wav
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=128))
+    def run(payload):
+        try:
+            decode_wav(payload)
+        except WavError:
+            pass
+        try:  # prefixing the magic must not change the error contract
+            decode_wav(b"RIFF\x10\x00\x00\x00WAVE" + payload)
+        except WavError:
+            pass
+
+    run()
