@@ -204,6 +204,31 @@ def cmd_dedup_stream(args) -> int:
     return 0
 
 
+def cmd_ann_stream(args) -> int:
+    from jetstream_spark.streaming.ann_stream import (
+        init_ann_state,
+        read_results,
+        start_streaming_ann,
+    )
+
+    spark = _spark(args.cpus)
+    init_ann_state(args.state_dir)
+    ckpt = os.path.join(args.state_dir, "_ann_ckpt")
+    q = start_streaming_ann(spark, args.queries_dir, args.sf_dir, args.state_dir, ckpt)
+    print(f"probing {args.queries_dir} against {args.sf_dir} index (checkpoint {ckpt})", flush=True)
+    try:
+        if args.drain:
+            q.processAllAvailable()
+            q.stop()
+            n = read_results(spark, args.state_dir).count()
+            print(f"result rows so far: {n}")
+        else:
+            q.awaitTermination()
+    except KeyboardInterrupt:
+        q.stop()
+    return 0
+
+
 def cmd_sql(args) -> int:
     """Ad-hoc ANSI SQL over the engine's tables — the interactive read
     surface the reference never had (its only read path is /subscribe).
@@ -276,6 +301,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--format", choices=("table", "json"), default="table")
     p.add_argument("--limit", type=int, default=0, help="cap output rows (0 = unlimited)")
     p.set_defaults(fn=cmd_sql)
+
+    p = sub.add_parser("ann-stream", help="standing ANN probe of a query-vector drop dir vs the IVF index")
+    p.add_argument("--queries-dir", default="./queries_in", help="ndjson {query_id, embedding} drop directory")
+    p.add_argument("--sf-dir", required=True, help="corpus dir whose embeddings the index covers")
+    p.add_argument("--state-dir", default="./ann_state", help="results + marker root")
+    p.add_argument("--drain", action="store_true", help="process available input then exit (batch mode)")
+    p.set_defaults(fn=cmd_ann_stream)
 
     p = sub.add_parser("dedup-stream", help="standing near-dup detection over a doc drop dir")
     p.add_argument("--docs-dir", default="./docs_in", help="ndjson {doc_id, text} drop directory")

@@ -49,7 +49,12 @@ def init_ann_state(state_dir: str) -> None:
 
 
 def _handle_batch(
-    state_dir: str, sf_dir: str, index_path: str, batch_df: DataFrame, batch_id: int
+    state_dir: str,
+    sf_dir: str,
+    index_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    cents=None,
 ) -> None:
     if batch_id in load_done_batches(state_dir):
         return  # replay of a completed batch: outputs already converged
@@ -59,7 +64,8 @@ def _handle_batch(
     if rows:
         q_ids = np.array([r["query_id"] for r in rows], dtype=np.int64)
         q_mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-        cents = ivf_centroids(spark, sf_dir)
+        if cents is None:
+            cents = ivf_centroids(spark, sf_dir)
         result = probe_ivf_with(spark, cents, q_ids, q_mat, index_path)
         # delete-before-rewrite: a crashed attempt's partial output is replaced
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -76,6 +82,7 @@ def start_streaming_ann(
 ) -> StreamingQuery:
     """Standing probe over an ndjson query-vector drop directory."""
     index_path = ensure_ivf_index(spark, sf_dir)
+    cents = ivf_centroids(spark, sf_dir)  # static alongside the index: one collect, not per-batch
     stream = (
         spark.readStream.schema(QUERY_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -83,7 +90,7 @@ def start_streaming_ann(
     )
     return (
         stream.writeStream.foreachBatch(
-            lambda df, bid: _handle_batch(state_dir, sf_dir, index_path, df, bid)
+            lambda df, bid: _handle_batch(state_dir, sf_dir, index_path, df, bid, cents)
         )
         .option("checkpointLocation", checkpoint_dir)
         .start()

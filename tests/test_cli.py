@@ -151,3 +151,32 @@ def test_cli_sql(tmp_path, spark):
     # bad SQL → nonzero exit, parse error surfaced
     out = _run("sql", "SELEKT 1", "--data-dir", d)
     assert out.returncode != 0
+
+
+@pytest.mark.timeout(300)
+def test_cli_ann_stream_drain(tmp_path, spark):
+    from jetstream_spark.tables import table
+
+    rows = (
+        table(spark, "/root/testdata/sf0.001", "embeddings")
+        .limit(3)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qdir = tmp_path / "queries_in"
+    qdir.mkdir()
+    with open(qdir / "q.json", "w") as f:
+        for r in rows:
+            f.write(
+                json.dumps(
+                    {"query_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}
+                )
+                + "\n"
+            )
+    state = str(tmp_path / "state")
+    out = _run(
+        "ann-stream", "--queries-dir", str(qdir), "--sf-dir", "/root/testdata/sf0.001",
+        "--state-dir", state, "--drain",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "result rows so far: 15" in out.stdout  # 3 queries x top-5
