@@ -778,8 +778,134 @@ WHERE inter * 1.0 / sa.n >= {CONTAIN_T}
 """
 
 
+# --- span scrub: REMOVE boilerplate spans (interval merge) -------------------------
+def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE step on top of dedup_common_spans' detection: cut every
+    corpus-boilerplate word 5-gram occurrence out of each document, with
+    overlapping/adjacent occurrences merged into maximal intervals first
+    (the C4 recipe removes the union of flagged spans, not 5 tokens per
+    flag — double-counting overlaps would over-report removal ~5×).
+
+    Relational interval union, per doc: hit starts sorted; a hit opens a
+    NEW island iff its start lies past the running max end of all earlier
+    hits (window max over preceding rows); island id = running sum of
+    open flags; each island removes max(start)+N − min(start) tokens.
+
+    Scale shape: the detection shuffles are dedup_common_spans' (span
+    count + join-back, AQE skew-split on hot spans); the interval merge
+    adds ONE doc_id-keyed shuffle shared by both windows and the final
+    per-doc aggregate (sort within partition, no all-pairs, no Python)."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n_tokens")
+    )
+    # ALL span occurrences with their 1-based start positions
+    spans_pos = F.when(
+        F.size("toks") >= SPAN_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (SPAN_N - 1)),
+            lambda i: F.struct(
+                i.alias("start"), F.array_join(F.slice("toks", i, SPAN_N), " ").alias("span")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,span:string>>"))
+    occurrences = base.select("doc_id", F.explode(spans_pos).alias("o")).select(
+        "doc_id", F.col("o.start").alias("start"), F.col("o.span").alias("span")
+    )
+    # boilerplate set: distinct-doc frequency >= threshold (distinct spans per doc)
+    boiler = (
+        occurrences.select("doc_id", "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= SPAN_DF_T)
+        .select("span")
+    )
+    hits = occurrences.join(boiler, "span").select(
+        "doc_id", "start", (F.col("start") + SPAN_N).alias("end")
+    )
+    w_prev = Window.partitionBy("doc_id").orderBy("start").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = (
+        hits.withColumn(
+            "opens",
+            (F.col("start") >= F.coalesce(F.max("end").over(w_prev), F.lit(-1))).cast("int"),
+        )
+        .withColumn("island", F.sum("opens").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg((F.max("end") - F.min("start")).alias("removed"))
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("removed").alias("tokens_removed"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_islands", F.lit(0)).cast("long").alias("n_islands"),
+            F.coalesce("tokens_removed", F.lit(0)).cast("long").alias("tokens_removed"),
+            (F.col("n_tokens") - F.coalesce("tokens_removed", F.lit(0))).cast("long").alias("tokens_kept"),
+        )
+    )
+
+
+Q_SPAN_SCRUB_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+  FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS INT) AS start,
+         array_to_string(t[i:i + {SPAN_N - 1}], ' ') AS span
+  FROM t, unnest(generate_series(1, len(t) - {SPAN_N - 1})) AS u(i)
+  WHERE len(t) >= {SPAN_N}
+), boiler AS (
+  SELECT span FROM (SELECT DISTINCT doc_id, span FROM occ)
+  GROUP BY span HAVING count(*) >= {SPAN_DF_T}
+), hits AS (
+  SELECT doc_id, start, start + {SPAN_N} AS "end"
+  FROM occ JOIN boiler USING (span)
+), flagged AS (
+  SELECT doc_id, start, "end",
+         CASE WHEN start >= coalesce(max("end") OVER (PARTITION BY doc_id ORDER BY start
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS opens
+  FROM hits
+), isl AS (
+  SELECT doc_id,
+         sum(opens) OVER (PARTITION BY doc_id ORDER BY start
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island,
+         start, "end"
+  FROM flagged
+), merged AS (
+  SELECT doc_id, island, max("end") - min(start) AS removed
+  FROM isl GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_islands, sum(removed) AS tokens_removed
+  FROM merged GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS INT) AS n_tokens,
+       CAST(coalesce(per_doc.n_islands, 0) AS BIGINT) AS n_islands,
+       CAST(coalesce(per_doc.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+       CAST(len(t.t) - coalesce(per_doc.tokens_removed, 0) AS BIGINT) AS tokens_kept
+FROM t LEFT JOIN per_doc ON t.doc_id = per_doc.doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("dedup_exact", q_dedup_exact, Q_DEDUP_EXACT_ORACLE, "content-hash exact dedup", ("dedup",)),
+    QuerySpec("dedup_span_scrub", q_dedup_span_scrub, Q_SPAN_SCRUB_ORACLE, "boilerplate span REMOVAL with relational interval merging", ("dedup",)),
     QuerySpec("dedup_containment", q_dedup_containment, Q_CONTAINMENT_ORACLE, "directed shingle-containment (quote-inclusion) pairs via prefix-probe join", ("dedup",)),
     QuerySpec("dedup_common_spans", q_dedup_common_spans, Q_COMMON_SPANS_ORACLE, "C4-style corpus-common span (boilerplate) detection", ("dedup",)),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, _JACCARD_PAIRS_SQL, "exact char-8-gram Jaccard pairs", ("dedup",)),

@@ -186,3 +186,47 @@ def test_containment_superset_of_jaccard_pairs(spark):
     assert jaccard, "fixture must contain near-dup pairs"
     for a, b in jaccard:
         assert (a, b) in contained and (b, a) in contained, (a, b)
+
+
+def test_span_scrub_interval_merge_matches_direct(spark):
+    """Independent per-doc recomputation of the interval union (pure
+    Python), plus structural bounds: removal never exceeds n_tokens, and
+    every doc with boilerplate hits in dedup_common_spans has islands."""
+    import re
+    from collections import Counter
+
+    from jetstream_spark.queries.dedup import SPAN_DF_T, SPAN_N, q_dedup_span_scrub
+    from jetstream_spark.tables import table
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_islands"], r["tokens_removed"], r["tokens_kept"])
+        for r in q_dedup_span_scrub(spark, SF_DIR).collect()
+    }
+
+    texts = {r["doc_id"]: r["text"] for r in table(spark, SF_DIR, "documents").collect()}
+    toks = {
+        d: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w] for d, t in texts.items()
+    }
+    span_docs = {
+        d: {" ".join(ts[i : i + SPAN_N]) for i in range(len(ts) - SPAN_N + 1)}
+        for d, ts in toks.items()
+        if len(ts) >= SPAN_N
+    }
+    df = Counter(s for spans in span_docs.values() for s in spans)
+    boiler = {s for s, c in df.items() if c >= SPAN_DF_T}
+    assert boiler
+
+    for d, ts in toks.items():
+        starts = [
+            i for i in range(len(ts) - SPAN_N + 1)
+            if " ".join(ts[i : i + SPAN_N]) in boiler
+        ] if len(ts) >= SPAN_N else []
+        islands = []
+        for s in starts:
+            if islands and s < islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], s + SPAN_N)
+            else:
+                islands.append([s, s + SPAN_N])
+        removed = sum(e - s for s, e in islands)
+        assert got[d] == (len(ts), len(islands), removed, len(ts) - removed), d
+        assert removed <= len(ts)
