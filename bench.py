@@ -250,6 +250,13 @@ SF1_QUERIES = [
     "q9_product_profit",
     "window_running_revenue",
     "dedup_exact",
+    # dedup_minhash_lsh measured here and EXCLUDED deliberately: replica
+    # scaling turns every doc into a 10-copy exact-dup group (45 within-
+    # group pairs each -> 250k output pairs vs ~500 at sf0.1, 98.6 s), so
+    # pair-output operators scale quadratically in replicas BY DATA
+    # CONSTRUCTION, not by plan regression -- the anomaly detector would
+    # flag corpus semantics, not the engine. dedup_exact keeps the dedup
+    # family's scan/shuffle cost in the sample without the pair blow-up.
 ]
 
 

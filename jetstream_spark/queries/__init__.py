@@ -30,6 +30,7 @@ _PRIORITY = (
     "multimodal_audio_stats",  # real WAV round-trip (wave encode / RIFF decode)
     "retention_cohorts",      # daily cohort retention triangle
     "dedup_span_scrub",       # boilerplate span REMOVAL, interval merging
+    "dedup_two_tier",         # exact-rep tier then MinHash over reps
     "dedup_common_spans",     # C4-style span-level boilerplate detection
     "decontaminate_bloom",    # bloom-bitmap decontam, map-only train probe
     "corpus_budget_selection",  # global greedy token budget, no global sort

@@ -230,3 +230,72 @@ def test_span_scrub_interval_merge_matches_direct(spark):
         removed = sum(e - s for s, e in islands)
         assert got[d] == (len(ts), len(islands), removed, len(ts) - removed), d
         assert removed <= len(ts)
+
+
+def test_two_tier_labels_match_one_tier_components(spark):
+    """dedup_two_tier's labels restricted to near-dup graph nodes must
+    equal dedup_components' labels (Jaccard depends only on content, and
+    each content has exactly one representative)."""
+    from jetstream_spark.queries.dedup import q_dedup_components, q_dedup_two_tier
+
+    comp = {
+        r["doc_id"]: r["component"] for r in q_dedup_components(spark, SF_DIR).collect()
+    }
+    two = {
+        r["doc_id"]: r["cluster_id"] for r in q_dedup_two_tier(spark, SF_DIR).collect()
+    }
+    assert comp, "fixture must contain near-dup clusters"
+    for doc, label in comp.items():
+        assert two[doc] == label, doc
+    # and every doc is labeled, isolated docs by themselves
+    assert len(two) >= len(comp)
+
+
+def test_two_tier_collapses_heavy_duplicate_groups(spark, tmp_path):
+    """On a corpus where every content is replicated R times, tier 1 must
+    shrink the near-dup pass to distinct contents: rep pairs counted by
+    the intermediate stage stay content-level (no R^2 blow-up), while the
+    final labels still cluster all copies together."""
+    from pyspark.sql import functions as F
+
+    from jetstream_spark.queries.dedup import (
+        _minhash_pairs,
+        _shingles_of,
+        q_dedup_two_tier,
+    )
+
+    R = 6
+    base = [
+        "alpha shuffle boundary partition exchange codegen vector " * 3,
+        "alpha shuffle boundary partition exchange codegen vector " * 3 + "tail",
+        "completely different content about window frames and watermarks " * 3,
+    ]
+    rows = [
+        (cid * 100 + r, text) for cid, text in enumerate(base) for r in range(R)
+    ]
+    src = tmp_path / "documents.parquet"
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src)
+    )
+
+    labeled = {
+        r["doc_id"]: r["cluster_id"]
+        for r in q_dedup_two_tier(spark, str(tmp_path)).collect()
+    }
+    # copies of content 0 and its near-dup content 1 share one cluster...
+    cluster01 = {labeled[cid * 100 + r] for cid in (0, 1) for r in range(R)}
+    assert cluster01 == {0}
+    # ...content 2's copies share another
+    cluster2 = {labeled[200 + r] for r in range(R)}
+    assert cluster2 == {200}
+
+    # the near-dup tier ran over representatives only: its pair output is
+    # content-level (1 pair here), not copy-level (R*R + 2*C(R,2) pairs)
+    docs = spark.read.parquet(str(src))
+    groups = docs.select("doc_id", "text", F.md5(F.col("text").cast("binary")).alias("h"))
+    reps = groups.groupBy("h").agg(F.min("doc_id").alias("rep"))
+    rep_docs = groups.join(
+        reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+    ).select("doc_id", "text")
+    rep_pairs = _minhash_pairs(rep_docs, _shingles_of(rep_docs)).count()
+    assert rep_pairs == 1
