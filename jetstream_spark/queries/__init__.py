@@ -28,6 +28,7 @@ _PRIORITY = (
     "bpe_learn_merges",       # iterative distributed BPE trainer (rows-only)
     "bpe_encode_stats",       # vocab-encoded per-doc BPE stats (rows-only)
     "multimodal_audio_stats",  # real WAV round-trip (wave encode / RIFF decode)
+    "multimodal_video_frames",  # real animated-GIF frame extraction (LZW)
     "retention_cohorts",      # daily cohort retention triangle
     "dedup_span_scrub",       # boilerplate span REMOVAL, interval merging
     "dedup_two_tier",         # exact-rep tier then MinHash over reps

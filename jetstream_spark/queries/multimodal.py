@@ -89,6 +89,13 @@ def decode_media(payload: bytes, media_type: str, *, allow_stub: bool = True):
         if allow_stub:
             return payload
         raise NotImplementedError("image/fake is the stub type; real decode refused")
+    if media_type == "image/gif":
+        # before the generic image/ path: ALL frames concatenated is the
+        # contract here (PIL's tobytes would silently keep frame 1 only)
+        from jetstream_spark.operators.gif import decode_gif
+
+        _, _, _, frames = decode_gif(payload)
+        return b"".join(frames)
     if media_type.startswith("image/"):
         pixels = _pil_decode(payload)
         if pixels is not None:
@@ -267,7 +274,99 @@ FROM c GROUP BY doc_id
 """
 
 
+# --- video: real multi-frame container (animated GIF) -----------------------------
+VID_W, VID_H = 6, 4  # frame geometry; frame = 24 pixels
+_VID_PIXELS = VID_W * VID_H
+
+
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame extraction from a REAL multi-frame container: each doc's
+    payload is an animated GIF (frames = text bytes chunked into 6×4
+    index frames, zero-padded tail; built with the in-repo LZW encoder),
+    and the kernel decodes it with `decode_media(..., allow_stub=False)`
+    — the full variable-width LZW + container walk in operators/gif.py.
+    Unlike the WAV round trip the encoder is in-repo too, so the decoder
+    is additionally pinned by a hand-assembled spec-golden GIF in
+    tests/test_gif.py. The oracle recomputes the stats from the text
+    characters; `multimodal_frame_sample` keeps the stub-byte variant.
+
+    Scale shape: one mapInPandas pass (encode+decode+reduce per Arrow
+    batch) — the batching contract of a real video frame-sampling kernel."""
+    import numpy as np
+
+    from jetstream_spark.operators.gif import decode_gif, encode_gif
+
+    palette = bytes(range(256)) * 3
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = text.encode("utf-8")
+                n_frames = max(1, -(-len(codes) // _VID_PIXELS))
+                padded = codes.ljust(n_frames * _VID_PIXELS, b"\x00")
+                frames = [
+                    padded[i * _VID_PIXELS : (i + 1) * _VID_PIXELS]
+                    for i in range(n_frames)
+                ]
+                payload = encode_gif(frames, VID_W, VID_H, palette)
+
+                pixels = decode_media(payload, "image/gif", allow_stub=False)
+                w, h, _, dframes = decode_gif(payload)
+                assert (w, h) == (VID_W, VID_H) and len(pixels) == len(padded)
+                first = np.frombuffer(dframes[0], dtype=np.uint8)
+                last = np.frombuffer(dframes[-1], dtype=np.uint8)
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(dframes),
+                        float(first.mean()),
+                        int(last.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "first_frame_mean", "last_frame_max"]
+            )
+
+    raw = docs.mapInPandas(
+        extract,
+        schema="doc_id long, n_frames int, first_frame_mean double, last_frame_max int",
+    )
+    return raw.select(
+        "doc_id",
+        "n_frames",
+        F.round("first_frame_mean", 4).alias("first_frame_mean"),
+        "last_frame_max",
+    )
+
+
+Q_MM_VIDEO_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, len(text) AS n,
+         CAST(greatest(1, ceil(len(text) / {_VID_PIXELS}.0)) AS INT) AS n_frames
+  FROM documents
+), firstf AS (
+  SELECT doc_id,
+         sum(ascii(substr(text, i, 1))) AS s   -- pad zeros add nothing
+  FROM documents, unnest(generate_series(1, least(len(text), {_VID_PIXELS}))) AS u(i)
+  GROUP BY doc_id
+), lastf AS (
+  SELECT c.doc_id,
+         max(ascii(substr(d.text, (c.n_frames - 1) * {_VID_PIXELS} + CAST(i AS INT), 1))) AS m
+  FROM c JOIN documents d USING (doc_id),
+       unnest(generate_series(1, c.n - (c.n_frames - 1) * {_VID_PIXELS})) AS u(i)
+  GROUP BY c.doc_id
+)
+SELECT c.doc_id, c.n_frames,
+       round(firstf.s / {_VID_PIXELS}.0, 4) AS first_frame_mean,
+       CAST(greatest(lastf.m, 0) AS INT) AS last_frame_max
+FROM c JOIN firstf USING (doc_id) JOIN lastf ON lastf.doc_id = c.doc_id
+"""
+
+
 QUERIES = [
+    QuerySpec("multimodal_video_frames", q_multimodal_video_frames, Q_MM_VIDEO_ORACLE, "real animated-GIF frame extraction (in-repo LZW, spec-golden-pinned)", ("multimodal",)),
     QuerySpec("multimodal_audio_stats", q_multimodal_audio_stats, Q_MM_AUDIO_ORACLE, "real WAV container round-trip (stdlib wave encode, in-repo RIFF decode)", ("multimodal",)),
     QuerySpec("multimodal_metadata", q_multimodal_metadata, Q_MM_META_ORACLE, "binary payload + typed metadata projection", ("multimodal",)),
     QuerySpec("multimodal_byte_stats", q_multimodal_byte_stats, Q_MM_BYTES_ORACLE, "mapInPandas feature extraction over decoded media", ("multimodal",)),
