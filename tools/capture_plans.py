@@ -68,6 +68,8 @@ AUDIT = {
     "dedup_span_scrub": "span-count + join-back detection; ONE doc_id shuffle shared by both interval-merge windows and the final agg",
     "retention_cohorts": "per-user min agg; cohort join reuses the user-hash Exchange; distinct+count on the small key set",
     "multimodal_audio_stats": "single mapInPandas pass (encode+decode+reduce per Arrow batch), no shuffle before the scan-local kernel",
+    "multimodal_video_frames": "single mapInPandas pass over the scan; LZW encode/decode stays in the kernel, no shuffle",
+    "dedup_two_tier": "one md5 shuffle for groups; semi join restricts the band/verify subtree to representatives; left join lifts labels",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
