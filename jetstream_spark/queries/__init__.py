@@ -29,6 +29,7 @@ _PRIORITY = (
     "bpe_encode_stats",       # vocab-encoded per-doc BPE stats (rows-only)
     "multimodal_audio_stats",  # real WAV round-trip (wave encode / RIFF decode)
     "multimodal_video_frames",  # real animated-GIF frame extraction (LZW)
+    "multimodal_resize",      # real PNG decode -> NN thumbnail resample
     "retention_cohorts",      # daily cohort retention triangle
     "dedup_span_scrub",       # boilerplate span REMOVAL, interval merging
     "dedup_two_tier",         # exact-rep tier then MinHash over reps
@@ -56,41 +57,44 @@ _PRIORITY = (
     "ann_brute_force_topk",
     "ann_lsh_indexed",
     "ann_ivf_indexed",
-    # ---- r2-latest evidence, unchanged code (oldest first by family) ----
+    # ---- r2-latest evidence, unchanged code: 18 in-window slots, one
+    # ---- representative per family whose surface has no r4-fresh cousin
     "semi_join_late_orders",
     "anti_join_idle_customers",
     "window_running_revenue",
     "rollup_revenue",
     "grouping_sets_status",
     "set_symdiff_buyers",
-    "scalar_functions",
     "range_join_part_pairs",
     "full_outer_nation_activity",
     "percentiles_price",
     "unpivot_measures",
     "null_semantics",
     "pivot_segment_revenue",
-    "tumbling_window_hourly",
     "hopping_window_hourly",
+    "variant_props_stats",    # the rarer VARIANT surface (json cousin demoted)
+    "geomean_value",          # the grouped-agg pandas UDAF surface
+    "doc_chunking",           # the UDTF + LATERAL surface
+    "text_token_count",
+    "text_quality_score",
+    # ================= driver window boundary (~50) ==================
+    # r2-green entries displaced by the fifteen new r4 queries. Families
+    # keep in-window representatives (text: token_count/quality_score +
+    # the bpe pair; multimodal: the three r4 real-decode queries;
+    # sampling: weighted_sample/budget/bloom; similarity: knn_graph +
+    # changed ANN block). dedup_exact demoted: r3-green, md5 path
+    # untouched by the shingle-gate change.
+    "scalar_functions",
+    "tumbling_window_hourly",
     "json_props_stats",
-    "variant_props_stats",
-    "geomean_value",
     "conversion_funnel",
     "embedding_norms",
-    "text_token_count",
     "text_repetition",
-    "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
     "multimodal_metadata",
     "multimodal_byte_stats",
-    "doc_chunking",
-    "dedup_exact",           # r3-green; md5-only path untouched by the r4 shingle gate
-    # ================= driver window boundary (~50) ==================
-    # r2-green entries displaced by the nine new r4 queries; each family
-    # keeps an in-window representative (multimodal_metadata, doc_chunking,
-    # decontaminate_bloom, embedding_norms); dedup_exact demoted (r3-green,
-    # md5 path untouched by the shingle-gate change)
+    "dedup_exact",
     "multimodal_frame_sample",
     "sample_split",
     "doc_packing",

@@ -365,7 +365,86 @@ FROM c JOIN firstf USING (doc_id) JOIN lastf ON lastf.doc_id = c.doc_id
 """
 
 
+# --- resize: decode → nearest-neighbor resample -----------------------------------
+DST_W, DST_H = 4, 3  # thumbnail geometry
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize kernel of the extension brief, end-to-end REAL: each
+    doc's payload is an 8-bit greyscale PNG (per-doc geometry, pixels =
+    text bytes zero-padded), decoded with `decode_media(allow_stub=False)`
+    (pure-stdlib codec) and nearest-neighbor resampled to a fixed
+    {DST_W}×{DST_H} thumbnail — the shape of an image-preprocessing stage
+    before feature extraction. Nearest-neighbor index arithmetic
+    (src = ⌊dst·src_extent/dst_extent⌋) is integer-deterministic, so the
+    oracle recomputes the thumbnail straight from the text characters.
+
+    Scale shape: one mapInPandas pass; encode/decode/resample stay inside
+    the Arrow batch kernel, nothing shuffles before the final projection."""
+    import numpy as np
+
+    from jetstream_spark.operators.png import encode_png
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def extract(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 6 + int(doc_id) % 5
+                h = 4 + int(doc_id) % 3
+                codes = text.encode("utf-8")[: w * h].ljust(w * h, b"\x00")
+                payload = encode_png(codes, w, h, 1)
+                px = np.frombuffer(
+                    decode_media(payload, "image/png", allow_stub=False), dtype=np.uint8
+                ).reshape(h, w)
+                rs = np.arange(DST_H) * h // DST_H
+                cs = np.arange(DST_W) * w // DST_W
+                thumb = px[np.ix_(rs, cs)].astype(np.float64)
+                rows.append((int(doc_id), w, h, float(thumb.mean()), int(thumb.max())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "src_w", "src_h", "thumb_mean", "thumb_max"]
+            )
+
+    raw = docs.mapInPandas(
+        extract,
+        schema="doc_id long, src_w int, src_h int, thumb_mean double, thumb_max int",
+    )
+    return raw.select(
+        "doc_id",
+        "src_w",
+        "src_h",
+        F.round("thumb_mean", 4).alias("thumb_mean"),
+        "thumb_max",
+    )
+
+
+Q_MM_RESIZE_ORACLE = f"""
+WITH geo AS (
+  SELECT doc_id, text,
+         CAST(6 + doc_id % 5 AS INT) AS w,
+         CAST(4 + doc_id % 3 AS INT) AS h
+  FROM documents
+), thumb AS (
+  SELECT g.doc_id,
+         CASE WHEN (r * g.h // {DST_H}) * g.w + (c * g.w // {DST_W}) + 1 <= len(g.text)
+              THEN ascii(substr(g.text, CAST((r * g.h // {DST_H}) * g.w + (c * g.w // {DST_W}) + 1 AS INT), 1))
+              ELSE 0 END AS px
+  FROM geo g,
+       unnest(generate_series(0, {DST_H - 1})) AS ur(r),
+       unnest(generate_series(0, {DST_W - 1})) AS uc(c)
+)
+SELECT geo.doc_id, geo.w AS src_w, geo.h AS src_h,
+       round(t.s / {DST_W * DST_H}.0, 4) AS thumb_mean,
+       CAST(t.m AS INT) AS thumb_max
+FROM geo JOIN (
+  SELECT doc_id, sum(px) AS s, max(px) AS m FROM thumb GROUP BY doc_id
+) t USING (doc_id)
+"""
+
+
 QUERIES = [
+    QuerySpec("multimodal_resize", q_multimodal_resize, Q_MM_RESIZE_ORACLE, "real PNG decode -> nearest-neighbor thumbnail resample", ("multimodal",)),
     QuerySpec("multimodal_video_frames", q_multimodal_video_frames, Q_MM_VIDEO_ORACLE, "real animated-GIF frame extraction (in-repo LZW, spec-golden-pinned)", ("multimodal",)),
     QuerySpec("multimodal_audio_stats", q_multimodal_audio_stats, Q_MM_AUDIO_ORACLE, "real WAV container round-trip (stdlib wave encode, in-repo RIFF decode)", ("multimodal",)),
     QuerySpec("multimodal_metadata", q_multimodal_metadata, Q_MM_META_ORACLE, "binary payload + typed metadata projection", ("multimodal",)),
