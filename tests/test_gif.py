@@ -87,3 +87,18 @@ def test_decode_media_gif_no_stub():
     frames = [bytes([7] * 8), bytes([9] * 8)]
     g = encode_gif(frames, 4, 2, PALETTE)
     assert decode_media(g, "image/gif", allow_stub=False) == b"".join(frames)
+
+
+def test_lzw_adversarial_reclear_round_trips():
+    """Alphabet sizes and lengths engineered to cross the 4096-entry
+    re-clear boundary at varying widths."""
+    import random
+
+    from jetstream_spark.operators.gif import _lzw_compress, _lzw_decompress
+
+    rnd = random.Random(1234)
+    for trial in range(30):
+        n = rnd.randrange(3000, 40000)
+        alphabet = rnd.randrange(2, 256)
+        data = bytes(rnd.randrange(alphabet) for _ in range(n))
+        assert _lzw_decompress(_lzw_compress(data, 8), 8, n) == data, (trial, n, alphabet)

@@ -70,6 +70,7 @@ AUDIT = {
     "multimodal_audio_stats": "single mapInPandas pass (encode+decode+reduce per Arrow batch), no shuffle before the scan-local kernel",
     "multimodal_video_frames": "single mapInPandas pass over the scan; LZW encode/decode stays in the kernel, no shuffle",
     "dedup_two_tier": "one md5 shuffle for groups; semi join restricts the band/verify subtree to representatives; left join lifts labels",
+    "multimodal_resize": "single mapInPandas pass; PNG encode/decode/resample inside the kernel, no shuffle",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
