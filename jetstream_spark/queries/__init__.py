@@ -31,6 +31,7 @@ _PRIORITY = (
     "multimodal_video_frames",  # real animated-GIF frame extraction (LZW)
     "multimodal_resize",      # real PNG decode -> NN thumbnail resample
     "retention_cohorts",      # daily cohort retention triangle
+    "bigram_perplexity",      # stupid-backoff LM, model-as-table join scoring
     "dedup_span_scrub",       # boilerplate span REMOVAL, interval merging
     "dedup_two_tier",         # exact-rep tier then MinHash over reps
     "dedup_common_spans",     # C4-style span-level boilerplate detection
@@ -76,8 +77,8 @@ _PRIORITY = (
     "geomean_value",          # the grouped-agg pandas UDAF surface
     "doc_chunking",           # the UDTF + LATERAL surface
     "text_token_count",
-    "text_quality_score",
     # ================= driver window boundary (~50) ==================
+    "text_quality_score",
     # r2-green entries displaced by the fifteen new r4 queries. Families
     # keep in-window representatives (text: token_count/quality_score +
     # the bpe pair; multimodal: the three r4 real-decode queries;

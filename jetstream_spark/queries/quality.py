@@ -421,7 +421,126 @@ FROM s GROUP BY split ORDER BY split
 """
 
 
+# --- bigram LM with stupid backoff -------------------------------------------------
+BACKOFF_ALPHA = 0.4  # stupid backoff (Brants et al.) — no discounting math
+
+
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM held-out scoring with stupid backoff: p(w|v) = c(v,w)/c(v)
+    when the bigram was seen in training, else α·p_add1_unigram(w). Same
+    md5 train/eval membership as the unigram op; tokens 2..n of each eval
+    doc are scored given their predecessor.
+
+    The scale-shape CONTRAST with unigram_perplexity is the point: the
+    unigram model is vocabulary-sized and broadcasts, but the bigram table
+    grows with observed bigram types — at 100 TB it is NOT broadcastable,
+    so scoring joins the exploded eval bigrams against the model ON THE
+    BIGRAM KEY (a shuffle join whose build side is the model table; AQE
+    picks broadcast at bench SFs and degrades to shuffle-hash safely, the
+    same no-hint policy as the fact joins). The unigram backoff and the
+    two scalar totals stay broadcast-sized."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", _bucket_expr()
+    )
+    train = docs.filter(F.col("bucket") < TRAIN_PCT)
+    ev = docs.filter(F.col("bucket") >= TRAIN_PCT)
+
+    def bigrams(frame: DataFrame, keep_doc: bool) -> DataFrame:
+        toks = _tokens()
+        pairs = F.transform(
+            F.sequence(F.lit(2), F.size("toks")),
+            lambda i: F.struct(
+                F.element_at("toks", i - 1).alias("w1"),
+                F.element_at("toks", i).alias("w2"),
+            ),
+        )
+        base = frame.select(
+            "doc_id", "lang", toks.alias("toks")
+        ).where(F.size("toks") >= 2)
+        cols = ["doc_id", "lang"] if keep_doc else []
+        return base.select(*cols, F.explode(pairs).alias("p")).select(
+            *cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+
+    big_counts = bigrams(train, keep_doc=False).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    uni = train.select(F.explode(_tokens()).alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = uni.agg(
+        F.sum("cnt").alias("t_total"), F.count(F.lit(1)).alias("v_size")
+    )
+
+    scored = (
+        bigrams(ev, keep_doc=True)
+        .join(big_counts, ["w1", "w2"], "left")
+        .join(uni.select(F.col("term").alias("w1"), F.col("cnt").alias("c1")), "w1", "left")
+        .join(uni.select(F.col("term").alias("w2"), F.col("cnt").alias("cnt2")), "w2", "left")
+        .crossJoin(totals)
+    )
+    p_backoff = (
+        F.lit(BACKOFF_ALPHA)
+        * (F.coalesce("cnt2", F.lit(0)) + 1)
+        / (F.col("t_total") + F.col("v_size"))
+    )
+    nll = F.when(
+        F.col("c2").isNotNull(), -F.log(F.col("c2") / F.col("c1"))
+    ).otherwise(-F.log(p_backoff))
+    return (
+        scored.select("doc_id", "lang", nll.alias("nll"), F.col("c2").isNotNull().cast("int").alias("seen"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg("nll")), 6).alias("ppl"),
+            F.round(F.avg("seen"), 6).alias("seen_rate"),
+        )
+    )
+
+
+Q_BIGRAM_PPL_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lang, {_TOKENS_SQL} AS toks, {_BUCKET_SQL} AS bucket FROM documents
+), trb AS (
+  SELECT toks[i - 1] AS w1, toks[i] AS w2
+  FROM b, unnest(generate_series(2, len(toks))) AS u(i)
+  WHERE bucket < {TRAIN_PCT} AND len(toks) >= 2
+), bc AS (
+  SELECT w1, w2, count(*) AS c2 FROM trb GROUP BY w1, w2
+), tru AS (
+  SELECT unnest(toks) AS term FROM b WHERE bucket < {TRAIN_PCT}
+), uni AS (
+  SELECT term, count(*) AS cnt FROM tru GROUP BY term
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS t_total, count(*) AS v_size FROM uni
+), evb AS (
+  SELECT doc_id, lang, toks[i - 1] AS w1, toks[i] AS w2
+  FROM b, unnest(generate_series(2, len(toks))) AS u(i)
+  WHERE bucket >= {TRAIN_PCT} AND len(toks) >= 2
+), sc AS (
+  SELECT evb.doc_id, evb.lang,
+         CASE WHEN bc.c2 IS NOT NULL THEN -ln(bc.c2 * 1.0 / u1.cnt)
+              ELSE -ln({BACKOFF_ALPHA} * (coalesce(u2.cnt, 0) + 1) * 1.0 / (tot.t_total + tot.v_size))
+         END AS nll,
+         CASE WHEN bc.c2 IS NOT NULL THEN 1 ELSE 0 END AS seen
+  FROM evb
+  LEFT JOIN bc ON evb.w1 = bc.w1 AND evb.w2 = bc.w2
+  LEFT JOIN uni u1 ON evb.w1 = u1.term
+  LEFT JOIN uni u2 ON evb.w2 = u2.term
+  CROSS JOIN tot
+)
+SELECT doc_id, lang,
+       count(*) AS n_bigrams,
+       round(avg(nll), 6) AS avg_nll,
+       round(exp(avg(nll)), 6) AS ppl,
+       round(avg(seen), 6) AS seen_rate
+FROM sc GROUP BY doc_id, lang
+"""
+
+
 QUERIES = [
+    QuerySpec("bigram_perplexity", q_bigram_perplexity, Q_BIGRAM_PPL_ORACLE, "bigram stupid-backoff LM: model-as-table join scoring", ("text", "quality")),
     QuerySpec("quality_gopher_rules", q_gopher_rules, Q_GOPHER_ORACLE, "Gopher rule-bundle verdicts per doc", ("text", "quality")),
     QuerySpec("curation_pipeline", q_curation_pipeline, Q_CURATION_ORACLE, "dedup → Gopher filter → split: composed curation pipeline", ("quality", "pipeline")),
     QuerySpec("unigram_perplexity", q_unigram_perplexity, Q_UNIGRAM_PPL_ORACLE, "unigram-LM perplexity + CCNet terciles", ("text", "quality")),
