@@ -17,9 +17,9 @@ from jetstream_spark.queries.spec import QuerySpec
 # registry entries in declaration order, so this window is re-curated every
 # round: (1) queries whose only driver evidence is oldest, (2) queries whose
 # code changed this round, (3) the rest ordered oldest-evidence-first.
-# Round-4 rotation: everything in the r3 window (CORRECTNESS_r03) is fresh
-# and moves to the tail, except dedup/ANN entries whose code changed this
-# round; the 7 r1-only stragglers lead, then the full r2-latest cohort.
+# Round-4 rotation: 16 never-driver-checked r4 queries lead, then the 7
+# r1-only stragglers, the 10 changed-code dedup/ANN entries, and 17
+# family-balanced r2 representatives — exactly 50.
 _PRIORITY = (
     # ---- NEW in r4: never driver-checked ----
     "dedup_containment",      # directed quote-inclusion pairs, inverted count join
@@ -79,7 +79,7 @@ _PRIORITY = (
     "text_token_count",
     # ================= driver window boundary (~50) ==================
     "text_quality_score",
-    # r2-green entries displaced by the fifteen new r4 queries. Families
+    # r2-green entries displaced by the sixteen new r4 queries. Families
     # keep in-window representatives (text: token_count/quality_score +
     # the bpe pair; multimodal: the three r4 real-decode queries;
     # sampling: weighted_sample/budget/bloom; similarity: knn_graph +

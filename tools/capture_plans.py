@@ -65,6 +65,7 @@ AUDIT = {
     "knn_graph": "B^2 blocked cogroup FlatMapCoGroupsInPandas; per-vector window merges partial top-k rows only",
     "corpus_budget_selection": "histogram agg to <=1000 rows; map-only filter above boundary; sort+window only inside the boundary bucket",
     "bpe_pair_counts": "corpus collapses to vocab first; pair explode over vocab; TakeOrdered",
+    "bigram_perplexity": "bigram model joined as a TABLE on the bigram key (threshold-chosen, no hint); unigram backoff broadcast",
     "dedup_span_scrub": "span-count + join-back detection; ONE doc_id shuffle shared by both interval-merge windows and the final agg",
     "retention_cohorts": "per-user min agg; cohort join reuses the user-hash Exchange; distinct+count on the small key set",
     "multimodal_audio_stats": "single mapInPandas pass (encode+decode+reduce per Arrow batch), no shuffle before the scan-local kernel",
