@@ -17,8 +17,8 @@ from jetstream_spark.queries.spec import QuerySpec
 # registry entries in declaration order, so this window is re-curated every
 # round: (1) queries whose only driver evidence is oldest, (2) queries whose
 # code changed this round, (3) the rest ordered oldest-evidence-first.
-# Round-4 rotation: 16 never-driver-checked r4 queries lead, then the 7
-# r1-only stragglers, the 10 changed-code dedup/ANN entries, and 17
+# Round-4 rotation: 17 never-driver-checked r4 queries lead, then the 7
+# r1-only stragglers, the 10 changed-code dedup/ANN entries, and 16
 # family-balanced r2 representatives — exactly 50.
 _PRIORITY = (
     # ---- NEW in r4: never driver-checked ----
@@ -32,6 +32,7 @@ _PRIORITY = (
     "multimodal_resize",      # real PNG decode -> NN thumbnail resample
     "retention_cohorts",      # daily cohort retention triangle
     "bigram_perplexity",      # stupid-backoff LM, model-as-table join scoring
+    "cluster_aware_split",    # leakage-free split on near-dup cluster ids
     "dedup_span_scrub",       # boilerplate span REMOVAL, interval merging
     "dedup_two_tier",         # exact-rep tier then MinHash over reps
     "dedup_common_spans",     # C4-style span-level boilerplate detection
@@ -76,10 +77,10 @@ _PRIORITY = (
     "variant_props_stats",    # the rarer VARIANT surface (json cousin demoted)
     "geomean_value",          # the grouped-agg pandas UDAF surface
     "doc_chunking",           # the UDTF + LATERAL surface
-    "text_token_count",
     # ================= driver window boundary (~50) ==================
+    "text_token_count",
     "text_quality_score",
-    # r2-green entries displaced by the sixteen new r4 queries. Families
+    # r2-green entries displaced by the seventeen new r4 queries. Families
     # keep in-window representatives (text: token_count/quality_score +
     # the bpe pair; multimodal: the three r4 real-decode queries;
     # sampling: weighted_sample/budget/bloom; similarity: knn_graph +

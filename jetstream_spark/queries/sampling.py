@@ -633,7 +633,106 @@ LIMIT {SAMPLE_K}
 """
 
 
+# --- cluster-aware (leakage-free) splitting ------------------------------------
+def _cluster_bucket_sql(col: str) -> str:
+    return (
+        "(("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ") % 100)"
+    )
+
+
+def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment: the md5 split bucket is
+    computed on the NEAR-DUP CLUSTER id (dedup_two_tier's full-corpus
+    labels), not the doc id — so a near-duplicate pair can never straddle
+    train and eval, the leak document-level splitting silently permits
+    (a doc and its near-copy landing on opposite sides inflates eval).
+    Output: per-split doc and cluster counts.
+
+    Scale shape: two_tier's shuffles + one md5-arithmetic projection and a
+    3-row aggregate; assignment stays a pure function of cluster id, so
+    membership is stable across reruns/engines exactly like sample_split."""
+    from jetstream_spark.queries.dedup import q_dedup_two_tier
+
+    labels = q_dedup_two_tier(spark, sf_dir)
+    h = F.md5(F.col("cluster_id").cast("string").cast("binary"))
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100)
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        labels.select("doc_id", "cluster_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.min("cluster_id").alias("min_cluster"),
+        )
+    )
+
+
+def _two_tier_labels_cte() -> str:
+    # the dedup_two_tier oracle body as a reusable CTE tail (labels view)
+    from jetstream_spark.queries.dedup import JACCARD_T, _SHINGLES_SQL
+
+    return f"""
+g AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents
+), shx AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+  WHERE doc_id IN (SELECT DISTINCT rep FROM g)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shx GROUP BY doc_id
+), rp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jp AS (
+  SELECT doc_a, doc_b FROM rp
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {JACCARD_T}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jp
+), reach AS (
+  SELECT a AS v, a AS r FROM edges
+  UNION
+  SELECT reach.v, e.b AS r FROM reach JOIN edges e ON reach.r = e.a
+), lab AS (
+  SELECT v, min(r) AS component FROM reach GROUP BY v
+), labels AS (
+  SELECT g.doc_id, CAST(coalesce(lab.component, g.rep) AS BIGINT) AS cluster_id
+  FROM g LEFT JOIN lab ON g.rep = lab.v
+)"""
+
+
+def _cluster_split_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_two_tier_labels_cte()}, assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN {_cluster_bucket_sql('cluster_id')} < {TRAIN_PCT} THEN 'train'
+              WHEN {_cluster_bucket_sql('cluster_id')} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM labels
+)
+SELECT split,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       min(cluster_id) AS min_cluster
+FROM assigned GROUP BY split
+"""
+
+
 QUERIES = [
+    QuerySpec("cluster_aware_split", q_cluster_aware_split, _cluster_split_oracle(), "leakage-free split: buckets on near-dup cluster id, not doc id", ("sampling",)),
     QuerySpec("weighted_sample", q_weighted_sample, Q_WEIGHTED_SAMPLE_ORACLE, "Efraimidis–Spirakis quality-weighted sample via top-k keys", ("sampling",)),
     QuerySpec("decontaminate_bloom", q_decontaminate_bloom, Q_DECONTAM_BLOOM_ORACLE, "bloom-filter decontamination: map-only train-side probe", ("sampling",)),
     QuerySpec("corpus_budget_selection", q_corpus_budget_selection, Q_BUDGET_SELECT_ORACLE, "global token-budget greedy selection without a global sort", ("sampling",)),

@@ -299,3 +299,42 @@ def test_two_tier_collapses_heavy_duplicate_groups(spark, tmp_path):
     ).select("doc_id", "text")
     rep_pairs = _minhash_pairs(rep_docs, _shingles_of(rep_docs)).count()
     assert rep_pairs == 1
+
+
+def test_cluster_aware_split_has_zero_leakage(spark):
+    """No near-dup pair may straddle splits: every doc in a cluster gets
+    the cluster's split, and clusters' docs are complete (full corpus)."""
+    import hashlib
+
+    from jetstream_spark.queries.dedup import q_dedup_two_tier
+    from jetstream_spark.queries.sampling import TRAIN_PCT, VAL_PCT, q_cluster_aware_split
+    from jetstream_spark.tables import table
+
+    labels = {r["doc_id"]: r["cluster_id"] for r in q_dedup_two_tier(spark, SF_DIR).collect()}
+    n_docs = table(spark, SF_DIR, "documents").count()
+    assert len(labels) == n_docs
+
+    def split_of(cluster_id: int) -> str:
+        b = int(hashlib.md5(str(cluster_id).encode()).hexdigest()[:4], 16) % 100
+        return "train" if b < TRAIN_PCT else ("val" if b < TRAIN_PCT + VAL_PCT else "test")
+
+    # independent recomputation of the per-split totals
+    from collections import Counter
+
+    doc_splits = {d: split_of(c) for d, c in labels.items()}
+    expect_docs = Counter(doc_splits.values())
+    expect_clusters = {
+        s: len({labels[d] for d, sp in doc_splits.items() if sp == s})
+        for s in expect_docs
+    }
+    got = {
+        r["split"]: (r["n_docs"], r["n_clusters"])
+        for r in q_cluster_aware_split(spark, SF_DIR).collect()
+    }
+    for s, nd in expect_docs.items():
+        assert got[s] == (nd, expect_clusters[s]), s
+    # leakage-free by construction: all docs of a cluster share one split
+    by_cluster = {}
+    for d, c in labels.items():
+        by_cluster.setdefault(c, set()).add(doc_splits[d])
+    assert all(len(v) == 1 for v in by_cluster.values())
