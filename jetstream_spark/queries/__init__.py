@@ -17,10 +17,21 @@ from jetstream_spark.queries.spec import QuerySpec
 # registry entries in declaration order, so this window is re-curated every
 # round: (1) queries whose only driver evidence is oldest, (2) queries whose
 # code changed this round, (3) the rest ordered oldest-evidence-first.
-# Round-4 rotation: 17 never-driver-checked r4 queries lead, then the 7
-# r1-only stragglers, the 10 changed-code dedup/ANN entries, and 16
-# family-balanced r2 representatives — exactly 50.
+# Round-4 rotation: 22 never-driver-checked r4 queries lead (5 late
+# additions first), then the 7 r1-only stragglers, the 10 changed-code
+# dedup/ANN entries, and 11 family-balanced r2 representatives — exactly
+# 50. Displaced to make room: window_running_revenue / rollup_revenue /
+# set_symdiff_buyers / percentiles_price / anti_join_idle_customers —
+# each family keeps an in-window representative (4 window shapes in the
+# r1 block; cube + grouping_sets; intersect_repeat_buyers and the
+# q16/q22 anti joins r3-green; approx-agg error-bound pytest).
 _PRIORITY = (
+    # ---- NEW in r4 (late additions): never driver-checked ----
+    "knn_graph_ivf",          # approximate kNN graph within IVF cells
+    "dedup_containment_kmv",  # KMV-sketch approximate containment tier
+    "bm25_topk",              # BM25 lexical retrieval, map-only scoring
+    "embedding_covariance",   # one-pass distributed covariance partials
+    "embedding_pca_project",  # covariance -> driver eigh -> map projection (rows-only)
     # ---- NEW in r4: never driver-checked ----
     "dedup_containment",      # directed quote-inclusion pairs, inverted count join
     "knn_graph",              # exact top-k neighbor graph, blocked cogroup
@@ -62,14 +73,9 @@ _PRIORITY = (
     # ---- r2-latest evidence, unchanged code: 18 in-window slots, one
     # ---- representative per family whose surface has no r4-fresh cousin
     "semi_join_late_orders",
-    "anti_join_idle_customers",
-    "window_running_revenue",
-    "rollup_revenue",
     "grouping_sets_status",
-    "set_symdiff_buyers",
     "range_join_part_pairs",
     "full_outer_nation_activity",
-    "percentiles_price",
     "unpivot_measures",
     "null_semantics",
     "pivot_segment_revenue",

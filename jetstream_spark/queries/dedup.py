@@ -789,6 +789,89 @@ WHERE inter * 1.0 / sa.n >= {CONTAIN_T}
 """
 
 
+# --- approximate containment via KMV sketches --------------------------------
+KMV_K = 32
+
+
+def q_dedup_containment_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE directed containment via k-minimum-values sketches — the
+    scale tier that dedup_containment's docstring names as the 100 TB
+    mitigation for the Σ df(s)² inverted-index cost.
+
+    Sketch: each doc keeps the K shingles with the smallest md5 — computed
+    as a map-only HOF (sort (md5, shingle) structs inside the per-row array,
+    slice K): sketching the corpus costs ZERO shuffles, unlike a window-rank
+    formulation which would shuffle every shingle on doc_id. Probe: only the
+    ≤K sketch shingles per doc join the full inverted index, so candidate
+    volume drops from Σ_s df(s)² (exact operator) to Σ_s df_kmv(s)·df(s)
+    with the probe side hard-bounded at K rows per document regardless of
+    document length — hot boilerplate shingles can no longer explode the
+    probe side.
+
+    Estimator (KMV / bottom-k): because md5 is a uniform hash, the K
+    minimum-hash shingles of A are a uniform sample of sh(A) without
+    replacement, so |KMV_K(A) ∩ sh(B)| / min(K, n_A) is an unbiased
+    hypergeometric estimate of C(A→B) = |sh(A) ∩ sh(B)| / n_A; it is EXACT
+    whenever n_A ≤ K (the sketch is the whole set — asserted in tests).
+    The oracle recomputes the identical estimator (row_number over md5
+    order ≡ the struct sort), so this is hash-checked, not rows-only."""
+    sh = _doc_shingles(spark, sf_dir)
+    kmv = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.slice(
+            F.array_sort(
+                F.expr("transform(shingles, s -> struct(md5(cast(s as binary)) as h, s as s))")
+            ),
+            1,
+            KMV_K,
+        ).alias("kmv"),
+    )
+    probe = kmv.select(
+        F.col("doc_id").alias("contained_doc"),
+        F.least(F.col("n"), F.lit(KMV_K)).alias("denom"),
+        F.explode(F.col("kmv.s")).alias("s"),
+    )
+    index = sh.select(
+        F.col("doc_id").alias("container_doc"), F.explode("shingles").alias("s")
+    )
+    hits = (
+        probe.join(index, "s")
+        .where(F.col("contained_doc") != F.col("container_doc"))
+        .groupBy("contained_doc", "container_doc", "denom")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    est = F.col("m") / F.col("denom")
+    return hits.where(est >= CONTAIN_T).select(
+        "contained_doc",
+        "container_doc",
+        F.round(est, 6).alias("est_containment"),
+    )
+
+
+Q_CONTAINMENT_KMV_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY md5(s), s) AS rn
+  FROM sh
+), kmv AS (
+  SELECT doc_id, s FROM ranked WHERE rn <= {KMV_K}
+), hits AS (
+  SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc, count(*) AS m
+  FROM kmv a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT contained_doc, container_doc,
+       round(m * 1.0 / least(sa.n, {KMV_K}), 6) AS est_containment
+FROM hits
+JOIN sizes sa ON sa.doc_id = contained_doc
+WHERE m * 1.0 / least(sa.n, {KMV_K}) >= {CONTAIN_T}
+"""
+
+
 # --- span scrub: REMOVE boilerplate spans (interval merge) -------------------------
 def q_dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REWRITE step on top of dedup_common_spans' detection: cut every
@@ -995,6 +1078,7 @@ QUERIES = [
     QuerySpec("dedup_exact", q_dedup_exact, Q_DEDUP_EXACT_ORACLE, "content-hash exact dedup", ("dedup",)),
     QuerySpec("dedup_span_scrub", q_dedup_span_scrub, Q_SPAN_SCRUB_ORACLE, "boilerplate span REMOVAL with relational interval merging", ("dedup",)),
     QuerySpec("dedup_containment", q_dedup_containment, Q_CONTAINMENT_ORACLE, "directed shingle-containment (quote-inclusion) pairs via prefix-probe join", ("dedup",)),
+    QuerySpec("dedup_containment_kmv", q_dedup_containment_kmv, Q_CONTAINMENT_KMV_ORACLE, "approximate containment via K-minimum-values sketches (shuffle-free sketching, K-bounded probe)", ("dedup",)),
     QuerySpec("dedup_common_spans", q_dedup_common_spans, Q_COMMON_SPANS_ORACLE, "C4-style corpus-common span (boilerplate) detection", ("dedup",)),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, _JACCARD_PAIRS_SQL, "exact char-8-gram Jaccard pairs", ("dedup",)),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, _JACCARD_PAIRS_SQL, "MinHash-LSH + exact verify (== exact pairs)", ("dedup",)),

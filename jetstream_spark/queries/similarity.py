@@ -523,6 +523,173 @@ FROM er
 """
 
 
+# --- covariance + PCA (distributed linear algebra substrate) -------------------
+EMB_DIM = 64
+PCA_DIM = 4
+
+
+def _covariance_partials(emb: DataFrame) -> DataFrame:
+    """Per-partition second-moment partials for the covariance matrix:
+    each partition emits (i, j, sxy=Σx_i·x_j, sxi=Σx_i, sxj=Σx_j, n) for
+    i ≤ j — the one-pass mergeable statistic. One numpy X^T·X per Arrow
+    batch; the partials frame is P·d(d+1)/2 rows regardless of corpus
+    size, so the reduce shuffle is constant-bounded at any scale."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("j", T.LongType()),
+            T.StructField("sxy", T.DoubleType()),
+            T.StructField("sxi", T.DoubleType()),
+            T.StructField("sxj", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        sxx = None
+        sx = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if sxx is None:
+                d = m.shape[1]
+                sxx = np.zeros((d, d))
+                sx = np.zeros(d)
+            sxx += m.T @ m
+            sx += m.sum(axis=0)
+            n += m.shape[0]
+        if n == 0:
+            return
+        d = sx.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": iu.astype(np.int64),
+                "j": ju.astype(np.int64),
+                "sxy": sxx[iu, ju],
+                "sxi": sx[iu],
+                "sxj": sx[ju],
+                "n": np.int64(n),
+            }
+        )
+
+    return emb.select("embedding").mapInPandas(kernel, schema)
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix of the embedding corpus (upper
+    triangle, d(d+1)/2 rows) — the substrate of PCA whitening, Mahalanobis
+    outlier scoring, and drift detection over a training-data embedding
+    column.
+
+    Scale shape: the classic one-pass distributed second-moment reduction —
+    every partition computes X^T·X / ΣX / n partials with ONE numpy product
+    per Arrow batch (no explode of N·d² rows, no covar_pop over d² column
+    pairs), and the only shuffle moves P·d(d+1)/2 partial rows (P =
+    partition count — independent of N). cov = E[xy] − E[x]E[y] at the
+    reduce. The oracle recomputes with DuckDB's covar_pop per (i, j)."""
+    emb = table(spark, sf_dir, "embeddings")
+    partials = _covariance_partials(emb)
+    agg = partials.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxi").alias("sxi"),
+        F.sum("sxj").alias("sxj"),
+        F.sum("n").alias("n"),
+    )
+    cov = (F.col("sxy") - F.col("sxi") * F.col("sxj") / F.col("n")) / F.col("n")
+    # + 0.0 canonicalizes IEEE -0.0 to 0.0 (mirrored in the oracle) so a
+    # negative value that rounds to zero hashes identically on both engines
+    return agg.select("i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov"))
+
+
+Q_EMB_COVARIANCE_ORACLE = f"""
+SELECT ti.range AS i, tj.range AS j,
+       round(covar_pop(CAST(embedding[ti.range + 1] AS DOUBLE),
+                       CAST(embedding[tj.range + 1] AS DOUBLE)), 6) + 0.0 AS cov
+FROM embeddings, range(0, {EMB_DIM}) ti, range(0, {EMB_DIM}) tj
+WHERE ti.range <= tj.range
+GROUP BY 1, 2
+"""
+
+
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection onto the top-{PCA_DIM} principal components, plus
+    per-vector reconstruction error — the standard dense dim-reduction
+    step before clustering/indexing an embedding corpus.
+
+    Scale shape: covariance via the one-pass partial reduction above (the
+    only corpus-wide work), eigendecomposition of the tiny d×d matrix on
+    the DRIVER (d=64 — microseconds; this is the correct split at any
+    corpus size, the data never moves), then a map-only broadcast
+    projection: each vector is centered and dotted with the d×{PCA_DIM}
+    component matrix inside one Arrow kernel. Deterministic: components
+    are sign-fixed (largest-|loading| coordinate positive, ties to the
+    lowest index). Not SQL-expressible (eigendecomposition) — rows-only
+    for the driver; pinned instead by an independent full-numpy equality
+    test in tests/test_operators.py."""
+    import pyspark.sql.types as T
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = _covariance_partials(emb).groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxi").alias("sxi"),
+        F.sum("sxj").alias("sxj"),
+        F.sum("n").alias("n"),
+    ).collect()
+    d = max(r["j"] for r in rows) + 1
+    cov = np.zeros((d, d))
+    mean = np.zeros(d)
+    n = rows[0]["n"]
+    for r in rows:
+        c = (r["sxy"] - r["sxi"] * r["sxj"] / r["n"]) / r["n"]
+        cov[r["i"], r["j"]] = c
+        cov[r["j"], r["i"]] = c
+        mean[r["i"]] = r["sxi"] / r["n"]
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    comps = evecs[:, ::-1][:, :PCA_DIM].T  # (PCA_DIM, d), descending eigenvalue
+    for k in range(comps.shape[0]):
+        pivot = np.argmax(np.abs(comps[k]))
+        if comps[k, pivot] < 0:
+            comps[k] = -comps[k]
+    var_explained = evals[::-1][:PCA_DIM]
+    sc = emb.sparkSession.sparkContext
+    b_comps, b_mean = sc.broadcast(comps), sc.broadcast(mean)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("proj", T.ArrayType(T.DoubleType())),
+            T.StructField("recon_err", T.DoubleType()),
+        ]
+    )
+
+    def project(batches):
+        c, mu = b_comps.value, b_mean.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) - mu
+            p = m @ c.T  # (n, PCA_DIM)
+            resid = m - p @ c  # components are orthonormal
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype(np.int64),
+                    "proj": list(np.round(p, 6)),
+                    "recon_err": np.round(np.sqrt((resid**2).sum(axis=1)), 6),
+                }
+            )
+
+    out = emb.select("vec_id", "embedding").mapInPandas(project, schema)
+    # attach the (identical-per-row) explained-variance summary for audit
+    return out.withColumn(
+        "var_explained_topk", F.lit(float(np.round(var_explained.sum(), 6)))
+    )
+
+
 # --- kNN graph (every vector's top-k neighbors) -------------------------------
 _KNN_BLOCKS = 8
 KNN_PARTIAL_PAD = 3  # per-block partial k padding against rounded-tie flips
@@ -620,8 +787,155 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE kNN graph — the 100 TB path that q_knn_graph's
+    docstring names: candidate generation restricted to IVF coarse cells
+    instead of all B² block pairs. Every vector probes its IVF_NPROBE
+    nearest cells; candidates are the vectors ASSIGNED (nearest-cell) to
+    those cells; exact cosine ranks candidates and keeps top-{TOP_K}.
+
+    Scale shape: one Arrow pass assigns cells against the broadcast
+    16-row centroid matrix (map-only), then ONE cogroup shuffle on the
+    cell id scores probe×assign within each cell with a single numpy
+    product, pre-reduced to k+pad rows per vector before the global
+    window — total candidate work is nprobe·Σ_c |probe_c|·|cell_c|
+    instead of N², and executor memory is bounded by one cell pair. A
+    standing corpus would materialize the assignment once as the
+    cell-partitioned inverted file (operators/ann_index.py — the
+    ann_ivf_indexed layout) making the candidate side shuffle-free on
+    rebuild-free days; this one-shot builder shuffles both sides once.
+    Deterministic (fixed centroid rows, stable argsort ties to the
+    lowest cell) ⇒ real SQL oracle; recall floor vs the exact graph
+    asserted in tests."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.where(
+            (F.col("vec_id") >= _IVF_CENTROID_BASE)
+            & (F.col("vec_id") < _IVF_CENTROID_BASE + IVF_CELLS)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_rows.sort(key=lambda r: r["vec_id"])
+    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(cents)
+
+    def assign(batches):
+        c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            dots = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ c.T
+            # stable sort on -dots: equal dots keep ascending cell order,
+            # matching the oracle's ORDER BY dot DESC, cell
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :IVF_NPROBE]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(dtype=np.int64), IVF_NPROBE),
+                    "embedding": [e for e in pdf["embedding"] for _ in range(IVF_NPROBE)],
+                    "cell": order.ravel().astype(np.int32),
+                    "probe_rank": np.tile(np.arange(1, IVF_NPROBE + 1), n).astype(np.int32),
+                }
+            )
+
+    probed = emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, embedding array<float>, cell int, probe_rank int"
+    )
+    assigned = probed.where(F.col("probe_rank") == 1).select("cell", "vec_id", "embedding")
+    probe = probed.select("cell", "vec_id", "embedding")
+    keep = TOP_K + KNN_PARTIAL_PAD
+
+    def compare(key, lpdf, rpdf):
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cosine": []}).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+            )
+        l_ids = lpdf["vec_id"].to_numpy(dtype=np.int64)
+        r_ids = rpdf["vec_id"].to_numpy(dtype=np.int64)
+        l_mat = np.array(lpdf["embedding"].tolist(), dtype=np.float64)
+        r_mat = np.array(rpdf["embedding"].tolist(), dtype=np.float64)
+        cos = (l_mat @ r_mat.T) / np.outer(
+            np.linalg.norm(l_mat, axis=1), np.linalg.norm(r_mat, axis=1)
+        )
+        cos[l_ids[:, None] == r_ids[None, :]] = -np.inf
+        out_q, out_n, out_c = [], [], []
+        k = min(keep, cos.shape[1])
+        for li in range(cos.shape[0]):
+            row = cos[li]
+            idx = np.lexsort((r_ids, -row))[:k]
+            idx = idx[np.isfinite(row[idx])]
+            out_q.append(np.full(len(idx), l_ids[li]))
+            out_n.append(r_ids[idx])
+            out_c.append(row[idx])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    raw = (
+        probe.groupby("cell")
+        .cogroup(assigned.groupby("cell"))
+        .applyInPandas(compare, schema="vec_id long, neighbor_id long, cosine double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        raw.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("vec_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def _knn_graph_ivf_oracle() -> str:
+    return f"""
+WITH e AS ({_COS_E_SQL}),
+cents AS (
+  SELECT vec_id - {_IVF_CENTROID_BASE} AS cell,
+         list_transform(v, x -> x / nrm) AS cv
+  FROM e
+  WHERE vec_id >= {_IVF_CENTROID_BASE} AND vec_id < {_IVF_CENTROID_BASE + IVF_CELLS}
+),
+celldot AS (
+  SELECT e.vec_id, c.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_aggregate(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c.cv[i]), 'sum') DESC,
+                    c.cell
+         ) AS rn
+  FROM e, cents c
+),
+assign AS (
+  SELECT vec_id, cell FROM celldot WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id, cell FROM celldot WHERE rn <= {IVF_NPROBE}
+),
+scores AS (
+  SELECT q.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_aggregate(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * b.v[i]), 'sum')
+           / (q.nrm * b.nrm) AS cos
+  FROM e q
+  JOIN probe p ON p.vec_id = q.vec_id
+  JOIN assign a ON a.cell = p.cell
+  JOIN e b ON b.vec_id = a.vec_id AND b.vec_id <> q.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scores
+)
+SELECT vec_id, neighbor_id, round(cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = [
     QuerySpec("knn_graph", q_knn_graph, Q_KNN_GRAPH_ORACLE, "exact top-k neighbor graph via blocked cogroup + partial top-k", ("similarity",)),
+    QuerySpec("knn_graph_ivf", q_knn_graph_ivf, _knn_graph_ivf_oracle(), "approximate kNN graph restricted to IVF cells (one cell-key cogroup shuffle)", ("similarity",)),
     QuerySpec("ann_brute_force_topk", q_ann_brute_force, Q_ANN_ORACLE, "exact cosine top-k (numpy block products)", ("similarity",)),
     QuerySpec("ann_lsh_topk", q_ann_lsh, _lsh_oracle(), "random-hyperplane LSH ANN (approximate scale path)", ("similarity",)),
     QuerySpec("ann_lsh_indexed", q_ann_lsh_indexed, _lsh_oracle(), "LSH ANN through the materialized bucket-partitioned index", ("similarity",)),
@@ -630,4 +944,6 @@ QUERIES = [
     QuerySpec("embedding_norms", q_embedding_norms, Q_EMB_NORMS_ORACLE, "vector norm/stats ops", ("similarity",)),
     QuerySpec("embedding_downproject", q_embedding_downproject, Q_EMB_DOWNPROJECT_ORACLE, "adjacent-pair dim reduction", ("similarity",)),
     QuerySpec("embedding_quantize_int8", q_embedding_quantize_int8, Q_EMB_QUANTIZE_ORACLE, "symmetric int8 quantization + reconstruction error", ("similarity",)),
+    QuerySpec("embedding_covariance", q_embedding_covariance, Q_EMB_COVARIANCE_ORACLE, "one-pass distributed covariance matrix (mergeable X^T X partials)", ("similarity",)),
+    QuerySpec("embedding_pca_project", q_embedding_pca_project, None, "PCA projection: distributed covariance -> driver eigh -> broadcast map-only projection (rows-only; numpy-equality tested)", ("similarity",)),
 ]

@@ -458,8 +458,104 @@ ORDER BY pair_count DESC, pair LIMIT {BPE_TOP_N}
 """
 
 
+# --- BM25 retrieval --------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+# one rare discriminative term ("dup": df≈25/500) + two common ones, so the
+# IDF contrast actually orders the result
+BM25_QUERY = ("dup", "spark", "join")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson/Okapi, Lucene IDF form) of the
+    corpus against a fixed query — the classic sparse-retrieval counterpart
+    of the ANN dense tier, and the scoring core of a BM25 hard-negative
+    miner for retrieval training data.
+
+    Scale shape: the corpus side is MAP-ONLY — per-doc term frequencies for
+    the |Q| query terms come from higher-order functions on the token array
+    (no explode, no per-term shuffle), so scoring streams through the scan.
+    The only aggregation is the 1-row corpus-statistics frame (N, avgdl,
+    df per query term — |Q|+2 numbers) which joins back as a broadcast
+    nested-loop with no shuffle of the corpus. Top-k is
+    TakeOrderedAndProject (per-partition heaps), not a global sort.
+    At 100 TB the stats row is computed once and cached/persisted; probing a
+    new query re-uses it."""
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    dl = F.size(toks)
+    # 1-row stats: N, avgdl, df_t for each query term
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(toks)).alias("avgdl"),
+        *[
+            F.sum(F.array_contains(toks, t).cast("long")).alias(f"df_{t}")
+            for t in BM25_QUERY
+        ],
+    )
+    def tf_of(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).alias(f"tf_{term}")
+
+    scored = docs.select(
+        "doc_id", dl.alias("dl"), *[tf_of(t) for t in BM25_QUERY]
+    ).crossJoin(F.broadcast(stats))
+    score = None
+    for t in BM25_QUERY:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.col(f"tf_{t}").cast("double")
+        part = idf * tf * F.lit(BM25_K1 + 1.0) / (
+            tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select("doc_id", "dl", F.round(score, 6).alias("bm25"))
+        .where(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
+def _bm25_oracle() -> str:
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN list_contains({_TOKENS_SQL}, '{t}') THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_QUERY
+    )
+    tf_cols = ",\n         ".join(
+        f"len(list_filter({_TOKENS_SQL}, x -> x = '{t}')) AS tf_{t}" for t in BM25_QUERY
+    )
+    parts = " + ".join(
+        f"(ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+        f" * CAST(tf_{t} AS DOUBLE) * {BM25_K1 + 1.0}"
+        f" / (CAST(tf_{t} AS DOUBLE) + {BM25_K1} * ({round(1.0 - BM25_B, 6)} + {BM25_B} * dl / avgdl)))"
+        for t in BM25_QUERY
+    )
+    return f"""
+WITH stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         avg(len({_TOKENS_SQL})) AS avgdl,
+         {df_cols}
+  FROM documents
+), perdoc AS (
+  SELECT doc_id, len({_TOKENS_SQL}) AS dl,
+         {tf_cols}
+  FROM documents
+)
+SELECT doc_id, dl, round({parts}, 6) AS bm25
+FROM perdoc, stats
+WHERE {parts} > 0
+ORDER BY round({parts}, 6) DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
 QUERIES = [
     QuerySpec("text_token_count", q_token_count, Q_TOKEN_COUNT_ORACLE, "token + subword counting", ("text",)),
+    QuerySpec("bm25_topk", q_bm25_topk, _bm25_oracle(), "BM25 lexical retrieval top-k (map-only scoring, 1-row stats broadcast)", ("text",)),
     QuerySpec("bpe_pair_counts", q_bpe_pair_counts, Q_BPE_ORACLE, "BPE merge-candidate pair counts over the vocab table", ("text",)),
     QuerySpec("text_repetition", q_repetition, Q_REPETITION_ORACLE, "repetition/boilerplate features", ("text",)),
     QuerySpec("text_quality_score", q_quality_score, Q_QUALITY_ORACLE, "quality-filter features", ("text",)),

@@ -224,3 +224,55 @@ def test_liveness_monitor_tracks_progress(spark, tmp_path):
     finally:
         q.stop()
         spark.streams.removeListener(mon)
+
+
+def test_pca_project_matches_numpy_reference(spark):
+    """Full-pipeline equality with an independent numpy PCA on the raw
+    parquet: covariance partials -> driver eigh -> broadcast projection
+    must equal eigh(np.cov) projection with the same sign convention."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from jetstream_spark.queries.similarity import PCA_DIM, q_embedding_pca_project
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    ids = np.array(tbl["vec_id"])
+    m = np.array([list(v) for v in tbl["embedding"]], dtype=np.float64)
+    mu = m.mean(axis=0)
+    c = ((m - mu).T @ (m - mu)) / len(m)
+    evals, evecs = np.linalg.eigh(c)
+    comps = evecs[:, ::-1][:, :PCA_DIM].T
+    for k in range(PCA_DIM):
+        piv = np.argmax(np.abs(comps[k]))
+        if comps[k, piv] < 0:
+            comps[k] = -comps[k]
+    proj = (m - mu) @ comps.T
+    resid = (m - mu) - proj @ comps
+    err = np.sqrt((resid**2).sum(axis=1))
+    expect = {
+        int(i): (list(np.round(p, 6)), float(np.round(e, 6)))
+        for i, p, e in zip(ids, proj, err)
+    }
+
+    got = q_embedding_pca_project(spark, SF_DIR).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        ep, ee = expect[r["vec_id"]]
+        assert np.allclose(r["proj"], ep, atol=2e-6), r["vec_id"]
+        assert abs(r["recon_err"] - ee) <= 2e-6
+        assert r["var_explained_topk"] > 0
+
+
+def test_knn_graph_ivf_recall_vs_exact(spark):
+    """The IVF-restricted graph must recover most exact nearest-neighbor
+    edges — recall floor pinned so cell-config regressions get caught."""
+    from jetstream_spark.queries.similarity import q_knn_graph, q_knn_graph_ivf
+
+    exact = {
+        (r["vec_id"], r["neighbor_id"]) for r in q_knn_graph(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r["vec_id"], r["neighbor_id"]) for r in q_knn_graph_ivf(spark, SF_DIR).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF kNN-graph recall collapsed: {recall:.2f}"

@@ -338,3 +338,51 @@ def test_cluster_aware_split_has_zero_leakage(spark):
     for d, c in labels.items():
         by_cluster.setdefault(c, set()).add(doc_splits[d])
     assert all(len(v) == 1 for v in by_cluster.values())
+
+
+def test_containment_kmv_recall_and_exactness(spark, tmp_path):
+    """KMV containment (a) finds every high-containment exact pair on the
+    fixture with bounded estimator error, and (b) degenerates to the EXACT
+    operator whenever every doc has at most K shingles (the sketch is then
+    the whole shingle set)."""
+    from jetstream_spark.queries.dedup import (
+        KMV_K,
+        q_dedup_containment,
+        q_dedup_containment_kmv,
+    )
+
+    exact = {
+        (r["contained_doc"], r["container_doc"]): r["containment"]
+        for r in q_dedup_containment(spark, SF_DIR).collect()
+    }
+    est = {
+        (r["contained_doc"], r["container_doc"]): r["est_containment"]
+        for r in q_dedup_containment_kmv(spark, SF_DIR).collect()
+    }
+    hi = {p for p, c in exact.items() if c >= 0.9}
+    assert hi, "fixture must contain high-containment pairs"
+    assert len(hi & set(est)) / len(hi) >= 0.9, "KMV recall collapsed"
+    common = set(exact) & set(est)
+    assert common and max(abs(exact[p] - est[p]) for p in common) <= 0.15
+
+    # (b) short docs: n_shingles <= K => estimator is exact
+    texts = [
+        "the quick brown fox jumps",   # 25 chars -> 18 shingles
+        "the quick brown fox jumped",  # containment-heavy overlap
+        "a completely different line",
+    ]
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    d = tmp_path / "tiny"
+    d.mkdir()
+    docs.coalesce(1).write.parquet(str(d / "documents.parquet"))
+    ex = {
+        (r["contained_doc"], r["container_doc"]): r["containment"]
+        for r in q_dedup_containment(spark, str(d)).collect()
+    }
+    km = {
+        (r["contained_doc"], r["container_doc"]): r["est_containment"]
+        for r in q_dedup_containment_kmv(spark, str(d)).collect()
+    }
+    assert ex, "tiny fixture must produce at least one containment pair"
+    assert km == ex, "n<=K sketch must reproduce the exact operator verbatim"

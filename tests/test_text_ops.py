@@ -10,6 +10,7 @@ import duckdb
 import pandas as pd
 
 from jetstream_spark.queries.text import Q_PII_ORACLE, pii_scrub
+from tests.conftest import SF_DIR
 
 
 def test_pii_scrub_redacts_real_spans(spark):
@@ -53,3 +54,48 @@ def test_pii_scrub_cross_engine_on_matching_spans(spark):
     con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
     got_duck = sorted(map(tuple, con.execute(Q_PII_ORACLE).fetchall()))
     assert got_spark == got_duck
+
+
+def test_bm25_rare_term_dominates_and_matches_python(spark):
+    """The rare query term ("dup") must dominate the ranking, and the
+    returned scores must equal an independent pure-Python BM25 on the raw
+    corpus (Lucene IDF form, same k1/b)."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from jetstream_spark.queries.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOP_K,
+        q_bm25_topk,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    toks = {
+        i: [t for t in re.split("[^a-z0-9]+", txt.lower()) if t]
+        for i, txt in zip(tbl["doc_id"], tbl["text"])
+    }
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in BM25_QUERY}
+
+    def score(doc):
+        s = 0.0
+        dl = len(toks[doc])
+        for t in BM25_QUERY:
+            tf = toks[doc].count(t)
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+        return round(s, 6)
+
+    expect = sorted(
+        ((score(d), d) for d in toks if score(d) > 0), key=lambda x: (-x[0], x[1])
+    )[:BM25_TOP_K]
+
+    got = q_bm25_topk(spark, SF_DIR).collect()
+    assert [(r["bm25"], r["doc_id"]) for r in got] == expect
+    # the rare discriminative term must put its docs on top
+    assert "dup" in toks[got[0]["doc_id"]]

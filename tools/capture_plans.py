@@ -72,6 +72,10 @@ AUDIT = {
     "multimodal_video_frames": "single mapInPandas pass over the scan; LZW encode/decode stays in the kernel, no shuffle",
     "dedup_two_tier": "one md5 shuffle for groups; semi join restricts the band/verify subtree to representatives; left join lifts labels",
     "multimodal_resize": "single mapInPandas pass; PNG encode/decode/resample inside the kernel, no shuffle",
+    "dedup_containment_kmv": "sketching is map-only (array sort/slice HOF, no Exchange below the probe explode); probe side bounded at K rows/doc into the shingle join",
+    "bm25_topk": "corpus scoring map-only (HOF term frequencies); 1-row stats frame BroadcastNestedLoopJoin; TakeOrderedAndProject top-k",
+    "embedding_covariance": "one mapInPandas partial pass over the scan; reduce Exchange moves only P*d(d+1)/2 partial rows",
+    "knn_graph_ivf": "map-only cell assignment (broadcast centroids in the kernel); ONE cell-key cogroup shuffle (FlatMapCoGroupsInPandas); per-vector window merges partial top-k rows only",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
