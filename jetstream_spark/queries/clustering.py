@@ -27,6 +27,7 @@ JVM-side zip_with/aggregate arithmetic — no Python in any hot path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -214,7 +215,196 @@ WHERE list_aggregate(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * 
 """
 
 
+# --- full iterative k-means trainer -------------------------------------------
+KM_ROUNDS = 3
+
+
+def _km_seeds(spark: SparkSession, sf_dir: str):
+    """Raw (unnormalized) float64 seed centroids: corpus rows [100, 116) —
+    classic euclidean Lloyd, distinct from the cosine coarse quantizer."""
+    import numpy as np
+
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .where(
+            (F.col("vec_id") >= _IVF_CENTROID_BASE)
+            & (F.col("vec_id") < _IVF_CENTROID_BASE + IVF_CELLS)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    return np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL iterative Lloyd k-means ({KM_ROUNDS} assign+update rounds from
+    the fixed corpus seeds, euclidean on raw vectors), then a final
+    assignment pass reporting per-cluster size, inertia (mean squared
+    distance), and a centroid fingerprint. The training loop every
+    embedding-curation pipeline runs before SemDeDup / cluster-balanced
+    sampling — and, unlike the usual practice of leaving iterative
+    algorithms rows-only, this one is HASH-CHECKED: the oracle unrolls all
+    rounds as generated SQL CTEs (assignment = row_number over squared
+    distance, update = per-(cell, dim) avg with empty-cell carry-forward),
+    so Spark and DuckDB must agree on every centroid trajectory.
+
+    Scale shape (MLlib's own k-means topology): per round, ONE map-only
+    Arrow pass assigns cells against the broadcast k×d centroid matrix
+    using the |x|²−2x·c+|c|² expansion (an (n,k) product — never an
+    (n,k,d) tensor) and pre-aggregates per-batch per-cell sums, so the
+    per-round shuffle carries ≤ P·k·d partial rows (independent of N) and
+    the driver reduces k·d numbers to new centroids — the data never
+    moves, only k·d sums do. Empty cluster ⇒ centroid carried forward
+    (both engines). The driver-side .collect() per round is a k·d-row
+    aggregate (components.py convergence-collect precedent), not a data
+    collect."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _km_seeds(spark, sf_dir)
+    k, d = cents.shape
+    sc = spark.sparkContext
+
+    def assign_of(c):
+        cn = (c**2).sum(axis=1)
+
+        def cells_of(m):
+            d2 = (m**2).sum(axis=1, keepdims=True) - 2.0 * (m @ c.T) + cn[None, :]
+            return np.argmin(d2, axis=1), d2
+
+        return cells_of
+
+    for _ in range(KM_ROUNDS):
+        bc = sc.broadcast(cents)
+
+        def partials(batches):
+            cells_of = assign_of(bc.value)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                cell, _ = cells_of(m)
+                out_c, out_d, out_s, out_n = [], [], [], []
+                for kk in np.unique(cell):
+                    mask = cell == kk
+                    s = m[mask].sum(axis=0)
+                    out_c.append(np.full(d, kk))
+                    out_d.append(np.arange(d))
+                    out_s.append(s)
+                    out_n.append(np.full(d, int(mask.sum())))
+                yield pd.DataFrame(
+                    {
+                        "cell": np.concatenate(out_c).astype(np.int32),
+                        "d": np.concatenate(out_d).astype(np.int32),
+                        "s": np.concatenate(out_s),
+                        "n": np.concatenate(out_n).astype(np.int64),
+                    }
+                )
+
+        agg = (
+            emb.mapInPandas(partials, schema="cell int, d int, s double, n long")
+            .groupBy("cell", "d")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        new = cents.copy()  # empty cluster: carry the centroid forward
+        for r in agg:
+            new[r["cell"], r["d"]] = r["s"] / r["n"]
+        cents = new
+
+    bfinal = sc.broadcast(cents)
+
+    def final_stats(batches):
+        cells_of = assign_of(bfinal.value)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cell, d2 = cells_of(m)
+            best = d2[np.arange(len(m)), cell]
+            out = []
+            for kk in np.unique(cell):
+                mask = cell == kk
+                out.append((int(kk), int(mask.sum()), float(best[mask].sum())))
+            yield pd.DataFrame(out, columns=["cluster", "n", "ssq"])
+
+    stats = (
+        emb.mapInPandas(final_stats, schema="cluster int, n long, ssq double")
+        .groupBy("cluster")
+        .agg(F.sum("n").alias("n_vectors"), F.sum("ssq").alias("ssq"))
+    )
+    c0 = spark.createDataFrame(
+        [(int(i), float(cents[i, 0])) for i in range(k)], "cluster int, c0d double"
+    )
+    return stats.join(F.broadcast(c0), "cluster").select(
+        "cluster",
+        "n_vectors",
+        (F.round(F.col("ssq") / F.col("n_vectors"), 6) + F.lit(0.0)).alias("mean_sqdist"),
+        (F.round("c0d", 6) + F.lit(0.0)).alias("c0"),
+    )
+
+
+def _kmeans_train_oracle() -> str:
+    """Unrolled Lloyd rounds as generated CTEs. The |x-c|^2 distance is
+    computed directly (vs Spark's expanded form) — the VALUES differ in
+    low-order bits but only the per-vector ranking feeds the result, and
+    ties break to the lowest cell in both engines."""
+    base, cells, dim = _IVF_CENTROID_BASE, IVF_CELLS, EMB_DIM
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT vec_id - {base} AS cell, t.range + 1 AS d, v[t.range + 1] AS val
+  FROM e, range(0, {dim}) t
+  WHERE vec_id >= {base} AND vec_id < {base + cells})""",
+    ]
+    for r in range(1, KM_ROUNDS + 1):
+        p = r - 1
+        parts.append(
+            f"""dist{r} AS (
+  SELECT e.vec_id, c.cell, sum((e.v[c.d] - c.val) * (e.v[c.d] - c.val)) AS sq
+  FROM e CROSS JOIN c{p} c GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""a{r} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sq, cell) AS rn
+    FROM dist{r}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""m{r} AS (
+  SELECT a.cell, t.range + 1 AS d, avg(e.v[t.range + 1]) AS val
+  FROM a{r} a JOIN e USING (vec_id), range(0, {dim}) t
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""c{r} AS (
+  SELECT p.cell, p.d, coalesce(m.val, p.val) AS val
+  FROM c{p} p LEFT JOIN m{r} m ON m.cell = p.cell AND m.d = p.d)"""
+        )
+    t = KM_ROUNDS
+    body = ",\n".join(parts)
+    return f"""
+WITH {body},
+distF AS (
+  SELECT e.vec_id, c.cell, sum((e.v[c.d] - c.val) * (e.v[c.d] - c.val)) AS sq
+  FROM e CROSS JOIN c{t} c GROUP BY 1, 2),
+aF AS (
+  SELECT vec_id, cell, sq FROM (
+    SELECT vec_id, cell, sq,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sq, cell) AS rn
+    FROM distF) WHERE rn = 1)
+SELECT aF.cell AS cluster, count(*) AS n_vectors,
+       round(avg(aF.sq), 6) + 0.0 AS mean_sqdist,
+       round(any_value(cz.val), 6) + 0.0 AS c0
+FROM aF JOIN (SELECT cell, val FROM c{t} WHERE d = 1) cz ON cz.cell = aF.cell
+GROUP BY aF.cell
+"""
+
+
 QUERIES = [
     QuerySpec("kmeans_cluster_stats", q_kmeans_cluster_stats, Q_KMEANS_ORACLE, "one Lloyd round: cluster sizes, cohesion, centroid shift", ("clustering", "embedding")),
+    QuerySpec("kmeans_train", q_kmeans_train, _kmeans_train_oracle(), "full iterative Lloyd trainer (3 unrolled rounds, hash-checked against generated SQL CTEs)", ("clustering", "embedding")),
     QuerySpec("semdedup_pairs", q_semdedup_pairs, Q_SEMDEDUP_ORACLE, "SemDeDup: within-cluster cosine near-dup pairs", ("clustering", "dedup")),
 ]

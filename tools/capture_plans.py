@@ -76,6 +76,7 @@ AUDIT = {
     "bm25_topk": "corpus scoring map-only (HOF term frequencies); 1-row stats frame BroadcastNestedLoopJoin; TakeOrderedAndProject top-k",
     "embedding_covariance": "one mapInPandas partial pass over the scan; reduce Exchange moves only P*d(d+1)/2 partial rows",
     "knn_graph_ivf": "map-only cell assignment (broadcast centroids in the kernel); ONE cell-key cogroup shuffle (FlatMapCoGroupsInPandas); per-vector window merges partial top-k rows only",
+    "kmeans_train": "final-round plan: map-only assign kernel + partial-agg before the (cluster) Exchange; per-round shuffles carry only P*k*d partial rows",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
