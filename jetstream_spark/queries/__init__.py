@@ -17,17 +17,21 @@ from jetstream_spark.queries.spec import QuerySpec
 # registry entries in declaration order, so this window is re-curated every
 # round: (1) queries whose only driver evidence is oldest, (2) queries whose
 # code changed this round, (3) the rest ordered oldest-evidence-first.
-# Round-4 rotation: 23 never-driver-checked r4 queries lead (6 late
+# Round-4 rotation: 25 never-driver-checked r4 queries lead (8 late
 # additions first), then the 7 r1-only stragglers, the 10 changed-code
-# dedup/ANN entries, and 10 family-balanced r2 representatives — exactly
+# dedup/ANN entries, and 8 family-balanced r2 representatives — exactly
 # 50. Displaced to make room: window_running_revenue / rollup_revenue /
 # set_symdiff_buyers / percentiles_price / anti_join_idle_customers /
-# full_outer_nation_activity — each family keeps an in-window
-# representative (4 window shapes in the r1 block; cube + grouping_sets;
-# intersect_repeat_buyers and the q16/q22 anti joins r3-green; the
-# r3-green q-series join battery; approx-agg error-bound pytest).
+# full_outer_nation_activity / hopping_window_hourly / unpivot_measures
+# — each family keeps an in-window representative (4 window shapes in
+# the r1 block plus tumbling/sessionization cousins r3-green; cube +
+# grouping_sets; intersect_repeat_buyers and the q16/q22 anti joins
+# r3-green; the r3-green q-series join battery; pivot_segment_revenue
+# for the (un)pivot surface; approx-agg error-bound pytest).
 _PRIORITY = (
     # ---- NEW in r4 (late additions): never driver-checked ----
+    "rate_anomaly",           # hourly event-rate z-score anomalies
+    "split_drift_psi",        # PSI drift between train/test splits
     "kmeans_train",           # iterative Lloyd trainer, unrolled-SQL oracle
     "knn_graph_ivf",          # approximate kNN graph within IVF cells
     "dedup_containment_kmv",  # KMV-sketch approximate containment tier
@@ -77,10 +81,8 @@ _PRIORITY = (
     "semi_join_late_orders",
     "grouping_sets_status",
     "range_join_part_pairs",
-    "unpivot_measures",
     "null_semantics",
     "pivot_segment_revenue",
-    "hopping_window_hourly",
     "variant_props_stats",    # the rarer VARIANT surface (json cousin demoted)
     "geomean_value",          # the grouped-agg pandas UDAF surface
     "doc_chunking",           # the UDTF + LATERAL surface

@@ -435,6 +435,62 @@ FROM firsts
 """
 
 
+# --- rate anomaly detection ---------------------------------------------------
+ANOM_Z = 2.0
+
+
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: hourly counts per event type z-scored
+    against that type's own rate distribution; buckets with |z| >= {ANOM_Z}
+    flagged — the ops-monitoring query a streaming ingest pipeline (S26/S27
+    liveness + throughput metrics) runs over its own event log, and the
+    standard data-quality gate a training pipeline runs on a fresh crawl
+    drop (a collapsed or exploding source shows up as rate anomalies before
+    it poisons the corpus).
+
+    Scale shape: the (type, hour) count aggregates map-side (partial
+    count before its exchange, key cardinality = types x hours — tiny);
+    the per-type mean/stddev frame is |types| rows and broadcasts back;
+    the flag filter is map-only. Stats are over OBSERVED buckets (an
+    entirely-empty hour is absence-of-data, not a zero sample — the
+    liveness monitor owns silence)."""
+    ev = table(spark, sf_dir, "events")
+    per_hour = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = per_hour.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sd")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        per_hour.join(F.broadcast(stats), "event_type")
+        .where((F.col("sd") > 0) & (F.abs(z) >= ANOM_Z))
+        .select(
+            "event_type",
+            F.date_format("hb", "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+            "n",
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+Q_RATE_ANOMALY_ORACLE = f"""
+WITH m AS (
+  SELECT event_type, date_trunc('hour', ts) AS hb, count(*) AS n
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd, count(*) AS nh
+  FROM m GROUP BY 1
+)
+SELECT m.event_type,
+       strftime(m.hb, '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+       m.n,
+       round((m.n - s.mu) / s.sd, 6) AS zscore
+FROM m JOIN s USING (event_type)
+WHERE s.sd > 0 AND abs((m.n - s.mu) / s.sd) >= {ANOM_Z}
+"""
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily retention cohorts: users grouped by first-activity day; for
     each (cohort_day, week_offset) the count of cohort users active that
@@ -491,4 +547,5 @@ QUERIES = [
     QuerySpec("variant_props_stats", q_variant_props, Q_VARIANT_ORACLE, "VARIANT payload path: parse_json once + typed variant_get reads", ("scalar", "eventlog")),
     QuerySpec("geomean_value", q_geomean_value, Q_GEOMEAN_ORACLE, "grouped-agg pandas UDF (UDAF surface)", ("agg", "eventlog")),
     QuerySpec("conversion_funnel", q_conversion_funnel, Q_FUNNEL_ORACLE, "funnel via conditional min-agg", ("eventlog",)),
+    QuerySpec("rate_anomaly", q_rate_anomaly, Q_RATE_ANOMALY_ORACLE, "hourly event-rate z-score anomalies (per-type stats broadcast back)", ("eventlog", "monitoring")),
 ]

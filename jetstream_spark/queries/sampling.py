@@ -731,7 +731,107 @@ FROM assigned GROUP BY split
 """
 
 
+# --- split drift (PSI) --------------------------------------------------------
+PSI_BINS = 10
+# (feature, bin lower bound, bin width) — fixed-width bins, clamped to
+# [0, PSI_BINS-1]; constants shared verbatim with the oracle
+PSI_FEATURES = (("n_chars", 0.0, 40.0), ("n_tokens", 0.0, 8.0))
+
+
+def q_split_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the train and test md5 splits,
+    per document feature — the drift/monitoring gate a pipeline runs when
+    a new crawl batch lands (is the distribution the eval set was drawn
+    from still the distribution we train on?). PSI = Σ_b (p_b − q_b)·
+    ln(p_b/q_b) over {PSI_BINS} fixed-width bins, Laplace-smoothed
+    ((count+0.5)/(n+{PSI_BINS}/2)); a bin empty on BOTH sides is skipped
+    (its smoothed p and q differ only via the totals — the convention,
+    identical in both engines, effectively treats never-observed bins as
+    out-of-support). For the identically-distributed md5 split PSI ≈ 0 —
+    the operator's point is the arithmetic, verified cross-engine.
+
+    Scale shape: bin assignment is map-only codegen; the only shuffle is
+    the (feature, bin) count aggregate (≤ |features|·{PSI_BINS} groups,
+    map-side partials); totals and the PSI fold run over that tiny frame."""
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    )
+    feats = {"n_chars": F.col("n_chars").cast("double"), "n_tokens": n_tokens.cast("double")}
+
+    def bin_of(col, lo, w):
+        return F.least(
+            F.greatest(F.floor((col - F.lit(lo)) / F.lit(w)).cast("int"), F.lit(0)),
+            F.lit(PSI_BINS - 1),
+        )
+
+    base = docs.select(
+        _bucket_expr(),
+        *[bin_of(feats[name], lo, w).alias(f"bin_{name}") for name, lo, w in PSI_FEATURES],
+    ).where((F.col("bucket") < TRAIN_PCT) | (F.col("bucket") >= TRAIN_PCT + VAL_PCT))
+    stacked = base.select(
+        (F.col("bucket") < TRAIN_PCT).alias("is_train"),
+        F.expr(
+            "stack({}, {})".format(
+                len(PSI_FEATURES),
+                ", ".join(f"'{name}', bin_{name}" for name, _, _ in PSI_FEATURES),
+            )
+        ).alias("feature", "bin"),
+    )
+    counts = stacked.groupBy("feature", "bin").agg(
+        F.sum(F.col("is_train").cast("long")).alias("ct"),
+        F.sum((~F.col("is_train")).cast("long")).alias("cq"),
+    )
+    totals = counts.groupBy("feature").agg(
+        F.sum("ct").alias("n_train"), F.sum("cq").alias("n_test")
+    )
+    half = PSI_BINS / 2.0
+    p = (F.col("ct") + 0.5) / (F.col("n_train") + F.lit(half))
+    q = (F.col("cq") + 0.5) / (F.col("n_test") + F.lit(half))
+    return (
+        counts.join(totals, "feature")
+        .groupBy("feature", "n_train", "n_test")
+        .agg(F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"))
+    )
+
+
+def _psi_oracle() -> str:
+    tokens_sql = "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"
+    feat_sql = {"n_chars": "CAST(n_chars AS DOUBLE)", "n_tokens": f"CAST({tokens_sql} AS DOUBLE)"}
+    selects = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, "
+        f"least(greatest(CAST(floor(({feat_sql[name]} - {lo}) / {w}) AS INT), 0), {PSI_BINS - 1}) AS bin, "
+        "is_train FROM s"
+        for name, lo, w in PSI_FEATURES
+    )
+    half = PSI_BINS / 2.0
+    return f"""
+WITH b AS (
+  SELECT text, n_chars, {_BUCKET_SQL} AS bucket FROM documents
+), s AS (
+  SELECT text, n_chars, bucket < {TRAIN_PCT} AS is_train
+  FROM b WHERE bucket < {TRAIN_PCT} OR bucket >= {TRAIN_PCT + VAL_PCT}
+), u AS (
+  {selects}
+), counts AS (
+  SELECT feature, bin,
+         sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS cq
+  FROM u GROUP BY 1, 2
+), tot AS (
+  SELECT feature, CAST(sum(ct) AS BIGINT) AS n_train, CAST(sum(cq) AS BIGINT) AS n_test
+  FROM counts GROUP BY 1
+)
+SELECT feature, n_train, n_test,
+       round(sum(((ct + 0.5) / (n_train + {half}) - (cq + 0.5) / (n_test + {half}))
+                 * ln(((ct + 0.5) / (n_train + {half})) / ((cq + 0.5) / (n_test + {half})))), 6) AS psi
+FROM counts JOIN tot USING (feature)
+GROUP BY feature, n_train, n_test
+"""
+
+
 QUERIES = [
+    QuerySpec("split_drift_psi", q_split_drift_psi, _psi_oracle(), "PSI drift between train/test splits over binned doc features", ("sampling", "monitoring")),
     QuerySpec("cluster_aware_split", q_cluster_aware_split, _cluster_split_oracle(), "leakage-free split: buckets on near-dup cluster id, not doc id", ("sampling",)),
     QuerySpec("weighted_sample", q_weighted_sample, Q_WEIGHTED_SAMPLE_ORACLE, "Efraimidis–Spirakis quality-weighted sample via top-k keys", ("sampling",)),
     QuerySpec("decontaminate_bloom", q_decontaminate_bloom, Q_DECONTAM_BLOOM_ORACLE, "bloom-filter decontamination: map-only train-side probe", ("sampling",)),

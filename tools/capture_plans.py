@@ -77,6 +77,8 @@ AUDIT = {
     "embedding_covariance": "one mapInPandas partial pass over the scan; reduce Exchange moves only P*d(d+1)/2 partial rows",
     "knn_graph_ivf": "map-only cell assignment (broadcast centroids in the kernel); ONE cell-key cogroup shuffle (FlatMapCoGroupsInPandas); per-vector window merges partial top-k rows only",
     "kmeans_train": "final-round plan: map-only assign kernel + partial-agg before the (cluster) Exchange; per-round shuffles carry only P*k*d partial rows",
+    "rate_anomaly": "partial count before the (type, hour) Exchange; per-type stats frame broadcast back; flag filter map-only",
+    "split_drift_psi": "map-only bin assignment; one (feature, bin) count Exchange with map-side partials; PSI fold over the tiny counts frame",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
