@@ -66,6 +66,12 @@ EXTRAS = [
     "dedup_containment",     # r4: exact directed containment (Σdf² inverted join;
                              # perf-weak-by-design corpus like the jaccard baseline —
                              # DuckDB needs 55 s for the same sf0.1 join, we do it in ~13)
+    "dedup_containment_kmv",  # r4: KMV containment sketch tier (K-bounded probe)
+    "bm25_topk",             # r4: map-only BM25 scoring + TakeOrdered
+    "embedding_covariance",  # r4: one-pass X^T X partial reduction
+    "knn_graph_ivf",         # r4: approximate kNN graph within IVF cells
+    "kmeans_train",          # r4: 3-round iterative Lloyd trainer
+    "rate_anomaly",          # r4: hourly rate z-score monitor
 ]
 
 REGRESSION_FACTOR = 1.15
@@ -105,9 +111,81 @@ def _prev_bench_queries(current_sf) -> dict:
         return {}
 
 
-def find_regressions(timings: dict, current_sf) -> dict:
-    """Queries >1.15× slower than the previous round at the same SF
-    (throughput metrics: >1.15× lower). Returns {name: {"prev", "now"}}."""
+def _prev_calibration(current_sf) -> float | None:
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def round_no(p):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), key=round_no)
+    if not paths:
+        return None
+    try:
+        with open(paths[-1]) as f:
+            data = json.load(f)
+        data = data.get("parsed") or data
+        if data.get("sf") != current_sf:
+            return None
+        return data.get("calibration_s")
+    except (OSError, ValueError):
+        return None
+
+
+def bench_calibration(spark) -> float:
+    """Host-speed probe: a fixed CPU-bound job that depends on NOTHING in
+    this repo (range scan + xxhash64 fold under whole-stage codegen), so
+    its round-over-round ratio measures the MACHINE, not the engine.
+    Rounds run on freshly-provisioned VMs (uptime resets between rounds)
+    whose per-core throughput varies by 1.3-1.5x; without this probe a
+    uniformly slower host reads as an across-the-board 'regression'."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        # bit_xor fold: overflow-free under ANSI mode, still one codegen pass
+        spark.range(150_000_000).selectExpr("xxhash64(id) AS h").groupBy().agg(
+            {"h": "bit_xor"}
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def host_shift_factor(timings: dict, prev: dict, cal_now: float | None, cal_prev) -> float:
+    """How much slower this host is than the one that recorded the previous
+    round's bench. Preferred signal: the calibration-probe ratio (exact,
+    engine-independent). Fallback when the previous round predates the
+    probe: the MEDIAN now/prev ratio across all compared queries — a
+    single genuine regression cannot move the median of ~50 pairs, while a
+    uniform host slowdown moves every pair identically. Shifts under 5%
+    are treated as noise (factor 1.0); the factor is reported in the
+    output so a reader sees both the raw and normalized picture."""
+    if cal_now and cal_prev:
+        shift = cal_now / cal_prev
+        return round(shift, 3) if shift > 1.05 else 1.0
+    ratios = []
+    for name, now in timings.items():
+        p = prev.get(name)
+        if p is None or name.endswith("_build_s"):
+            continue
+        if name.endswith("_per_sec"):
+            if now > 0:
+                ratios.append(p / now)
+        elif p >= REGRESSION_FLOOR_S and p > 0:
+            ratios.append(now / p)
+    if not ratios:
+        return 1.0
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    return round(med, 3) if med > 1.05 else 1.0
+
+
+def find_regressions(timings: dict, current_sf, shift: float = 1.0) -> dict:
+    """Queries >1.15× slower than the previous round at the same SF after
+    host-speed normalization (throughput metrics: >1.15× lower). Returns
+    {name: {"prev", "now"}} with prev reported raw (un-normalized)."""
     prev = _prev_bench_queries(current_sf)
     regressions = {}
     for name, now in timings.items():
@@ -117,9 +195,9 @@ def find_regressions(timings: dict, current_sf) -> dict:
         if name.endswith("_build_s"):
             continue  # rebuild-vs-fresh varies with testdata regen; not a probe cost
         if name.endswith("_per_sec"):
-            if now < p / REGRESSION_FACTOR:
+            if now < p / (shift * REGRESSION_FACTOR):
                 regressions[name] = {"prev": p, "now": now}
-        elif p >= REGRESSION_FLOOR_S and now > p * REGRESSION_FACTOR:
+        elif p >= REGRESSION_FLOOR_S and now > p * shift * REGRESSION_FACTOR:
             regressions[name] = {"prev": p, "now": now}
     return regressions
 
@@ -411,6 +489,10 @@ def main() -> None:
             sf1[name] = round(time.time() - t0, 3)
         sf1["replicas"] = SF1_REPLICAS
 
+    calibration_s = bench_calibration(spark)
+    shift = host_shift_factor(
+        {**timings, **extras}, prev_q, calibration_s, _prev_calibration(sf_val)
+    )
     print(
         json.dumps(
             {
@@ -421,7 +503,9 @@ def main() -> None:
                 "extras": extras,
                 "delivery_fanout": fanout,
                 "sf1_sample": sf1,
-                "regressions": find_regressions({**timings, **extras}, sf_val),
+                "regressions": find_regressions({**timings, **extras}, sf_val, shift),
+                "host_shift": shift,  # >1: this VM is uniformly slower than last round's
+                "calibration_s": calibration_s,
                 "sf": sf_val,
                 "runs": 2,  # min-of-2 since r3 (+1 adaptive on would-be flags since r4)
                 "agg": "min",

@@ -229,6 +229,35 @@ def cmd_ann_stream(args) -> int:
     return 0
 
 
+def cmd_anomaly_stream(args) -> int:
+    from jetstream_spark.streaming.anomaly_stream import (
+        detect_anomalies,
+        init_anomaly_state,
+        start_streaming_anomaly,
+    )
+
+    spark = _spark(args.cpus)
+    init_anomaly_state(args.state_dir)
+    ckpt = os.path.join(args.state_dir, "_anom_ckpt")
+    q = start_streaming_anomaly(spark, args.events_dir, args.state_dir, ckpt)
+    print(f"monitoring {args.events_dir} (checkpoint {ckpt})", flush=True)
+    try:
+        if args.drain:
+            q.processAllAvailable()
+            q.stop()
+            for r in detect_anomalies(spark, args.state_dir).orderBy(
+                "event_type", "hour_bucket"
+            ).collect():
+                print(
+                    f"{r['event_type']} {r['hour_bucket']} n={r['n']} z={r['zscore']}"
+                )
+        else:
+            q.awaitTermination()
+    except KeyboardInterrupt:
+        q.stop()
+    return 0
+
+
 def cmd_sql(args) -> int:
     """Ad-hoc ANSI SQL over the engine's tables — the interactive read
     surface the reference never had (its only read path is /subscribe).
@@ -308,6 +337,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--state-dir", default="./ann_state", help="results + marker root")
     p.add_argument("--drain", action="store_true", help="process available input then exit (batch mode)")
     p.set_defaults(fn=cmd_ann_stream)
+
+    p = sub.add_parser("anomaly-stream", help="standing hourly rate-anomaly monitor over an event drop dir")
+    p.add_argument("--events-dir", default="./events_in", help="ndjson {event_id, ts, event_type} drop directory")
+    p.add_argument("--state-dir", default="./anomaly_state", help="hourly-count parts + marker root")
+    p.add_argument("--drain", action="store_true", help="process available input then exit (batch mode)")
+    p.set_defaults(fn=cmd_anomaly_stream)
 
     p = sub.add_parser("dedup-stream", help="standing near-dup detection over a doc drop dir")
     p.add_argument("--docs-dir", default="./docs_in", help="ndjson {doc_id, text} drop directory")

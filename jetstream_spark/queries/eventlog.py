@@ -458,6 +458,13 @@ def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_hour = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hb")
     ).agg(F.count(F.lit(1)).alias("n"))
+    return flag_rate_anomalies(per_hour)
+
+
+def flag_rate_anomalies(per_hour: DataFrame) -> DataFrame:
+    """The z-score flagging core over an (event_type, hb, n) hourly-count
+    frame — shared by the batch query above and the standing streaming
+    monitor (streaming/anomaly_stream.py), so both flag identically."""
     stats = per_hour.groupBy("event_type").agg(
         F.avg("n").alias("mu"), F.stddev_pop("n").alias("sd")
     )

@@ -690,6 +690,74 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAHA_RIDGE = 1e-6
+MAHA_TOP_N = 25
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mahalanobis outlier scoring: squared distance (x−μ)ᵀ(Σ+εI)⁻¹(x−μ)
+    per vector, top-{MAHA_TOP_N} most anomalous — the embedding-space
+    member of the monitoring family (rate_anomaly / split_drift_psi):
+    a poisoned or out-of-domain batch shows up as a Mahalanobis tail
+    before it contaminates training.
+
+    Scale shape: μ/Σ via the same one-pass mergeable partials as
+    embedding_covariance (the only corpus-wide work), the d×d inverse on
+    the DRIVER (ridge-regularized — microseconds at d=64), then a
+    map-only broadcast Arrow scoring pass and TakeOrderedAndProject.
+    Not SQL-expressible (matrix inverse) — rows-only for the driver;
+    pinned by a full-numpy pipeline equality test in
+    tests/test_operators.py."""
+    import pyspark.sql.types as T
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = _covariance_partials(emb).groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxi").alias("sxi"),
+        F.sum("sxj").alias("sxj"),
+        F.sum("n").alias("n"),
+    ).collect()
+    d = max(r["j"] for r in rows) + 1
+    cov = np.zeros((d, d))
+    mean = np.zeros(d)
+    for r in rows:
+        c = (r["sxy"] - r["sxi"] * r["sxj"] / r["n"]) / r["n"]
+        cov[r["i"], r["j"]] = c
+        cov[r["j"], r["i"]] = c
+        mean[r["i"]] = r["sxi"] / r["n"]
+    prec = np.linalg.inv(cov + MAHA_RIDGE * np.eye(d))
+    sc = emb.sparkSession.sparkContext
+    b_prec, b_mean = sc.broadcast(prec), sc.broadcast(mean)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("mahalanobis_sq", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        p, mu = b_prec.value, b_mean.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) - mu
+            md = np.einsum("ij,jk,ik->i", m, p, m)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype(np.int64),
+                    "mahalanobis_sq": np.round(md, 6),
+                }
+            )
+
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(score, schema)
+        .orderBy(F.col("mahalanobis_sq").desc(), F.col("vec_id"))
+        .limit(MAHA_TOP_N)
+    )
+
+
 # --- kNN graph (every vector's top-k neighbors) -------------------------------
 _KNN_BLOCKS = 8
 KNN_PARTIAL_PAD = 3  # per-block partial k padding against rounded-tie flips
@@ -946,4 +1014,5 @@ QUERIES = [
     QuerySpec("embedding_quantize_int8", q_embedding_quantize_int8, Q_EMB_QUANTIZE_ORACLE, "symmetric int8 quantization + reconstruction error", ("similarity",)),
     QuerySpec("embedding_covariance", q_embedding_covariance, Q_EMB_COVARIANCE_ORACLE, "one-pass distributed covariance matrix (mergeable X^T X partials)", ("similarity",)),
     QuerySpec("embedding_pca_project", q_embedding_pca_project, None, "PCA projection: distributed covariance -> driver eigh -> broadcast map-only projection (rows-only; numpy-equality tested)", ("similarity",)),
+    QuerySpec("embedding_outliers", q_embedding_outliers, None, "Mahalanobis outlier top-N: covariance partials -> driver inverse -> map-only scoring (rows-only; numpy-equality tested)", ("similarity", "monitoring")),
 ]

@@ -1,0 +1,98 @@
+"""Streaming rate-anomaly monitor — mergeable hourly-count state over an
+event stream.
+
+Hourly counts are ADDITIVE: the count of a union is the sum of the counts
+of its parts. Each micro-batch therefore writes only its OWN per-(type,
+hour) partial counts under a batch-tagged directory, and the merged state
+(sum per key across parts) is IDENTICAL to the hourly counts a one-shot
+batch query would compute over every event seen so far — asserted
+key-for-key in tests. The anomaly probe runs the SAME z-score flagging
+core as the batch `rate_anomaly` query (queries/eventlog.py::
+flag_rate_anomalies) over the merged counts, so the standing monitor and
+the declared operator can never disagree.
+
+Exactly-once by the standing-pipeline contract shared with
+dedup_stream/sketch_stream/ann_stream: batch-id markers +
+delete-before-rewrite of each batch's own part directory, so a
+crash-replayed batch converges to one copy.
+
+At 100 TB: per batch one (type, hour) count shuffle whose key space is
+|types| x |hours-touched-by-batch| (tiny); merged state grows with
+distinct hours, not events, and old parts are compactable by the same
+sum (hour buckets older than the monitoring horizon can be dropped like
+the S13 TTL trim drops log partitions).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from jetstream_spark.atproto.log import load_done_batches, mark_batch_done
+from jetstream_spark.queries.eventlog import flag_rate_anomalies
+
+EVENT_STREAM_SCHEMA = "event_id long, ts timestamp, event_type string"
+
+
+def init_anomaly_state(state_dir: str) -> None:
+    os.makedirs(os.path.join(state_dir, "counts"), exist_ok=True)
+
+
+def _handle_batch(state_dir: str, batch_df: DataFrame, batch_id: int) -> None:
+    if batch_id in load_done_batches(state_dir):
+        return
+    if batch_df.isEmpty():
+        return
+    out = os.path.join(state_dir, "counts", f"b{batch_id}")
+    shutil.rmtree(out, ignore_errors=True)  # delete-before-rewrite
+    (
+        batch_df.groupBy("event_type", F.date_trunc("hour", "ts").alias("hb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.parquet(out)
+    )
+    mark_batch_done(state_dir, batch_id)
+
+
+def read_hourly_counts(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merged (event_type, hb, n) — equal to one-shot hourly counts of
+    every event seen (count additivity across batch parts)."""
+    d = os.path.join(state_dir, "counts")
+    parts = [os.path.join(d, e) for e in os.listdir(d) if e.startswith("b")]
+    if not parts:
+        return spark.createDataFrame([], "event_type string, hb timestamp, n long")
+    return (
+        spark.read.parquet(*parts)
+        .groupBy("event_type", "hb")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def detect_anomalies(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current anomaly set over everything the monitor has seen — the
+    batch `rate_anomaly` semantics applied to the merged counts."""
+    return flag_rate_anomalies(read_hourly_counts(spark, state_dir))
+
+
+def start_streaming_anomaly(
+    spark: SparkSession,
+    events_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 100,
+) -> StreamingQuery:
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(events_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: _handle_batch(state_dir, df, int(bid))
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

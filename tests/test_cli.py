@@ -180,3 +180,22 @@ def test_cli_ann_stream_drain(tmp_path, spark):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "result rows so far: 15" in out.stdout  # 3 queries x top-5
+
+
+def test_cli_anomaly_stream_drain(tmp_path):
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    rows = []
+    eid = 0
+    for h in range(8):  # steady 2/hour baseline
+        for m in (5, 35):
+            rows.append({"event_id": (eid := eid + 1), "ts": f"2024-03-01T{h:02d}:{m:02d}:00", "event_type": "click"})
+    for m in range(12):  # burst hour
+        rows.append({"event_id": (eid := eid + 1), "ts": f"2024-03-01T08:{m:02d}:00", "event_type": "click"})
+    with open(events_dir / "batch1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    state = str(tmp_path / "state")
+    out = _run("anomaly-stream", "--events-dir", str(events_dir), "--state-dir", state, "--drain")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "click 2024-03-01 08:00:00 n=12" in out.stdout

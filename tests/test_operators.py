@@ -276,3 +276,53 @@ def test_knn_graph_ivf_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF kNN-graph recall collapsed: {recall:.2f}"
+
+
+def test_monitoring_ops_invariants(spark):
+    """PSI is a sum of (p-q)ln(p/q) terms, each >= 0, so psi >= 0 always;
+    and the anomaly monitor must flag something on the fixture while
+    respecting its own |z| floor."""
+    from jetstream_spark.queries.eventlog import ANOM_Z, q_rate_anomaly
+    from jetstream_spark.queries.sampling import q_split_drift_psi
+
+    psi = q_split_drift_psi(spark, SF_DIR).collect()
+    assert {r["feature"] for r in psi} == {"n_chars", "n_tokens"}
+    assert all(r["psi"] >= 0 for r in psi)
+    # identically-distributed md5 split: drift stays under the classic
+    # "significant shift" threshold (0.25); the 52-doc sf0.001 test split
+    # carries enough sampling noise that the tighter 0.1 band doesn't hold
+    assert all(r["psi"] < 0.25 for r in psi)
+
+    anoms = q_rate_anomaly(spark, SF_DIR).collect()
+    assert anoms, "fixture must contain rate anomalies"
+    assert all(abs(r["zscore"]) >= ANOM_Z for r in anoms)
+
+
+def test_embedding_outliers_match_numpy_reference(spark):
+    """Full-pipeline equality with an independent numpy Mahalanobis on the
+    raw parquet: covariance partials -> ridge inverse -> scoring -> top-N
+    must equal np.cov-based scoring with the same ridge and tiebreak."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from jetstream_spark.queries.similarity import (
+        MAHA_RIDGE,
+        MAHA_TOP_N,
+        q_embedding_outliers,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pydict()
+    ids = np.array(tbl["vec_id"])
+    m = np.array([list(v) for v in tbl["embedding"]], dtype=np.float64)
+    mu = m.mean(axis=0)
+    cov = ((m - mu).T @ (m - mu)) / len(m)
+    prec = np.linalg.inv(cov + MAHA_RIDGE * np.eye(m.shape[1]))
+    c = m - mu
+    md = np.round(np.einsum("ij,jk,ik->i", c, prec, c), 6)
+    expect = sorted(zip(md, ids), key=lambda t: (-t[0], t[1]))[:MAHA_TOP_N]
+
+    got = q_embedding_outliers(spark, SF_DIR).collect()
+    assert len(got) == MAHA_TOP_N
+    for r, (emd, eid) in zip(got, expect):
+        assert r["vec_id"] == eid
+        assert abs(r["mahalanobis_sq"] - emd) <= 2e-6
