@@ -29,6 +29,14 @@ from jetstream_spark.queries.spec import QuerySpec
 # r3-green; the r3-green q-series join battery; pivot_segment_revenue
 # for the (un)pivot surface; approx-agg error-bound pytest).
 _PRIORITY = (
+    # ---- NEW in r4 (profiling batch): never driver-checked ----
+    "profile_columns",        # per-column null/distinct profile
+    "profile_numeric",        # numeric min/max/avg/stddev profile
+    "fk_integrity",           # referential-integrity orphan audit
+    "hll_distinct",           # deterministic integer-scaled HLL sketch
+    "fuzzy_join_names",       # edit-distance join, lossless blocking
+    "pagerank_copurchase",    # 3-round PageRank, unrolled-CTE oracle
+    "quantile_norm",          # percentile-rank + winsorization
     # ---- NEW in r4 (late additions): never driver-checked ----
     "rate_anomaly",           # hourly event-rate z-score anomalies
     "split_drift_psi",        # PSI drift between train/test splits
@@ -76,8 +84,11 @@ _PRIORITY = (
     "ann_brute_force_topk",
     "ann_lsh_indexed",
     "ann_ivf_indexed",
-    # ---- r2-latest evidence, unchanged code: 18 in-window slots, one
-    # ---- representative per family whose surface has no r4-fresh cousin
+    # ---- r2-latest evidence, unchanged code: one in-window slot for the
+    # ---- rarest surface (UDTF + LATERAL); the other r2 representatives
+    # ---- moved just below the boundary to make room for the profiling batch
+    "doc_chunking",           # the UDTF + LATERAL surface
+    # ================= driver window boundary (~50) ==================
     "semi_join_late_orders",
     "grouping_sets_status",
     "range_join_part_pairs",
@@ -85,8 +96,8 @@ _PRIORITY = (
     "pivot_segment_revenue",
     "variant_props_stats",    # the rarer VARIANT surface (json cousin demoted)
     "geomean_value",          # the grouped-agg pandas UDAF surface
-    "doc_chunking",           # the UDTF + LATERAL surface
-    # ================= driver window boundary (~50) ==================
+    "compression_ratio",      # rows-only zlib quality signal (zlib-equality tested)
+    "embedding_outliers",     # rows-only Mahalanobis tail (numpy-equality tested)
     "text_token_count",
     "text_quality_score",
     # r2-green entries displaced by the seventeen new r4 queries. Families
@@ -127,10 +138,10 @@ _PRIORITY = (
 
 def all_queries() -> dict[str, QuerySpec]:
     # imports deferred so a syntax error in one domain doesn't break the rest
-    from jetstream_spark.queries import clustering, dedup, eventlog, multimodal, quality, relational, relational2, relational3, relational4, relational5, sampling, similarity, sketches, text, tokenizer
+    from jetstream_spark.queries import clustering, dedup, eventlog, multimodal, profiling, quality, relational, relational2, relational3, relational4, relational5, sampling, similarity, sketches, text, tokenizer
 
     collected: dict[str, QuerySpec] = {}
-    for module in (relational, relational2, relational3, relational4, relational5, eventlog, dedup, similarity, clustering, sketches, text, quality, multimodal, sampling, tokenizer):
+    for module in (relational, relational2, relational3, relational4, relational5, eventlog, dedup, similarity, clustering, sketches, text, quality, multimodal, sampling, tokenizer, profiling):
         for spec in module.QUERIES:
             assert spec.name not in collected, f"duplicate query name {spec.name}"
             collected[spec.name] = spec

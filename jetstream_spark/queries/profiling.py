@@ -1,0 +1,522 @@
+"""Data-profiling, integrity-audit, and graph/sketch operators
+(SURVEY.md §2.3 extensions — the "know your corpus before you train on
+it" family that complements the monitoring ops in eventlog/sampling).
+
+All are declarative DataFrame plans with exact DuckDB oracles except the
+zlib compression-ratio signal (rows-only; no SQL zlib — pinned by a
+pure-Python equality test instead).
+
+Scale notes (100 TB):
+- column profiling is one wide aggregate pass; the exact per-column
+  distinct counts here are the oracle-parity form — at corpus scale you
+  swap `count_distinct` for `approx_count_distinct` (HLL++) column by
+  column without touching the plan shape.
+- the FK audit is one broadcast-sized key join per relation (parent key
+  sets are dimension-scale); child tables stream through map-side.
+- the HLL sketch builds registers with ONE (group, bucket) shuffle of
+  ≤ groups×m rows — the mergeable-partial shape shared with the CMS
+  sketch; integer-scaled register sums keep the estimate bit-identical
+  regardless of partitioning/accumulation order.
+- the fuzzy (edit-distance) join is distinct-first (the head of a
+  skewed string column collapses before any pairing), then a lossless
+  two-band candidate generation: q-gram inverted join for long strings,
+  a length-band join for short ones; only candidates pay levenshtein.
+- PageRank iterations are the canonical join+agg loop: ranks (node-
+  scale, small) broadcast against the edge list each round — no
+  all-pairs, no driver materialization beyond the 1-row node count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jetstream_spark.queries.spec import QuerySpec
+from jetstream_spark.tables import table
+
+# --- column profiling ---------------------------------------------------------
+
+_LINEITEM_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+)
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/distinct profile of lineitem — the ANALYZE-style
+    pass a pipeline runs when a new drop lands. One wide aggregate scan;
+    multiple exact distincts expand via Spark's Expand operator (the
+    oracle-parity form — approx_count_distinct at corpus scale)."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _LINEITEM_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"dist_{c}"))
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nulls_{c}, dist_{c}" for c in _LINEITEM_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_LINEITEM_COLS)}, {stack}) AS (column_name, n_nulls, n_distinct)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+Q_PROFILE_COLUMNS_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name, count(*) AS n_rows,"
+    f" count(*) - count({c}) AS n_nulls,"
+    f" count(DISTINCT {c}) AS n_distinct FROM lineitem"
+    for c in _LINEITEM_COLS
+)
+
+
+_NUMERIC_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_profile_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/stddev_pop profile of lineitem's numeric columns,
+    one aggregate pass, unpivoted to a row per column."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _NUMERIC_COLS:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.round(F.avg(c), 4).alias(f"avg_{c}"),
+            F.round(F.stddev_pop(c), 4).alias(f"std_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', min_{c}, max_{c}, avg_{c}, std_{c}" for c in _NUMERIC_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_NUMERIC_COLS)}, {stack})"
+        " AS (column_name, min_val, max_val, avg_val, std_val)"
+    )
+
+
+Q_PROFILE_NUMERIC_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name, min({c}) AS min_val, max({c}) AS max_val,"
+    f" round(avg({c}), 4) AS avg_val, round(stddev_pop({c}), 4) AS std_val"
+    " FROM lineitem"
+    for c in _NUMERIC_COLS
+)
+
+
+# --- referential-integrity audit ----------------------------------------------
+
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def fk_audit(frames: dict[str, DataFrame]) -> DataFrame:
+    """One row per FK edge: child rows, orphan rows (no matching parent),
+    distinct child keys. Parent key sets are dimension-scale, so each
+    edge is a broadcast left join over the streaming child scan."""
+    out = None
+    for child_t, fk, parent_t, pk in _FK_EDGES:
+        child, parent = frames[child_t], frames[parent_t]
+        pkeys = parent.select(F.col(pk).alias("__pk")).distinct()
+        stats = (
+            child.join(F.broadcast(pkeys), child[fk] == F.col("__pk"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("child_rows"),
+                F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0)).alias("orphan_rows"),
+                F.count_distinct(fk).alias("distinct_keys"),
+            )
+            .select(
+                F.lit(f"{child_t}.{fk}->{parent_t}.{pk}").alias("relation"),
+                "child_rows",
+                "orphan_rows",
+                "distinct_keys",
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = {
+        t: table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
+    }
+    return fk_audit(frames)
+
+
+Q_FK_INTEGRITY_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{c}.{fk}->{p}.{pk}' AS relation, count(*) AS child_rows,"
+    # CAST: DuckDB sum(int) widens to HUGEINT; Spark's is BIGINT
+    f" CAST(sum(CASE WHEN par.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,"
+    f" count(DISTINCT ch.{fk}) AS distinct_keys"
+    f" FROM {c} ch LEFT JOIN (SELECT DISTINCT {pk} FROM {p}) par ON ch.{fk} = par.{pk}"
+    for c, fk, p, pk in _FK_EDGES
+)
+
+
+# --- HyperLogLog distinct sketch ----------------------------------------------
+# Deterministic md5-derived HLL (like the CMS sketch): 60-bit hash, m=64
+# buckets (p=6), 54-bit register stream. Register sums are integer-scaled
+# (sum of 2^(55-rho) as BIGINT <= 64 * 2^54 < 2^63) so the harmonic-mean
+# denominator is EXACT — no float accumulation-order sensitivity between
+# Spark's partial aggregation and DuckDB's sequential scan.
+
+HLL_M = 64  # 2^6 registers
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)  # standard bias constant
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type: exact vs the deterministic HLL
+    estimate, with relative error. The register build is one
+    (event_type, bucket) shuffle of <= groups*m rows — mergeable
+    partials, the shape that lets 1000 executors sketch 100 TB and merge
+    64-row states."""
+    ev = table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    keyed = ev.select(
+        "event_type",
+        h.bitwiseAND(F.lit(HLL_M - 1).cast("long")).alias("bucket"),
+        F.shiftright(h, 6).alias("w"),  # exact integer ops: no double division
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(55)).otherwise(55 - F.length(F.bin("w"))),
+    )
+    regs = keyed.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
+    # integer-scaled harmonic sum: zero registers contribute 2^55 each
+    est = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 55 - CAST(m_j AS INT))")).alias("zsum"),
+        F.count(F.lit(1)).alias("present"),
+    ).select(
+        "event_type",
+        (F.col("zsum") + (F.lit(HLL_M) - F.col("present")) * F.lit(1 << 55).cast("long")).alias("zint"),
+        (F.lit(HLL_M) - F.col("present")).alias("zero_regs"),
+    )
+    raw = F.lit(_HLL_ALPHA * HLL_M * HLL_M * float(2**55)) / F.col("zint")
+    small = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("zero_regs"))
+    estimate = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("zero_regs") > 0), small
+    ).otherwise(raw)
+    exact = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            F.round(estimate, 2).alias("hll_estimate"),
+            F.round((estimate - F.col("exact_distinct")) / F.col("exact_distinct") * 100, 2).alias("rel_err_pct"),
+        )
+    )
+
+
+_HLL_H_SQL = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)"
+)
+
+Q_HLL_DISTINCT_ORACLE = f"""
+WITH keyed AS (
+  SELECT event_type,
+         {_HLL_H_SQL} & {HLL_M - 1} AS bucket,
+         {_HLL_H_SQL} >> 6 AS w
+  FROM events
+), rhos AS (
+  SELECT event_type, bucket,
+         CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho
+  FROM keyed
+), regs AS (
+  SELECT event_type, bucket, max(rho) AS m_j FROM rhos GROUP BY event_type, bucket
+), z AS (
+  SELECT event_type,
+         sum((1::BIGINT << (55 - m_j))) + ({HLL_M} - count(*)) * (1::BIGINT << 55) AS zint,
+         {HLL_M} - count(*) AS zero_regs
+  FROM regs GROUP BY event_type
+), est AS (
+  SELECT event_type, zero_regs,
+         CASE WHEN (CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M} * {float(2**55)!r} / zint) <= {2.5 * HLL_M}
+                   AND zero_regs > 0
+              THEN CAST({HLL_M} AS DOUBLE) * ln(CAST({HLL_M} AS DOUBLE) / zero_regs)
+              ELSE CAST({_HLL_ALPHA!r} AS DOUBLE) * {HLL_M * HLL_M} * {float(2**55)!r} / zint
+         END AS estimate
+  FROM z
+), exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM events GROUP BY event_type
+)
+SELECT e.event_type, x.exact_distinct,
+       round(e.estimate, 2) AS hll_estimate,
+       round((e.estimate - x.exact_distinct) / x.exact_distinct * 100, 2) AS rel_err_pct
+FROM est e JOIN exact x USING (event_type)
+"""
+
+
+# --- fuzzy (edit-distance) similarity join ------------------------------------
+
+FUZZY_D = 2  # max edit distance
+_FUZZY_Q = 3  # q-gram length
+# q-gram survival bound: one edit destroys <= q grams, so a string with
+# |s|-q+1 > d*q grams keeps >= 1 gram through d edits. |s| > d*q + q - 1:
+_FUZZY_LONG = FUZZY_D * _FUZZY_Q + _FUZZY_Q  # strictly-greater-than-8 => >= 9
+
+
+def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance <= {FUZZY_D} self-join of part names (entity
+    resolution of a product catalog). Distinct-first: identical names
+    collapse to one row with a count BEFORE any pairing (the skew head
+    never fans out). Candidate generation is lossless by construction:
+    long×long pairs must share a {_FUZZY_Q}-gram (survival bound above),
+    every pair involving a short string falls in a |len| <= {FUZZY_D}
+    band enumerated by key explosion. Only candidates pay levenshtein."""
+    part = table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+
+    def grams(col: str) -> F.Column:
+        s = F.col(col)
+        idx = F.sequence(F.lit(1), F.length(s) - (_FUZZY_Q - 1))
+        return F.transform(idx, lambda i: s.substr(i, F.lit(_FUZZY_Q)))
+
+    longs = names.filter(F.length("p_name") >= _FUZZY_LONG)
+    la = longs.select(
+        F.col("p_name").alias("name_a"), F.explode(grams("p_name")).alias("g")
+    )
+    lb = longs.select(
+        F.col("p_name").alias("name_b"), F.explode(grams("p_name")).alias("g")
+    )
+    cand_long = (
+        la.join(lb, "g")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    # short band: any pair with min length <= long-threshold-1; enumerate
+    # candidate lengths so the join is a hash join on (len), not a cross
+    shorts = names.filter(F.length("p_name") < _FUZZY_LONG).select(
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.sequence(F.length("p_name") - FUZZY_D, F.length("p_name") + FUZZY_D)
+        ).alias("lb_len"),
+    )
+    others = names.select(F.col("p_name").alias("name_b"), F.length("p_name").alias("lb_len"))
+    # canonicalize AFTER the join: the short side may sort lexicographically
+    # after its partner, so filtering name_a < name_b pre-canonicalization
+    # would drop (long < short) pairs
+    cand_short = (
+        shorts.join(others, "lb_len")
+        .filter(F.col("name_a") != F.col("name_b"))
+        .select(
+            F.least("name_a", "name_b").alias("na"),
+            F.greatest("name_a", "name_b").alias("nb"),
+        )
+        .select(F.col("na").alias("name_a"), F.col("nb").alias("name_b"))
+        .distinct()
+    )
+    cands = cand_long.unionByName(cand_short).distinct().filter(
+        F.abs(F.length("name_a") - F.length("name_b")) <= FUZZY_D
+    )
+    verified = cands.withColumn(
+        "edit_dist", F.levenshtein("name_a", "name_b")
+    ).filter(F.col("edit_dist") <= FUZZY_D)
+    ca = names.select(F.col("p_name").alias("name_a"), F.col("n_parts").alias("parts_a"))
+    cb = names.select(F.col("p_name").alias("name_b"), F.col("n_parts").alias("parts_b"))
+    return (
+        verified.join(F.broadcast(ca), "name_a")
+        .join(F.broadcast(cb), "name_b")
+        .select("name_a", "name_b", "edit_dist", "parts_a", "parts_b")
+    )
+
+
+Q_FUZZY_JOIN_ORACLE = f"""
+WITH names AS (
+  SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist,
+       a.n_parts AS parts_a, b.n_parts AS parts_b
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_D}
+"""
+
+
+# --- PageRank over the part co-purchase graph ---------------------------------
+
+PR_DAMP = 0.85
+PR_ROUNDS = 3
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("t"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("s") != F.col("t"))
+        .select("s", "t")
+        .distinct()
+    )
+
+
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{PR_ROUNDS}-round PageRank (damping {PR_DAMP}) over the part
+    co-purchase graph (parts sharing an order; symmetric, so no dangling
+    nodes). Each round is ONE broadcast join of the node-scale rank
+    frame against the edge list + ONE groupBy(t) shuffle — the iterative
+    join+agg shape that holds at any edge count. Oracle = the same
+    {PR_ROUNDS} rounds unrolled as SQL CTEs (the kmeans_train pattern).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li).localCheckpoint(eager=False)
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("outd"))
+    nodes = edges.select(F.col("s").alias("node")).distinct()
+    n = nodes.count()  # scalar action: 1 number, not a data collect
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - PR_DAMP) / n
+    for _ in range(PR_ROUNDS):
+        contrib = (
+            edges.join(F.broadcast(deg), "s")
+            .join(F.broadcast(ranks), F.col("s") == F.col("node"))
+            .select("t", (F.col("rank") / F.col("outd")).alias("c"))
+        )
+        ranks = contrib.groupBy("t").agg(
+            (F.lit(base) + F.lit(PR_DAMP) * F.sum("c")).alias("rank")
+        ).select(F.col("t").alias("node"), "rank")
+    return ranks.select(
+        F.col("node").alias("part_key"), F.round("rank", 9).alias("pagerank")
+    )
+
+
+def _pagerank_oracle() -> str:
+    rounds = []
+    for k in range(PR_ROUNDS):
+        # explicit DOUBLE casts: DuckDB numeric literals are DECIMALs whose
+        # arithmetic rounds differently from IEEE doubles at the last ulp
+        rounds.append(
+            f"r{k + 1} AS (\n"
+            f"  SELECT e.t AS node,\n"
+            f"         (CAST(1 AS DOUBLE) - CAST({PR_DAMP} AS DOUBLE)) / (SELECT n FROM nn)\n"
+            f"         + CAST({PR_DAMP} AS DOUBLE) * sum(r.rank / d.outd) AS rank\n"
+            f"  FROM edges e JOIN r{k} r ON r.node = e.s JOIN deg d ON d.s = e.s\n"
+            f"  GROUP BY e.t\n)"
+        )
+    return (
+        "WITH edges AS (\n"
+        "  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t\n"
+        "  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey\n"
+        "  WHERE a.l_partkey <> b.l_partkey\n"
+        "), deg AS (\n"
+        "  SELECT s, count(*) AS outd FROM edges GROUP BY s\n"
+        "), nodes AS (SELECT DISTINCT s AS node FROM edges\n"
+        "), nn AS (SELECT count(*) AS n FROM nodes\n"
+        "), r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),\n"
+        + ",\n".join(rounds)
+        + f"\nSELECT node AS part_key, round(rank, 9) AS pagerank FROM r{PR_ROUNDS}"
+    )
+
+
+# --- quantile normalization / winsorization -----------------------------------
+
+_N_TOKENS_EXPR = "size(filter(split(lower(text), '[^a-z0-9]+'), x -> x != ''))"
+_N_TOKENS_SQL = "len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))"
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank + p05/p95 winsorization of per-doc token counts —
+    the feature-normalization pass before mixing quality signals.
+    Correctness form uses an exact global window (single-partition sort,
+    fine at oracle scale); the 100 TB form swaps in approx_percentile
+    bounds + a range-partitioned sort, same columns."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_N_TOKENS_EXPR).alias("n_tokens"))
+    bounds = toks.agg(
+        F.expr(f"percentile(n_tokens, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(n_tokens, {WINSOR_HI})").alias("hi"),
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    return (
+        toks.withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "pct_rank",
+            F.round(F.least(F.greatest(F.col("n_tokens").cast("double"), F.col("lo")), F.col("hi")), 4).alias("winsorized"),
+        )
+    )
+
+
+Q_QUANTILE_NORM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens FROM documents
+), bounds AS (
+  SELECT quantile_cont(n_tokens, {WINSOR_LO}) AS lo,
+         quantile_cont(n_tokens, {WINSOR_HI}) AS hi
+  FROM toks
+)
+SELECT t.doc_id, t.n_tokens,
+       round(percent_rank() OVER (ORDER BY t.n_tokens, t.doc_id), 6) AS pct_rank,
+       round(least(greatest(CAST(t.n_tokens AS DOUBLE), b.lo), b.hi), 4) AS winsorized
+FROM toks t CROSS JOIN bounds b
+"""
+
+
+# --- zlib compression-ratio quality signal (rows-only) ------------------------
+
+COMPRESS_LEVEL = 6
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio — the classic cheap "entropy"
+    quality signal (highly repetitive/boilerplate text compresses far
+    below prose). Arrow-batched mapInPandas, map-only, no shuffle; not
+    SQL-expressible (no zlib in DuckDB) — rows-only for the driver,
+    pinned by a pure-Python zlib equality test."""
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("comp_ratio", T.DoubleType()),
+        ]
+    )
+
+    def ratio(batches):
+        import zlib
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(b) for b in raw],
+                    "comp_ratio": [
+                        round(len(zlib.compress(b, COMPRESS_LEVEL)) / len(b), 6) if b else 1.0
+                        for b in raw
+                    ],
+                }
+            )
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").mapInPandas(ratio, schema)
+
+
+QUERIES = [
+    QuerySpec("profile_columns", q_profile_columns, Q_PROFILE_COLUMNS_ORACLE, "per-column null/distinct profile, one wide aggregate pass", ("profiling",)),
+    QuerySpec("profile_numeric", q_profile_numeric, Q_PROFILE_NUMERIC_ORACLE, "numeric min/max/avg/stddev profile, unpivoted", ("profiling",)),
+    QuerySpec("fk_integrity", q_fk_integrity, Q_FK_INTEGRITY_ORACLE, "referential-integrity audit: orphans per FK edge", ("profiling",)),
+    QuerySpec("hll_distinct", q_hll_distinct, Q_HLL_DISTINCT_ORACLE, "deterministic integer-scaled HLL distinct sketch vs exact", ("profiling", "sketch")),
+    QuerySpec("fuzzy_join_names", q_fuzzy_join_names, Q_FUZZY_JOIN_ORACLE, "edit-distance<=2 self-join, lossless q-gram + length-band blocking", ("profiling", "dedup")),
+    QuerySpec("pagerank_copurchase", q_pagerank_copurchase, _pagerank_oracle(), "3-round PageRank over co-purchase graph, unrolled-CTE oracle", ("graph",)),
+    QuerySpec("quantile_norm", q_quantile_norm, Q_QUANTILE_NORM_ORACLE, "percentile-rank + p05/p95 winsorization of doc token counts", ("profiling", "quality")),
+    QuerySpec("compression_ratio", q_compression_ratio, None, "zlib compression-ratio quality signal (rows-only; zlib-equality tested)", ("quality",)),
+]

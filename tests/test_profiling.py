@@ -1,0 +1,168 @@
+"""Profiling / integrity / HLL / fuzzy-join / PageRank operator tests.
+
+Each operator's oracle parity runs in tools/verify_oracle.py; here we pin
+the engine-independent invariants: lossless fuzzy blocking vs a brute
+force, PageRank vs a pure-Python reference, HLL error bound + partition
+invariance, orphan detection on injected bad data, and zlib equality.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from jetstream_spark.queries.profiling import (
+    COMPRESS_LEVEL,
+    FUZZY_D,
+    PR_DAMP,
+    PR_ROUNDS,
+    _copurchase_edges,
+    fk_audit,
+    q_compression_ratio,
+    q_fuzzy_join_names,
+    q_hll_distinct,
+    q_pagerank_copurchase,
+    q_profile_columns,
+    q_quantile_norm,
+)
+from jetstream_spark.tables import table
+from tests.conftest import SF_DIR
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_join_equals_brute_force(spark):
+    """The two-band candidate generation (q-gram for long strings,
+    length-band for short) must be lossless: the verified result equals
+    an all-pairs brute force over the distinct names."""
+    names = [
+        r["p_name"]
+        for r in table(spark, SF_DIR, "part").select("p_name").distinct().collect()
+    ]
+    expect = set()
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            d = _lev(a, b)
+            if d <= FUZZY_D:
+                expect.add((min(a, b), max(a, b), d))
+    got = {
+        (r["name_a"], r["name_b"], r["edit_dist"])
+        for r in q_fuzzy_join_names(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must contain near-duplicate names"
+
+
+def test_pagerank_matches_python_reference(spark):
+    edges = [
+        (r["s"], r["t"])
+        for r in _copurchase_edges(table(spark, SF_DIR, "lineitem")).collect()
+    ]
+    nodes = sorted({s for s, _ in edges})
+    n = len(nodes)
+    outd: dict[int, int] = {}
+    inc: dict[int, list[int]] = {t: [] for t in nodes}
+    for s, t in edges:
+        outd[s] = outd.get(s, 0) + 1
+        inc[t].append(s)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(PR_ROUNDS):
+        rank = {
+            v: (1.0 - PR_DAMP) / n + PR_DAMP * sum(rank[s] / outd[s] for s in inc[v])
+            for v in nodes
+        }
+    got = {r["part_key"]: r["pagerank"] for r in q_pagerank_copurchase(spark, SF_DIR).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) <= 2e-9, v
+    # rank mass conservation (symmetric graph, no dangling): sums to ~1
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_hll_error_bound_and_partition_invariance(spark):
+    rows = q_hll_distinct(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # theoretical std error 1.04/sqrt(64) ~= 13%; allow 3 sigma
+        assert abs(r["rel_err_pct"]) < 40.0, r
+    # integer-scaled register sums: estimate is partition-invariant
+    import jetstream_spark.queries.profiling as P
+
+    one = q_hll_distinct(spark, SF_DIR).orderBy("event_type").collect()
+    orig_table = P.table
+    try:
+        P.table = lambda s, d, name: orig_table(s, d, name).repartition(13)
+        two = q_hll_distinct(spark, SF_DIR).orderBy("event_type").collect()
+    finally:
+        P.table = orig_table
+    assert [tuple(r) for r in one] == [tuple(r) for r in two]
+
+
+def test_fk_audit_detects_injected_orphans(spark):
+    frames = {
+        t: table(spark, SF_DIR, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
+    }
+    clean = {r["relation"]: r for r in fk_audit(frames).collect()}
+    assert all(r["orphan_rows"] == 0 for r in clean.values())
+    # inject two lineitem rows pointing at a nonexistent order
+    bad = frames["lineitem"].limit(2).withColumn("l_orderkey", F.lit(-999_999))
+    frames["lineitem"] = frames["lineitem"].unionByName(bad)
+    dirty = {r["relation"]: r for r in fk_audit(frames).collect()}
+    edge = "lineitem.l_orderkey->orders.o_orderkey"
+    assert dirty[edge]["orphan_rows"] == 2
+    assert dirty[edge]["child_rows"] == clean[edge]["child_rows"] + 2
+    # untouched edges stay clean
+    assert dirty["orders.o_custkey->customer.c_custkey"]["orphan_rows"] == 0
+
+
+def test_compression_ratio_matches_zlib(spark):
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    expect = {}
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        b = text.encode("utf-8")
+        expect[doc_id] = (len(b), round(len(zlib.compress(b, COMPRESS_LEVEL)) / len(b), 6) if b else 1.0)
+    got = q_compression_ratio(spark, SF_DIR).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        nb, ratio = expect[r["doc_id"]]
+        assert r["n_bytes"] == nb
+        assert abs(r["comp_ratio"] - ratio) < 1e-9
+    # ratios are positive; the bulk of real prose lands under 1.0 (tiny
+    # docs can exceed 1 — zlib header overhead dominates a few bytes)
+    ratios = [r["comp_ratio"] for r in got]
+    assert all(x > 0 for x in ratios)
+    assert sum(x < 1.0 for x in ratios) > len(ratios) * 0.5
+
+
+def test_profile_columns_matches_pyarrow(spark):
+    got = {r["column_name"]: r for r in q_profile_columns(spark, SF_DIR).collect()}
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+    assert all(r["n_rows"] == t.num_rows for r in got.values())
+    for c in ("l_orderkey", "l_returnflag", "l_shipdate"):
+        col = t.column(c)
+        assert got[c]["n_nulls"] == col.null_count
+        assert got[c]["n_distinct"] == len(col.combine_chunks().unique())
+
+
+def test_quantile_norm_invariants(spark):
+    rows = q_quantile_norm(spark, SF_DIR).orderBy("n_tokens", "doc_id").collect()
+    lo_w = min(r["winsorized"] for r in rows)
+    hi_w = max(r["winsorized"] for r in rows)
+    raw_lo = min(r["n_tokens"] for r in rows)
+    raw_hi = max(r["n_tokens"] for r in rows)
+    # winsorization clamps the tails strictly inside the raw range
+    assert raw_lo < lo_w <= hi_w < raw_hi
+    pcts = [r["pct_rank"] for r in rows]
+    assert pcts == sorted(pcts)
+    assert pcts[0] == 0.0 and pcts[-1] == 1.0
