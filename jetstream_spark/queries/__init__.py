@@ -30,6 +30,8 @@ from jetstream_spark.queries.spec import QuerySpec
 # for the (un)pivot surface; approx-agg error-bound pytest).
 _PRIORITY = (
     # ---- NEW in r4 (profiling batch): never driver-checked ----
+    "phrase_search",          # positional-postings exact phrase search
+    "domain_temperature_sample",  # temperature-flattened domain mixture
     "profile_columns",        # per-column null/distinct profile
     "profile_numeric",        # numeric min/max/avg/stddev profile
     "fk_integrity",           # referential-integrity orphan audit
@@ -83,12 +85,12 @@ _PRIORITY = (
     "dedup_incremental",
     "ann_brute_force_topk",
     "ann_lsh_indexed",
-    "ann_ivf_indexed",
-    # ---- r2-latest evidence, unchanged code: one in-window slot for the
-    # ---- rarest surface (UDTF + LATERAL); the other r2 representatives
-    # ---- moved just below the boundary to make room for the profiling batch
-    "doc_chunking",           # the UDTF + LATERAL surface
     # ================= driver window boundary (~50) ==================
+    # ann_ivf_indexed + doc_chunking displaced for phrase_search /
+    # domain_temperature_sample: both r3-driver-green with dedicated
+    # pytest e2e (index freshness + plan assertions; UDTF chunking)
+    "ann_ivf_indexed",
+    "doc_chunking",           # the UDTF + LATERAL surface
     "semi_join_late_orders",
     "grouping_sets_status",
     "range_join_part_pairs",

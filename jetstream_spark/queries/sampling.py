@@ -830,7 +830,103 @@ GROUP BY feature, n_train, n_test
 """
 
 
+# --- temperature-based domain mixture sampling --------------------------------
+TEMP_TAU = 0.7  # multilingual-LM-style temperature: flattens big domains
+TEMP_FRAC = 0.5  # overall token budget as a fraction of the corpus
+
+
+def q_domain_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled domain mixture: target token share of domain
+    s is n_s^τ / Σ n^τ (τ={TEMP_TAU} flattens the head the way
+    multilingual LM training mixes languages), realized by per-doc
+    deterministic acceptance u(doc) < a_s with a_s = min(1, budget_s /
+    n_s), a_s quantized to 6 decimals on BOTH engines so the integer
+    kept-counts cannot flip on a last-ulp pow() difference.
+
+    Scale shape: one (source) agg shuffle + the |domains|-row mixture
+    frame broadcast back; the accept filter is map-only codegen over the
+    doc scan — no global sort, no second corpus shuffle."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_N_TOKENS_EXPR).alias("n_tok")
+    )
+    dom = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    tot = dom.agg(
+        F.sum(F.pow("n_tokens", F.lit(TEMP_TAU))).alias("wsum"),
+        F.sum("n_tokens").alias("tok_total"),
+    )
+    mix = dom.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.pow("n_tokens", F.lit(TEMP_TAU)) / F.col("wsum"), 6).alias("target_share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(TEMP_FRAC)
+                * F.col("tok_total")
+                * (F.pow("n_tokens", F.lit(TEMP_TAU)) / F.col("wsum"))
+                / F.col("n_tokens"),
+            ),
+            6,
+        ).alias("accept_prob"),
+    )
+    kept = (
+        docs.join(F.broadcast(mix.select("source", "accept_prob")), "source")
+        .filter(_uniform_expr() < F.col("accept_prob"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_tok").alias("kept_tokens"),
+        )
+    )
+    return (
+        mix.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "target_share",
+            "accept_prob",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        )
+    )
+
+
+Q_TEMP_SAMPLE_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, source, {_N_TOKENS_SQL} AS n_tok FROM documents
+), dom AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM docs GROUP BY source
+), tot AS (
+  SELECT sum(pow(n_tokens, CAST({TEMP_TAU} AS DOUBLE))) AS wsum,
+         CAST(sum(n_tokens) AS BIGINT) AS tok_total
+  FROM dom
+), mix AS (
+  SELECT source, n_docs, n_tokens,
+         round(pow(n_tokens, CAST({TEMP_TAU} AS DOUBLE)) / wsum, 6) AS target_share,
+         round(least(CAST(1 AS DOUBLE),
+               CAST({TEMP_FRAC} AS DOUBLE) * tok_total
+               * (pow(n_tokens, CAST({TEMP_TAU} AS DOUBLE)) / wsum) / n_tokens), 6) AS accept_prob
+  FROM dom CROSS JOIN tot
+), kept AS (
+  SELECT d.source, count(*) AS kept_docs, CAST(sum(d.n_tok) AS BIGINT) AS kept_tokens
+  FROM docs d JOIN mix m ON m.source = d.source
+  WHERE {_UNIFORM_SQL} < m.accept_prob
+  GROUP BY d.source
+)
+SELECT m.source, m.n_docs, m.n_tokens, m.target_share, m.accept_prob,
+       coalesce(k.kept_docs, 0) AS kept_docs,
+       coalesce(k.kept_tokens, 0) AS kept_tokens
+FROM mix m LEFT JOIN kept k ON k.source = m.source
+"""
+
+
 QUERIES = [
+    QuerySpec("domain_temperature_sample", q_domain_temperature_sample, Q_TEMP_SAMPLE_ORACLE, "temperature-flattened domain mixture via quantized deterministic acceptance", ("sampling",)),
     QuerySpec("split_drift_psi", q_split_drift_psi, _psi_oracle(), "PSI drift between train/test splits over binned doc features", ("sampling", "monitoring")),
     QuerySpec("cluster_aware_split", q_cluster_aware_split, _cluster_split_oracle(), "leakage-free split: buckets on near-dup cluster id, not doc id", ("sampling",)),
     QuerySpec("weighted_sample", q_weighted_sample, Q_WEIGHTED_SAMPLE_ORACLE, "Efraimidis–Spirakis quality-weighted sample via top-k keys", ("sampling",)),

@@ -553,7 +553,63 @@ LIMIT {BM25_TOP_K}
 """
 
 
+# --- positional phrase search -------------------------------------------------
+PHRASE = ("table", "table")  # repeated token exercises the position alignment
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via a positional inverted index — the search
+    shape LIKE scans can't give you at corpus scale: postings for the
+    phrase's terms are joined on (doc_id, pos + offset), so only the
+    matching terms' posting lists move, never the corpus text. A
+    repeated-token phrase ({PHRASE}) pins the alignment logic (naive
+    same-term grouping would overcount). first_pos is 1-based.
+
+    100 TB shape: postings are built once (term-partitioned parquet, the
+    ann_index pattern); a phrase probe touches |phrase| posting lists —
+    each pre-filtered to one term — and joins them on the doc co-key.
+    Here the postings build inlines into the query for oracle parity."""
+    docs = table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(_tokens()).alias("pos", "term")
+    )
+    out = pos.filter(F.col("term") == PHRASE[0]).select("doc_id", "pos")
+    for k, w in enumerate(PHRASE[1:], 1):
+        nxt = pos.filter(F.col("term") == w).select(
+            "doc_id", (F.col("pos") - k).alias("pos")
+        )
+        out = out.join(nxt, ["doc_id", "pos"])
+    return out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        (F.min("pos") + 1).alias("first_pos"),
+    )
+
+
+def _phrase_oracle() -> str:
+    joins = []
+    for k, w in enumerate(PHRASE[1:], 1):
+        joins.append(
+            f"JOIN pos m{k} ON m{k}.doc_id = m0.doc_id"
+            f" AND m{k}.pos = m0.pos + {k} AND m{k}.term = '{w}'"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL} AS arr FROM documents
+), pos AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(arr))) AS pos,
+         unnest(arr) AS term
+  FROM toks
+)
+SELECT m0.doc_id, count(*) AS n_matches, min(m0.pos) AS first_pos
+FROM pos m0 {' '.join(joins)}
+WHERE m0.term = '{PHRASE[0]}'
+GROUP BY m0.doc_id
+"""
+
+
 QUERIES = [
+    QuerySpec("phrase_search", q_phrase_search, _phrase_oracle(), "positional-postings exact phrase search (repeated-token alignment)", ("text", "search")),
     QuerySpec("text_token_count", q_token_count, Q_TOKEN_COUNT_ORACLE, "token + subword counting", ("text",)),
     QuerySpec("bm25_topk", q_bm25_topk, _bm25_oracle(), "BM25 lexical retrieval top-k (map-only scoring, 1-row stats broadcast)", ("text",)),
     QuerySpec("bpe_pair_counts", q_bpe_pair_counts, Q_BPE_ORACLE, "BPE merge-candidate pair counts over the vocab table", ("text",)),

@@ -386,3 +386,66 @@ def test_containment_kmv_recall_and_exactness(spark, tmp_path):
     }
     assert ex, "tiny fixture must produce at least one containment pair"
     assert km == ex, "n<=K sketch must reproduce the exact operator verbatim"
+
+
+def test_domain_temperature_sample_matches_python(spark):
+    """Full pipeline equality with an independent Python recomputation
+    (md5 uniforms, half-up quantized acceptance), plus the mixture
+    invariants: shares sum to 1 and tau<1 flattens toward uniform."""
+    import hashlib
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    from jetstream_spark.queries.sampling import (
+        TEMP_FRAC,
+        TEMP_TAU,
+        q_domain_temperature_sample,
+    )
+    from tests.conftest import SF_DIR
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    docs = []
+    for doc_id, text, source in zip(tbl["doc_id"], tbl["text"], tbl["source"]):
+        n_tok = len([t for t in re.split(r"[^a-z0-9]+", text.lower()) if t])
+        u = (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 0.5) / 2**32
+        docs.append((doc_id, source, n_tok, u))
+    dom: dict[str, list] = {}
+    for _, src, n_tok, _ in docs:
+        d = dom.setdefault(src, [0, 0])
+        d[0] += 1
+        d[1] += n_tok
+    wsum = sum(t**TEMP_TAU for _, t in dom.values())
+    tok_total = sum(t for _, t in dom.values())
+
+    def q6(x: float) -> float:  # Spark/DuckDB half-up rounding, not banker's
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = {}
+    for src, (n_docs, n_tokens) in dom.items():
+        share = n_tokens**TEMP_TAU / wsum
+        a = q6(min(1.0, TEMP_FRAC * tok_total * share / n_tokens))
+        kept = [(d, t) for d, s, t, u in docs if s == src and u < a]
+        expect[src] = (n_docs, n_tokens, q6(share), a, len(kept), sum(t for _, t in kept))
+
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_tokens"], r["target_share"], r["accept_prob"],
+            r["kept_docs"], r["kept_tokens"],
+        )
+        for r in q_domain_temperature_sample(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    for src in expect:
+        e, g = expect[src], got[src]
+        assert g[0] == e[0] and g[1] == e[1] and g[4] == e[4] and g[5] == e[5], (src, e, g)
+        assert abs(g[2] - e[2]) <= 1e-6 and abs(g[3] - e[3]) <= 1e-6, (src, e, g)
+    assert abs(sum(v[2] for v in got.values()) - 1.0) < 1e-4
+    # tau < 1 flattens: temperature share of the biggest domain is below its
+    # raw share, the smallest domain's is above
+    raw = {s: t / tok_total for s, (_, t) in dom.items()}
+    big = max(raw, key=raw.get)
+    small = min(raw, key=raw.get)
+    assert got[big][2] < raw[big] + 1e-12
+    assert got[small][2] > raw[small] - 1e-12

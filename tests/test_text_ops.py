@@ -99,3 +99,31 @@ def test_bm25_rare_term_dominates_and_matches_python(spark):
     assert [(r["bm25"], r["doc_id"]) for r in got] == expect
     # the rare discriminative term must put its docs on top
     assert "dup" in toks[got[0]["doc_id"]]
+
+
+def test_phrase_search_matches_brute_force(spark):
+    """Positional-join phrase search == a pure-Python token-aligned scan,
+    including the repeated-token phrase's overlap semantics."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from jetstream_spark.queries.text import PHRASE, q_phrase_search
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    expect = {}
+    for doc_id, text in zip(tbl["doc_id"], tbl["text"]):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        hits = [
+            i
+            for i in range(len(toks) - len(PHRASE) + 1)
+            if tuple(toks[i : i + len(PHRASE)]) == PHRASE
+        ]
+        if hits:
+            expect[doc_id] = (len(hits), hits[0] + 1)  # 1-based first_pos
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in q_phrase_search(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert expect, "fixture must contain the phrase"
