@@ -30,6 +30,7 @@ from jetstream_spark.queries.spec import QuerySpec
 # for the (un)pivot surface; approx-agg error-bound pytest).
 _PRIORITY = (
     # ---- NEW in r4 (profiling batch): never driver-checked ----
+    "scd2_user_tiers",        # changelog -> SCD2 versioned dimension
     "phrase_search",          # positional-postings exact phrase search
     "domain_temperature_sample",  # temperature-flattened domain mixture
     "profile_columns",        # per-column null/distinct profile
@@ -84,11 +85,11 @@ _PRIORITY = (
     "dedup_keep_canonical",
     "dedup_incremental",
     "ann_brute_force_topk",
-    "ann_lsh_indexed",
     # ================= driver window boundary (~50) ==================
-    # ann_ivf_indexed + doc_chunking displaced for phrase_search /
-    # domain_temperature_sample: both r3-driver-green with dedicated
-    # pytest e2e (index freshness + plan assertions; UDTF chunking)
+    # ann_lsh/ivf_indexed + doc_chunking displaced for the never-checked
+    # scd2/phrase/temperature batch: all three r3-driver-green with
+    # dedicated pytest e2e (index freshness + plan assertions; UDTF)
+    "ann_lsh_indexed",
     "ann_ivf_indexed",
     "doc_chunking",           # the UDTF + LATERAL surface
     "semi_join_late_orders",

@@ -540,7 +540,82 @@ FROM active GROUP BY cohort_day, week_offset
 """
 
 
+# --- changelog -> SCD2 dimension materialization ------------------------------
+TIER_WIDTH = 25  # k in [0,100) -> 4 tiers
+
+
+def q_scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) materialization of a changelog:
+    each user's event stream carries a payload attribute (tier =
+    props.k div {TIER_WIDTH}); consecutive runs of the same tier collapse
+    into one versioned interval [valid_from_us, valid_to_us) with the
+    open current interval NULL-terminated — the upsert/merge shape that
+    turns an append-only event log into a queryable dimension table.
+
+    Scale shape: ONE shuffle on user_id shared by the change-flag lag,
+    the cumulative version sum, and (after the run collapse shrinks the
+    frame to one row per run) the valid_to lead — no self-join against
+    the history, no per-user collect."""
+    ev = table(spark, sf_dir, "events")
+    tier = F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div " + str(TIER_WIDTH))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select("user_id", "ts", "event_id", tier.alias("tier"))
+    prev = F.lag("tier").over(w)
+    change = F.when(prev.isNull() | (prev != F.col("tier")), 1).otherwise(0)
+    versioned = base.withColumn(
+        "version",
+        F.sum(change).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    runs = versioned.groupBy("user_id", "version").agg(
+        F.min("tier").alias("tier"),  # constant within a run
+        F.min(F.unix_micros("ts")).alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    vw = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from_us").over(vw)
+    return runs.select(
+        "user_id",
+        "version",
+        "tier",
+        "valid_from_us",
+        valid_to.alias("valid_to_us"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+Q_SCD2_ORACLE = f"""
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) // {TIER_WIDTH} AS tier
+  FROM events
+), g AS (
+  SELECT user_id, event_id, ts, tier,
+         CASE WHEN lag(tier) OVER w IS NULL OR lag(tier) OVER w <> tier
+              THEN 1 ELSE 0 END AS chg
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), v AS (
+  SELECT user_id, tier, ts,
+         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS version
+  FROM g
+), runs AS (
+  SELECT user_id, version, min(tier) AS tier,
+         CAST(min(epoch_us(ts)) AS BIGINT) AS valid_from_us,
+         count(*) AS n_events
+  FROM v GROUP BY user_id, version
+)
+SELECT user_id, version, tier, valid_from_us,
+       lead(valid_from_us) OVER vw AS valid_to_us,
+       n_events,
+       lead(valid_from_us) OVER vw IS NULL AS is_current
+FROM runs WINDOW vw AS (PARTITION BY user_id ORDER BY version)
+"""
+
+
 QUERIES = [
+    QuerySpec("scd2_user_tiers", q_scd2_user_tiers, Q_SCD2_ORACLE, "changelog -> SCD2 versioned dimension (run collapse + interval chaining)", ("eventlog", "window")),
     QuerySpec("retention_cohorts", q_retention_cohorts, Q_RETENTION_ORACLE, "weekly cohort retention triangle", ("eventlog",)),
     QuerySpec("replay_scan", q_replay_scan, Q_REPLAY_ORACLE, "S14: cursor time-range scan + filters", ("eventlog",)),
     QuerySpec("subscribe_filter", q_subscribe_filter, Q_SUBSCRIBE_ORACLE, "S17: subscription filter with bypass rule", ("eventlog",)),

@@ -326,3 +326,29 @@ def test_embedding_outliers_match_numpy_reference(spark):
     for r, (emd, eid) in zip(got, expect):
         assert r["vec_id"] == eid
         assert abs(r["mahalanobis_sq"] - emd) <= 2e-6
+
+
+def test_scd2_intervals_chain(spark):
+    """SCD2 invariants: versions contiguous from 1, intervals chain
+    (valid_to == next valid_from), consecutive runs change tier, exactly
+    one open (current) interval per user, n_events conserve the log."""
+    from jetstream_spark.queries.eventlog import q_scd2_user_tiers
+
+    rows = q_scd2_user_tiers(spark, SF_DIR).collect()
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in table(spark, SF_DIR, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == set(ev_counts)
+    for uid, runs in by_user.items():
+        runs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in runs] == list(range(1, len(runs) + 1))
+        assert sum(r["n_events"] for r in runs) == ev_counts[uid]
+        assert sum(r["is_current"] for r in runs) == 1 and runs[-1]["is_current"]
+        for a, b in zip(runs, runs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]
+            assert a["tier"] != b["tier"]
+        assert runs[-1]["valid_to_us"] is None
