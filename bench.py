@@ -72,6 +72,12 @@ EXTRAS = [
     "knn_graph_ivf",         # r4: approximate kNN graph within IVF cells
     "kmeans_train",          # r4: 3-round iterative Lloyd trainer
     "rate_anomaly",          # r4: hourly rate z-score monitor
+    "pagerank_copurchase",   # r4: 3-round iterative broadcast-rank joins
+    "fuzzy_join_names",      # r4: lossless-blocked edit-distance join
+    "hll_distinct",          # r4: integer-scaled HLL register build
+    "phrase_search",         # r4: positional posting-list intersection
+    "scd2_user_tiers",       # r4: changelog -> SCD2 run collapse
+    "profile_columns",       # r4: wide multi-distinct profiling scan
 ]
 
 REGRESSION_FACTOR = 1.15

@@ -85,6 +85,10 @@ AUDIT = {
     "fuzzy_join_names": "distinct-first name agg; inverted q-gram equi-join + length-band hash join; levenshtein only above candidates",
     "pagerank_copurchase": "per round: broadcast node-rank frame against edges + one groupBy(t) Exchange; no all-pairs",
     "quantile_norm": "single-partition window is the oracle-parity form (documented); bounds frame broadcast back map-side",
+    "phrase_search": "term filters BEFORE the positional join — only the phrase's posting lists shuffle, never the corpus",
+    "domain_temperature_sample": "one (source) agg Exchange; mixture frame broadcast back; accept filter map-only codegen",
+    "scd2_user_tiers": "one user_id Exchange shared by lag + version cumsum + post-collapse lead windows",
+    "semdedup_pairs": "one cell-key Exchange into FlatMapGroupsInPandas; GEMM per cell, no pair-row join",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
