@@ -258,6 +258,43 @@ def cmd_anomaly_stream(args) -> int:
     return 0
 
 
+def cmd_scd2_stream(args) -> int:
+    from jetstream_spark.streaming.scd2_stream import (
+        check_order,
+        current_scd2,
+        init_scd2_state,
+        start_streaming_scd2,
+    )
+
+    spark = _spark(args.cpus)
+    init_scd2_state(args.state_dir)
+    ckpt = os.path.join(args.state_dir, "_scd2_ckpt")
+    q = start_streaming_scd2(spark, args.events_dir, args.state_dir, ckpt)
+    print(f"maintaining SCD2 from {args.events_dir} (checkpoint {ckpt})", flush=True)
+    try:
+        if args.drain:
+            q.processAllAvailable()
+            q.stop()
+            n_bad = check_order(spark, args.state_dir).count()
+            if n_bad:
+                print(f"WARNING: {n_bad} ordering-contract violations", flush=True)
+            dim = current_scd2(spark, args.state_dir)
+            cur = dim.where("is_current").count()
+            print(f"dimension rows: {dim.count()} ({cur} current)")
+            for r in (
+                dim.orderBy("user_id", "version").limit(args.show).collect()
+            ):
+                print(
+                    f"u{r['user_id']} v{r['version']} tier={r['tier']}"
+                    f" [{r['valid_from_us']}, {r['valid_to_us']}) n={r['n_events']}"
+                )
+        else:
+            q.awaitTermination()
+    except KeyboardInterrupt:
+        q.stop()
+    return 0
+
+
 def cmd_sql(args) -> int:
     """Ad-hoc ANSI SQL over the engine's tables — the interactive read
     surface the reference never had (its only read path is /subscribe).
@@ -343,6 +380,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--state-dir", default="./anomaly_state", help="hourly-count parts + marker root")
     p.add_argument("--drain", action="store_true", help="process available input then exit (batch mode)")
     p.set_defaults(fn=cmd_anomaly_stream)
+
+    p = sub.add_parser("scd2-stream", help="standing changelog -> SCD2 dimension maintainer")
+    p.add_argument("--events-dir", default="./events_in", help="ndjson {event_id, ts, user_id, props} drop directory")
+    p.add_argument("--state-dir", default="./scd2_state", help="mini-run parts + marker root")
+    p.add_argument("--drain", action="store_true", help="process available input then exit (batch mode)")
+    p.add_argument("--show", type=int, default=10, help="dimension rows to print after --drain")
+    p.set_defaults(fn=cmd_scd2_stream)
 
     p = sub.add_parser("dedup-stream", help="standing near-dup detection over a doc drop dir")
     p.add_argument("--docs-dir", default="./docs_in", help="ndjson {doc_id, text} drop directory")

@@ -557,20 +557,48 @@ def q_scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame to one row per run) the valid_to lead — no self-join against
     the history, no per-user collect."""
     ev = table(spark, sf_dir, "events")
-    tier = F.expr("CAST(get_json_object(props, '$.k') AS BIGINT) div " + str(TIER_WIDTH))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    base = ev.select("user_id", "ts", "event_id", tier.alias("tier"))
+    base = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ord_us"),
+        F.col("event_id").alias("ord_tie"),
+        scd2_tier_expr().alias("tier"),
+        F.lit(1).cast("long").alias("n"),
+        F.unix_micros("ts").alias("from_us"),
+        F.unix_micros("ts").alias("last_us"),
+    )
+    return scd2_chain(scd2_collapse(base))
+
+
+def scd2_tier_expr() -> F.Column:
+    return F.expr(f"CAST(get_json_object(props, '$.k') AS BIGINT) div {TIER_WIDTH}")
+
+
+def scd2_collapse(base: DataFrame) -> DataFrame:
+    """The run-collapse core over (user_id, ord_us, ord_tie, tier, n,
+    from_us, last_us): adjacent same-tier rows merge into one run. It is
+    IDEMPOTENT over its own output (a collapsed runs frame re-collapses
+    to itself) and LEVEL-AGNOSTIC: raw events (n=1) and stored mini-runs
+    (n=run size) flow through identically — which is what lets the
+    streaming maintainer (streaming/scd2_stream.py) store per-batch runs
+    and merge them at read with the SAME code as the batch operator."""
+    w = Window.partitionBy("user_id").orderBy("ord_us", "ord_tie")
     prev = F.lag("tier").over(w)
     change = F.when(prev.isNull() | (prev != F.col("tier")), 1).otherwise(0)
     versioned = base.withColumn(
         "version",
         F.sum(change).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
-    runs = versioned.groupBy("user_id", "version").agg(
+    return versioned.groupBy("user_id", "version").agg(
         F.min("tier").alias("tier"),  # constant within a run
-        F.min(F.unix_micros("ts")).alias("valid_from_us"),
-        F.count(F.lit(1)).alias("n_events"),
+        F.min("from_us").alias("valid_from_us"),
+        F.max("last_us").alias("last_us"),
+        F.sum("n").alias("n_events"),
     )
+
+
+def scd2_chain(runs: DataFrame) -> DataFrame:
+    """Interval chaining over a collapsed runs frame: valid_to = next
+    run's valid_from; the open current interval is NULL-terminated."""
     vw = Window.partitionBy("user_id").orderBy("version")
     valid_to = F.lead("valid_from_us").over(vw)
     return runs.select(

@@ -199,3 +199,21 @@ def test_cli_anomaly_stream_drain(tmp_path):
     out = _run("anomaly-stream", "--events-dir", str(events_dir), "--state-dir", state, "--drain")
     assert out.returncode == 0, out.stderr[-2000:]
     assert "click 2024-03-01 08:00:00 n=12" in out.stdout
+
+
+def test_cli_scd2_stream_drain(tmp_path):
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-03-01T10:00:00", "user_id": 1, "props": '{"k": 5}'},
+        {"event_id": 2, "ts": "2024-03-01T10:05:00", "user_id": 1, "props": '{"k": 80}'},
+        {"event_id": 3, "ts": "2024-03-01T10:06:00", "user_id": 1, "props": '{"k": 90}'},
+    ]
+    with open(events_dir / "batch1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    state = str(tmp_path / "state")
+    out = _run("scd2-stream", "--events-dir", str(events_dir), "--state-dir", state, "--drain")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dimension rows: 2 (1 current)" in out.stdout
+    assert "u1 v2 tier=3" in out.stdout
