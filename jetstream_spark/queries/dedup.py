@@ -813,30 +813,41 @@ def q_dedup_containment_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement, so |KMV_K(A) ∩ sh(B)| / min(K, n_A) is an unbiased
     hypergeometric estimate of C(A→B) = |sh(A) ∩ sh(B)| / n_A; it is EXACT
     whenever n_A ≤ K (the sketch is the whole set — asserted in tests).
-    The oracle recomputes the identical estimator (row_number over md5
-    order ≡ the struct sort), so this is hash-checked, not rows-only."""
+
+    Everything downstream of shingling runs on 60-bit md5-derived LONGS,
+    never shingle strings: the sketch sorts a long array (not hex-string
+    structs) and the probe↔index join shuffles 8-byte keys — the candidate
+    volume Σ df_kmv·df is data-driven, but each candidate row costs a long
+    compare instead of a string compare. Both engines derive the identical
+    hash, so the oracle recomputes the identical estimator (row_number
+    over the same longs) and this stays hash-checked, not rows-only.
+    (Collisions fold two shingles into one key on BOTH sides identically;
+    at 60 bits the corpus-wide collision odds are ~1e-9.)"""
+    h_of = "conv(substring(md5(cast(s as binary)), 1, 15), 16, 10)"
     sh = _doc_shingles(spark, sf_dir)
-    kmv = sh.select(
+    # materialize the hashed-shingle arrays ONCE: probe and index are two
+    # consumers of the same frame, and without the cut Spark recomputes
+    # shingling+md5 per side (no common exchange to reuse) — measured ~2x
+    # on the full query at sf0.1
+    hashed = sh.select(
         "doc_id",
-        F.size("shingles").alias("n"),
-        F.slice(
-            F.array_sort(
-                F.expr("transform(shingles, s -> struct(md5(cast(s as binary)) as h, s as s))")
-            ),
-            1,
-            KMV_K,
-        ).alias("kmv"),
+        F.expr(f"transform(shingles, s -> cast({h_of} as bigint))").alias("hs"),
+    ).localCheckpoint()
+    kmv = hashed.select(
+        "doc_id",
+        F.size("hs").alias("n"),
+        F.slice(F.array_sort("hs"), 1, KMV_K).alias("kmv"),
     )
     probe = kmv.select(
         F.col("doc_id").alias("contained_doc"),
         F.least(F.col("n"), F.lit(KMV_K)).alias("denom"),
-        F.explode(F.col("kmv.s")).alias("s"),
+        F.explode("kmv").alias("h"),
     )
-    index = sh.select(
-        F.col("doc_id").alias("container_doc"), F.explode("shingles").alias("s")
+    index = hashed.select(
+        F.col("doc_id").alias("container_doc"), F.explode("hs").alias("h")
     )
     hits = (
-        probe.join(index, "s")
+        probe.join(index, "h")
         .where(F.col("contained_doc") != F.col("container_doc"))
         .groupBy("contained_doc", "container_doc", "denom")
         .agg(F.count(F.lit(1)).alias("m"))
@@ -850,18 +861,22 @@ def q_dedup_containment_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_CONTAINMENT_KMV_ORACLE = f"""
-WITH sh AS (
+WITH raw AS (
   SELECT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+), sh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM raw
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
 ), ranked AS (
-  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY md5(s), s) AS rn
+  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
   FROM sh
 ), kmv AS (
-  SELECT doc_id, s FROM ranked WHERE rn <= {KMV_K}
+  SELECT doc_id, h FROM ranked WHERE rn <= {KMV_K}
 ), hits AS (
   SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc, count(*) AS m
-  FROM kmv a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  FROM kmv a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
   GROUP BY 1, 2
 )
 SELECT contained_doc, container_doc,
