@@ -740,7 +740,9 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment positional bound m + (n_a − P_a) ≥ ⌈t·n_a⌉ degenerates to
     m ≥ 1 — it prunes nothing this side of verification, and the verify
     join it forces is the 10× cost above."""
-    sh = _doc_shingles(spark, sf_dir)
+    # one materialization: the shingle frame feeds three subtrees (both
+    # join sides + the size table) and would otherwise re-shingle per use
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint()
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     a = exploded.select(F.col("doc_id").alias("doc_a"), "s")
