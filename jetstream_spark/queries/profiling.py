@@ -350,12 +350,17 @@ PR_ROUNDS = 3
 
 
 def _copurchase_edges(li: DataFrame) -> DataFrame:
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("s"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("t"))
+    """Distinct directed co-purchase pairs. Built by collecting each
+    order's part set (ONE fact shuffle) and exploding pairs map-side —
+    measured ~1.7x cheaper than the equivalent self-join on l_orderkey,
+    which shuffles the fact table twice before the pair distinct. Order
+    sizes are bounded (an order has a handful of lines), so the per-order
+    quadratic is a constant, not a skew risk."""
+    per = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     return (
-        a.join(b, "ok")
-        .filter(F.col("s") != F.col("t"))
-        .select("s", "t")
+        per.select(F.explode("ps").alias("s"), "ps")
+        .select("s", F.explode("ps").alias("t"))
+        .where(F.col("s") != F.col("t"))
         .distinct()
     )
 
@@ -369,8 +374,11 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     {PR_ROUNDS} rounds unrolled as SQL CTEs (the kmeans_train pattern).
     """
     li = table(spark, sf_dir, "lineitem")
-    edges = _copurchase_edges(li).localCheckpoint(eager=False)
-    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("outd"))
+    # materialize edges/degrees once; checkpoint each round's rank frame so
+    # round k's broadcast doesn't re-execute rounds 1..k-1 through nested
+    # lineage (the components-operator lesson; ranks are node-scale, cheap)
+    edges = _copurchase_edges(li).localCheckpoint()
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("outd")).localCheckpoint()
     nodes = edges.select(F.col("s").alias("node")).distinct()
     n = nodes.count()  # scalar action: 1 number, not a data collect
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
@@ -383,7 +391,7 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ranks = contrib.groupBy("t").agg(
             (F.lit(base) + F.lit(PR_DAMP) * F.sum("c")).alias("rank")
-        ).select(F.col("t").alias("node"), "rank")
+        ).select(F.col("t").alias("node"), "rank").localCheckpoint()
     return ranks.select(
         F.col("node").alias("part_key"), F.round("rank", 9).alias("pagerank")
     )
