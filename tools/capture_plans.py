@@ -79,7 +79,7 @@ AUDIT = {
     "kmeans_train": "final-round plan: map-only assign kernel + partial-agg before the (cluster) Exchange; per-round shuffles carry only P*k*d partial rows",
     "rate_anomaly": "partial count before the (type, hour) Exchange; per-type stats frame broadcast back; flag filter map-only",
     "split_drift_psi": "map-only bin assignment; one (feature, bin) count Exchange with map-side partials; PSI fold over the tiny counts frame",
-    "profile_columns": "one wide aggregate scan; Expand drives the multi-distinct; partial agg before the single Exchange",
+    "profile_columns": "unpivot Generate then ONE grouped distinct agg (no 11-wide Expand dedup); partial agg before each Exchange",
     "fk_integrity": "broadcast parent-key join per FK edge; child scans stream map-side, fact tables never shuffle",
     "hll_distinct": "register build = one (type, bucket) Exchange with partial max; estimate join over group-scale frames",
     "fuzzy_join_names": "distinct-first name agg; inverted q-gram equi-join + length-band hash join; levenshtein only above candidates",
