@@ -30,6 +30,7 @@ from jetstream_spark.queries.spec import QuerySpec
 # for the (un)pivot surface; approx-agg error-bound pytest).
 _PRIORITY = (
     # ---- NEW in r4 (profiling batch): never driver-checked ----
+    "negative_samples",       # deterministic contrastive negative draws
     "scd2_user_tiers",        # changelog -> SCD2 versioned dimension
     "phrase_search",          # positional-postings exact phrase search
     "domain_temperature_sample",  # temperature-flattened domain mixture
@@ -82,13 +83,14 @@ _PRIORITY = (
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_components",
-    "dedup_keep_canonical",
     "dedup_incremental",
     "ann_brute_force_topk",
     # ================= driver window boundary (~50) ==================
-    # ann_lsh/ivf_indexed + doc_chunking displaced for the never-checked
-    # scd2/phrase/temperature batch: all three r3-driver-green with
-    # dedicated pytest e2e (index freshness + plan assertions; UDTF)
+    # ann_lsh/ivf_indexed + doc_chunking + dedup_keep_canonical displaced
+    # for the never-checked scd2/phrase/temperature/negative batch: all
+    # r3-driver-green with dedicated pytest e2e (index freshness + plan
+    # assertions; UDTF; left-anti over the components output)
+    "dedup_keep_canonical",
     "ann_lsh_indexed",
     "ann_ivf_indexed",
     "doc_chunking",           # the UDTF + LATERAL surface

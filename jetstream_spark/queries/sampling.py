@@ -925,7 +925,69 @@ FROM mix m LEFT JOIN kept k ON k.source = m.source
 """
 
 
+# --- deterministic negative sampling ------------------------------------------
+NEG_K = 4  # negatives drawn per anchor document
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each anchor doc draws {NEG_K} pseudo-random partner docs via
+    md5(doc_id # j) mod N over a dense rank space, self-draws dropped —
+    reproducible anywhere (no RNG state), so the training set is a pure
+    function of the corpus.
+
+    Scale shape: the rank table here is a global row_number (oracle-parity
+    form); at 100 TB it becomes the two-phase per-partition-counts +
+    offsets rank the S10 sequencer already implements. Draws are map-only
+    codegen; resolving rank→doc is one join against the node-scale rank
+    table."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    ranked = docs.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("doc_id")) - 1
+    )
+    n = ranked.count()  # scalar action
+    js = spark.range(NEG_K).select(F.col("id").cast("int").alias("j"))
+    h = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit("#"), F.col("j").cast("string")).cast("binary")
+    )
+    draws = ranked.crossJoin(F.broadcast(js)).select(
+        F.col("doc_id").alias("anchor_doc"),
+        "j",
+        (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % n).alias("neg_rnk"),
+        F.col("rnk").alias("own_rnk"),
+    ).where(F.col("neg_rnk") != F.col("own_rnk"))
+    return (
+        draws.join(
+            ranked.select(F.col("rnk").alias("neg_rnk"), F.col("doc_id").alias("neg_doc")),
+            "neg_rnk",
+        )
+        .select("anchor_doc", "j", "neg_doc")
+    )
+
+
+_NEG_H_SQL = (
+    "CAST(('0x' || substr(md5(CAST(anchor_doc AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)"
+)
+
+Q_NEGATIVE_SAMPLES_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk FROM documents
+), nn AS (SELECT count(*) AS n FROM ranked
+), draws AS (
+  SELECT r.doc_id AS anchor_doc, j.j AS j, r.rnk AS own_rnk,
+         {_NEG_H_SQL.replace('anchor_doc', 'r.doc_id').replace('CAST(j AS', 'CAST(j.j AS')} % (SELECT n FROM nn) AS neg_rnk
+  FROM ranked r CROSS JOIN (SELECT unnest(generate_series(0, {NEG_K - 1})) AS j) j
+)
+SELECT d.anchor_doc, CAST(d.j AS INTEGER) AS j, r2.doc_id AS neg_doc
+FROM draws d JOIN ranked r2 ON r2.rnk = d.neg_rnk
+WHERE d.neg_rnk <> d.own_rnk
+"""
+
+
 QUERIES = [
+    QuerySpec("negative_samples", q_negative_samples, Q_NEGATIVE_SAMPLES_ORACLE, "deterministic md5 negative sampling over a dense rank space", ("sampling",)),
     QuerySpec("domain_temperature_sample", q_domain_temperature_sample, Q_TEMP_SAMPLE_ORACLE, "temperature-flattened domain mixture via quantized deterministic acceptance", ("sampling",)),
     QuerySpec("split_drift_psi", q_split_drift_psi, _psi_oracle(), "PSI drift between train/test splits over binned doc features", ("sampling", "monitoring")),
     QuerySpec("cluster_aware_split", q_cluster_aware_split, _cluster_split_oracle(), "leakage-free split: buckets on near-dup cluster id, not doc id", ("sampling",)),

@@ -142,3 +142,38 @@ def test_car_roundtrip_property(blocks):
     assert {cid_str(cid_for_block(b)) for b in blocks} == set(index)
     for b in blocks:
         assert index[cid_str(cid_for_block(b))] == b
+
+
+# --- fuzzy-join blocking bound (pure math, no Spark) --------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="abcd ", min_size=0, max_size=16),
+    st.text(alphabet="abcd ", min_size=0, max_size=16),
+)
+def test_fuzzy_blocking_bound_is_lossless(a: str, b: str):
+    """The theorem q_fuzzy_join_names relies on: any pair within edit
+    distance D=2 either (a) has a short side (< 9 chars, caught by the
+    length-band block) or (b) shares at least one 3-gram (caught by the
+    q-gram block). A tiny alphabet maximizes tricky collisions."""
+    from jetstream_spark.queries.profiling import FUZZY_D, _FUZZY_LONG, _FUZZY_Q
+
+    if _lev(a, b) > FUZZY_D:
+        return
+    if min(len(a), len(b)) < _FUZZY_LONG:
+        return  # short band catches it
+    grams = lambda s: {s[i : i + _FUZZY_Q] for i in range(len(s) - _FUZZY_Q + 1)}
+    assert grams(a) & grams(b), (a, b)

@@ -449,3 +449,20 @@ def test_domain_temperature_sample_matches_python(spark):
     small = min(raw, key=raw.get)
     assert got[big][2] < raw[big] + 1e-12
     assert got[small][2] > raw[small] - 1e-12
+
+
+def test_negative_samples_invariants(spark):
+    from jetstream_spark.queries.sampling import NEG_K, q_negative_samples
+    from tests.conftest import SF_DIR
+
+    rows = q_negative_samples(spark, SF_DIR).collect()
+    assert all(r["anchor_doc"] != r["neg_doc"] for r in rows)
+    per = {}
+    for r in rows:
+        per.setdefault(r["anchor_doc"], []).append(r["j"])
+    # every anchor draws NEG_K times, minus dropped self-draws
+    assert all(NEG_K - 1 <= len(v) <= NEG_K for v in per.values())
+    assert all(len(set(v)) == len(v) for v in per.values())
+    # deterministic: a second run is identical
+    again = q_negative_samples(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
