@@ -345,6 +345,10 @@ SF1_QUERIES = [
     # it labels all 10x docs in ~4 s warm (vs one-tier's 98.6 s) because
     # the near-dup pass runs over distinct-content representatives only.
     "dedup_two_tier",
+    # r4: windowed/iterative additions whose cost must scale linearly in
+    # events (user count grows with replicas, per-user work constant)
+    "scd2_user_tiers",
+    "hll_distinct",
 ]
 
 
