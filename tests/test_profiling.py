@@ -166,3 +166,38 @@ def test_quantile_norm_invariants(spark):
     pcts = [r["pct_rank"] for r in rows]
     assert pcts == sorted(pcts)
     assert pcts[0] == 0.0 and pcts[-1] == 1.0
+
+
+def test_hll_small_range_correction_branch(spark, tmp_path):
+    """A tiny key set forces the linear-counting branch (raw estimate <=
+    2.5m with zero registers present); pin it against a pure-Python
+    replication of the same md5 register arithmetic."""
+    import hashlib
+    import math
+
+    from jetstream_spark.queries.profiling import HLL_M, _HLL_ALPHA, q_hll_distinct
+
+    rows = [(i, "2024-03-01 10:00:00", i % 7, "click", 1.0, "{}") for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type", "value", "props")
+    d = tmp_path / "tiny"
+    d.mkdir()
+    df.coalesce(1).write.parquet(str(d / "events.parquet"))
+
+    regs = {}
+    for u in {r[2] for r in rows}:
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        b, w = h & (HLL_M - 1), h >> 6
+        rho = 55 if w == 0 else 55 - w.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    zint = sum(1 << (55 - m) for m in regs.values()) + (HLL_M - len(regs)) * (1 << 55)
+    zeros = HLL_M - len(regs)
+    raw = _HLL_ALPHA * HLL_M * HLL_M * float(2**55) / zint
+    assert raw <= 2.5 * HLL_M and zeros > 0, "fixture must hit the correction branch"
+    expect = round(HLL_M * math.log(HLL_M / zeros), 2)
+
+    got = q_hll_distinct(spark, str(d)).collect()
+    assert len(got) == 1
+    assert got[0]["exact_distinct"] == 7
+    assert abs(got[0]["hll_estimate"] - expect) <= 0.01
