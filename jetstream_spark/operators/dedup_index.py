@@ -117,7 +117,9 @@ def minhash_bands(df: DataFrame) -> DataFrame:
     src = df.select("doc_id", "text")
     par = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+        # hash on doc_id, not round-robin: same spread, and the engine-wide
+        # no-RoundRobinPartitioning plan guard stays assertable
+        src = src.repartition(par, "doc_id")
     return src.mapInPandas(kernel, schema=BANDS_SCHEMA)
 
 

@@ -303,9 +303,13 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
     par = spark.sparkContext.defaultParallelism
-    return docs.select("doc_id", "text").repartition(par).mapInPandas(
-        kernel, schema="doc_id long, simhash long"
-    )
+    src = docs.select("doc_id", "text")
+    if src.rdd.getNumPartitions() < par:
+        # same single-file-fixture gate + hash spread as _shingles_of /
+        # minhash_bands: multi-file corpora arrive pre-parallel, and a
+        # blind reshuffle of every text byte is a 100 TB anti-pattern
+        src = src.repartition(par, "doc_id")
+    return src.mapInPandas(kernel, schema="doc_id long, simhash long")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
