@@ -160,9 +160,11 @@ def test_no_corpus_shuffle_for_multi_split_input(spark, tmp_path):
     )
     assert "Exchange" not in sh_plan, sh_plan
 
-    # the single-file fixture DOES need the spread (1 split < cores)
+    # the single-file fixture DOES need the spread (1 split < cores) —
+    # hash-based since the engine-wide no-RoundRobin plan guard
     narrow_plan = minhash_bands(docs)._jdf.queryExecution().executedPlan().toString()
-    assert "RoundRobinPartitioning" in narrow_plan, narrow_plan
+    assert "hashpartitioning(doc_id" in narrow_plan, narrow_plan
+    assert "RoundRobinPartitioning" not in narrow_plan, narrow_plan
 
 
 def test_band_signatures_invariant_to_batch_partitioning(spark):
