@@ -302,21 +302,35 @@ def bench_delivery_fanout(
         q = hub.start()
         normalized = normalize_frames(_events_as_frames(spark, sf_dir, limit=cap)).cache()
         n = normalized.count()
-        eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1_000_000, batch_id=0)
+        # best-of-2 bursts (same policy as the query timings): delivery is
+        # one streaming tick, so a single GC pause or host-contention spike
+        # would otherwise masquerade as a throughput regression
+        best, elapsed_last = 0.0, 0.0
+        for burst in range(2):
+            before = sum(counts)
+            eventlog.ingest_batch(
+                normalized,
+                log_dir,
+                wall_clock_us=(burst + 1) * 1_000_000,
+                batch_id=burst,
+            )
+            t0 = time.time()
+            q.processAllAvailable()
+            elapsed_last = time.time() - t0
+            got = sum(counts) - before
+            if got == n * n_subs and elapsed_last > 0:
+                best = max(best, got / n_subs / elapsed_last)
         normalized.unpersist()
-        t0 = time.time()
-        q.processAllAvailable()
-        elapsed = time.time() - t0
         delivered = sum(counts)
         return {
             "n_events": n,
             "n_subs": n_subs,
             "delivered": delivered,
-            "complete": delivered == n * n_subs,
+            "complete": delivered == 2 * n * n_subs,
             "ordered": all(orderly),
-            "sec": round(elapsed, 3),
-            "events_per_sec_total": round(delivered / elapsed, 1),
-            "events_per_sec_per_sub": round(delivered / n_subs / elapsed, 1),
+            "sec": round(elapsed_last, 3),
+            "events_per_sec_total": round(best * n_subs, 1),
+            "events_per_sec_per_sub": round(best, 1),
         }
     finally:
         hub.stop()
