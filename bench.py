@@ -466,6 +466,13 @@ def main() -> None:
         flag a regression vs the previous round — measured on this box,
         two consecutive cold-ish samples happen often enough that min-of-2
         alone still reports warmup noise as a >1.15x 'regression'."""
+        import gc
+
+        # drop references to the previous query's frames first: several
+        # operators hold localCheckpoint blocks alive until Python GC
+        # releases the DataFrame, and accumulated blocks bleed memory
+        # pressure into later queries' timings
+        gc.collect()
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
