@@ -36,6 +36,8 @@ _PRIORITY = (
     "domain_temperature_sample",  # temperature-flattened domain mixture
     "profile_columns",        # per-column null/distinct profile
     "profile_numeric",        # numeric min/max/avg/stddev profile
+    "profile_histogram",      # equal-width per-column histograms
+    "profile_skew",           # join-key skew: top share + p99/avg
     "fk_integrity",           # referential-integrity orphan audit
     "hll_distinct",           # deterministic integer-scaled HLL sketch
     "fuzzy_join_names",       # edit-distance join, lossless blocking
@@ -68,12 +70,12 @@ _PRIORITY = (
     "decontaminate_bloom",    # bloom-bitmap decontam, map-only train probe
     "corpus_budget_selection",  # global greedy token budget, no global sort
     "bpe_pair_counts",        # BPE merge-candidate counts over the vocab table
-    # ---- r1-only driver evidence: the longest unchecked ----
+    # ---- r1-only driver evidence: the longest unchecked (range_frame /
+    # ---- ntile displaced below for the new profiling pair — the window
+    # ---- family keeps rank/gaps/latest in-window)
     "regexp_extract_ids",
     "window_rank_customers",
     "window_order_gaps",
-    "range_frame_window",
-    "ntile_quartiles",
     "latest_order_per_customer",
     "cube_segment_priority",
     # ---- code changed this round (r4): shingle-shuffle gate, partial
@@ -91,6 +93,8 @@ _PRIORITY = (
     # r3-driver-green with dedicated pytest e2e (index freshness + plan
     # assertions; UDTF; left-anti over the components output)
     "dedup_keep_canonical",
+    "range_frame_window",
+    "ntile_quartiles",
     "ann_lsh_indexed",
     "ann_ivf_indexed",
     "doc_chunking",           # the UDTF + LATERAL surface

@@ -104,6 +104,105 @@ Q_PROFILE_NUMERIC_ORACLE = "\nUNION ALL\n".join(
 )
 
 
+# --- histogram profile --------------------------------------------------------
+HIST_BINS = 10
+
+
+def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width {HIST_BINS}-bin histograms for lineitem's numeric
+    columns — the distribution half of the ANALYZE pass (min/max/avg say
+    nothing about shape). width_bucket over the per-column min/max from
+    one stats pass; bin counting is a map-side-partial aggregate over a
+    (column, bin) key space of |cols|x(bins+2)."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _NUMERIC_COLS:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    bounds = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', CAST({c} AS DOUBLE), CAST(min_{c} AS DOUBLE), CAST(max_{c} AS DOUBLE)"
+        for c in _NUMERIC_COLS
+    )
+    # the bin formula is written out identically on both engines (instead
+    # of width_bucket, whose boundary arithmetic is implementation-defined)
+    # so IEEE rounding at bin edges cannot differ: the SAME expression
+    # tree evaluates on the same doubles
+    bin_expr = (
+        f"CAST(least(CAST({HIST_BINS} AS BIGINT),"
+        f" CAST(floor((v - lo) / (hi - lo) * {HIST_BINS}) AS BIGINT)) + 1 AS BIGINT)"
+    )
+    binned = li.crossJoin(F.broadcast(bounds)).selectExpr(
+        f"stack({len(_NUMERIC_COLS)}, {stack}) AS (column_name, v, lo, hi)"
+    ).select("column_name", F.expr(bin_expr).alias("bin"))
+    return binned.groupBy("column_name", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _hist_bin_sql(c: str) -> str:
+    v = f"CAST(l.{c} AS DOUBLE)"
+    lo, hi = f"CAST(b.min_{c} AS DOUBLE)", f"CAST(b.max_{c} AS DOUBLE)"
+    return (
+        f"CAST(least(CAST({HIST_BINS} AS BIGINT),"
+        f" CAST(floor(({v} - {lo}) / ({hi} - {lo}) * {HIST_BINS}) AS BIGINT)) + 1 AS BIGINT)"
+    )
+
+
+Q_PROFILE_HISTOGRAM_ORACLE = f"""
+WITH bounds AS (
+  SELECT {", ".join(f"min({c}) AS min_{c}, max({c}) AS max_{c}" for c in _NUMERIC_COLS)}
+  FROM lineitem
+), binned AS (
+  {" UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, {_hist_bin_sql(c)} AS bin"
+    f" FROM lineitem l CROSS JOIN bounds b"
+    for c in _NUMERIC_COLS
+  )}
+)
+SELECT column_name, bin, count(*) AS n FROM binned GROUP BY column_name, bin
+"""
+
+
+# --- join-key skew profile ----------------------------------------------------
+
+_SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of the fact table: distinct keys, the
+    heaviest key's row share, and the p99/avg frequency ratio — the
+    numbers that decide broadcast vs shuffle vs salting (operators/
+    skew.py) BEFORE a join runs. One count-per-key aggregate per column;
+    the per-column summary folds over the (tiny) frequency frame."""
+    li = table(spark, sf_dir, "lineitem")
+    out = None
+    for c in _SKEW_KEYS:
+        freq = li.groupBy(F.col(c).alias("k")).agg(F.count(F.lit(1)).alias("f"))
+        summ = freq.agg(
+            F.count(F.lit(1)).alias("distinct_keys"),
+            F.sum("f").alias("total_rows"),
+            F.max("f").alias("max_freq"),
+            F.expr("percentile(f, 0.99)").alias("p99_freq"),
+            F.avg("f").alias("avg_freq"),
+        ).select(
+            F.lit(c).alias("key_column"),
+            "distinct_keys",
+            F.round(F.col("max_freq") / F.col("total_rows"), 6).alias("top_key_share"),
+            F.round(F.col("p99_freq") / F.col("avg_freq"), 4).alias("p99_over_avg"),
+        )
+        out = summ if out is None else out.unionByName(summ)
+    return out
+
+
+Q_PROFILE_SKEW_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS key_column, count(*) AS distinct_keys,
+       round(CAST(max(f) AS DOUBLE) / sum(f), 6) AS top_key_share,
+       round(quantile_cont(f, 0.99) / avg(f), 4) AS p99_over_avg
+FROM (SELECT {c} AS k, count(*) AS f FROM lineitem GROUP BY {c})"""
+    for c in _SKEW_KEYS
+)
+
+
 # --- referential-integrity audit ----------------------------------------------
 
 _FK_EDGES = (
@@ -521,6 +620,8 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = [
     QuerySpec("profile_columns", q_profile_columns, Q_PROFILE_COLUMNS_ORACLE, "per-column null/distinct profile, one wide aggregate pass", ("profiling",)),
     QuerySpec("profile_numeric", q_profile_numeric, Q_PROFILE_NUMERIC_ORACLE, "numeric min/max/avg/stddev profile, unpivoted", ("profiling",)),
+    QuerySpec("profile_histogram", q_profile_histogram, Q_PROFILE_HISTOGRAM_ORACLE, "equal-width histograms per numeric column (engine-identical bin formula)", ("profiling",)),
+    QuerySpec("profile_skew", q_profile_skew, Q_PROFILE_SKEW_ORACLE, "join-key skew profile: top-key share + p99/avg frequency ratio", ("profiling",)),
     QuerySpec("fk_integrity", q_fk_integrity, Q_FK_INTEGRITY_ORACLE, "referential-integrity audit: orphans per FK edge", ("profiling",)),
     QuerySpec("hll_distinct", q_hll_distinct, Q_HLL_DISTINCT_ORACLE, "deterministic integer-scaled HLL distinct sketch vs exact", ("profiling", "sketch")),
     QuerySpec("fuzzy_join_names", q_fuzzy_join_names, Q_FUZZY_JOIN_ORACLE, "edit-distance<=2 self-join, lossless q-gram + length-band blocking", ("profiling", "dedup")),

@@ -201,3 +201,39 @@ def test_hll_small_range_correction_branch(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["exact_distinct"] == 7
     assert abs(got[0]["hll_estimate"] - expect) <= 0.01
+
+
+def test_profile_histogram_conservation(spark):
+    from jetstream_spark.queries.profiling import HIST_BINS, q_profile_histogram
+
+    rows = q_profile_histogram(spark, SF_DIR).collect()
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+    per = {}
+    for r in rows:
+        assert 1 <= r["bin"] <= HIST_BINS + 1
+        per[r["column_name"]] = per.get(r["column_name"], 0) + r["n"]
+    # every row lands in exactly one bin
+    assert set(per.values()) == {t.num_rows}
+    # the max-boundary bucket (bin n+1) holds exactly the max-valued rows
+    import pyarrow.compute as pc
+
+    got_top = {r["column_name"]: r["n"] for r in rows if r["bin"] == HIST_BINS + 1}
+    for c, n_top in got_top.items():
+        col = t.column(c)
+        mx = pc.max(col).as_py()
+        assert n_top == pc.sum(pc.equal(col, mx)).as_py(), c
+
+
+def test_profile_skew_matches_pyarrow(spark):
+    from collections import Counter
+
+    from jetstream_spark.queries.profiling import _SKEW_KEYS, q_profile_skew
+
+    got = {r["key_column"]: r for r in q_profile_skew(spark, SF_DIR).collect()}
+    t = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+    assert set(got) == set(_SKEW_KEYS)
+    for c in _SKEW_KEYS:
+        freq = Counter(t.column(c).to_pylist())
+        assert got[c]["distinct_keys"] == len(freq)
+        assert abs(got[c]["top_key_share"] - max(freq.values()) / t.num_rows) <= 1e-6
+        assert got[c]["p99_over_avg"] > 0
