@@ -30,6 +30,8 @@ from jetstream_spark.queries.spec import QuerySpec
 # for the (un)pivot surface; approx-agg error-bound pytest).
 _PRIORITY = (
     # ---- NEW in r4 (profiling batch): never driver-checked ----
+    "timeseries_gapfill",     # dense hourly resample + LOCF
+    "ewma_hourly",            # normalized EWMA via HOF weighted fold
     "negative_samples",       # deterministic contrastive negative draws
     "scd2_user_tiers",        # changelog -> SCD2 versioned dimension
     "phrase_search",          # positional-postings exact phrase search
@@ -77,13 +79,11 @@ _PRIORITY = (
     "window_rank_customers",
     "window_order_gaps",
     "latest_order_per_customer",
-    "cube_segment_priority",
     # ---- code changed this round (r4): shingle-shuffle gate, partial
     # ---- top-k kernel, component convergence/escalation, index freshness ----
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "dedup_components",
     "dedup_incremental",
     "ann_brute_force_topk",
@@ -93,6 +93,8 @@ _PRIORITY = (
     # r3-driver-green with dedicated pytest e2e (index freshness + plan
     # assertions; UDTF; left-anti over the components output)
     "dedup_keep_canonical",
+    "cube_segment_priority",
+    "dedup_embedding_cosine",
     "range_frame_window",
     "ntile_quartiles",
     "ann_lsh_indexed",

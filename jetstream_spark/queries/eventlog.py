@@ -642,7 +642,122 @@ FROM runs WINDOW vw AS (PARTITION BY user_id ORDER BY version)
 """
 
 
+# --- time-series gap filling --------------------------------------------------
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resampling of the sparse event stream: per type, a
+    generated min..max hour grid left-joins the observed hourly
+    (count, avg value) frame; missing hours zero-fill the count and
+    carry the last observed value forward (LOCF). The regularization
+    pass every downstream time-series model (anomaly z-scores, EWMA,
+    seasonality fits) assumes has already happened.
+
+    Scale shape: hourly collapse is the only event-scale shuffle; the
+    grid explodes from the |types|-row span frame (map-only sequence),
+    and the fill join + LOCF window run on hour-count-scale rows."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("v"))
+    span = hourly.groupBy("event_type").agg(
+        F.min("hb").alias("lo"), F.max("hb").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hb"),
+    )
+    filled = grid.join(hourly, ["event_type", "hb"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "hb",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("v_locf"),
+        F.col("n").isNull().alias("was_gap"),
+    )
+
+
+Q_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hb, count(*) AS n, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(hb) AS lo, max(hb) AS hi FROM hourly GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hb FROM span
+), f AS (
+  SELECT g.event_type, g.hb, h.n, h.v
+  FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hb = g.hb
+)
+SELECT event_type, hb, coalesce(n, 0) AS n,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hb
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_locf,
+       n IS NULL AS was_gap
+FROM f
+"""
+
+
+# --- exponentially weighted moving average ------------------------------------
+EWMA_ALPHA = 0.3
+
+
+def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized EWMA (pandas ewm(adjust=True) semantics) of the dense
+    hourly count series: ewma_t = Σ_k (1-α)^k·x_{t-k} / Σ_k (1-α)^k over
+    the full history — the smoothing baseline a drift monitor subtracts.
+    Runs on the gap-filled grid (zero counts included), so the smoothing
+    window is genuinely hourly, not observation-indexed.
+
+    Expression shape: the per-row history array comes from ONE ordered
+    window (collect_list over the same event_type partitioning as the
+    fill join); the weighted fold is a JVM HOF over that array with the
+    closed-form denominator (1-(1-α)^n)/α — no Python, no self-join.
+    Arrays grow with series length: fine at hour-count scale (the series
+    is already one row per hour, not per event)."""
+    dense = q_timeseries_gapfill(spark, sf_dir).select("event_type", "hb", "n")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = dense.withColumn("arr", F.collect_list(F.col("n").cast("double")).over(w))
+    a = EWMA_ALPHA
+    num = F.expr(
+        f"aggregate(transform(sequence(1, size(arr)), i -> pow({1 - a!r}, size(arr) - i) * element_at(arr, i)), cast(0.0 as double), (s, x) -> s + x)"
+    )
+    den = (1.0 - F.pow(F.lit(1 - a), F.size("arr"))) / F.lit(a)
+    return hist.select(
+        "event_type", "hb", "n", F.round(num / den, 5).alias("ewma")
+    )
+
+
+Q_EWMA_ORACLE = f"""
+WITH f AS ({{gapfill}}
+), hist AS (
+  SELECT event_type, hb, n,
+         list(CAST(n AS DOUBLE)) OVER (
+           PARTITION BY event_type ORDER BY hb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arr
+  FROM f
+)
+SELECT event_type, hb, n,
+       round(
+         list_aggregate(
+           list_transform(generate_series(1, len(arr)),
+                          i -> pow({1 - EWMA_ALPHA!r}, len(arr) - i) * arr[i]),
+           'sum')
+         / ((1 - pow({1 - EWMA_ALPHA!r}, len(arr))) / {EWMA_ALPHA!r}), 5) AS ewma
+FROM hist
+"""
+
+
 QUERIES = [
+    QuerySpec("timeseries_gapfill", q_timeseries_gapfill, Q_GAPFILL_ORACLE, "dense hourly resample: zero-filled counts + LOCF values over a generated grid", ("eventlog", "timeseries")),
+    QuerySpec("ewma_hourly", q_ewma_hourly, Q_EWMA_ORACLE.format(gapfill=Q_GAPFILL_ORACLE), "normalized EWMA smoothing over the gap-filled hourly series (HOF weighted fold)", ("eventlog", "timeseries")),
     QuerySpec("scd2_user_tiers", q_scd2_user_tiers, Q_SCD2_ORACLE, "changelog -> SCD2 versioned dimension (run collapse + interval chaining)", ("eventlog", "window")),
     QuerySpec("retention_cohorts", q_retention_cohorts, Q_RETENTION_ORACLE, "weekly cohort retention triangle", ("eventlog",)),
     QuerySpec("replay_scan", q_replay_scan, Q_REPLAY_ORACLE, "S14: cursor time-range scan + filters", ("eventlog",)),
