@@ -89,6 +89,11 @@ AUDIT = {
     "domain_temperature_sample": "one (source) agg Exchange; mixture frame broadcast back; accept filter map-only codegen",
     "scd2_user_tiers": "one user_id Exchange shared by lag + version cumsum + post-collapse lead windows",
     "semdedup_pairs": "one cell-key Exchange into FlatMapGroupsInPandas; GEMM per cell, no pair-row join",
+    "negative_samples": "map-only md5 draws; one join against the node-scale rank table",
+    "profile_histogram": "stats pass broadcasts bounds; bin counting partial-aggregates over a tiny (column, bin) key space",
+    "profile_skew": "one count-per-key agg per join key; summary folds over the small frequency frame",
+    "timeseries_gapfill": "hourly collapse = the only event-scale Exchange; grid Generate from the span frame; LOCF window at hour scale",
+    "ewma_hourly": "ordered window collect + HOF weighted fold; same event_type Exchange reused by fill join and smoothing window",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
