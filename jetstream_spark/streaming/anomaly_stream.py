@@ -57,18 +57,28 @@ def _handle_batch(state_dir: str, batch_df: DataFrame, batch_id: int) -> None:
     mark_batch_done(state_dir, batch_id)
 
 
+def _merge_counts(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type", "hb").agg(F.sum("n").alias("n"))
+
+
 def read_hourly_counts(spark: SparkSession, state_dir: str) -> DataFrame:
     """Merged (event_type, hb, n) — equal to one-shot hourly counts of
     every event seen (count additivity across batch parts)."""
-    d = os.path.join(state_dir, "counts")
-    parts = [os.path.join(d, e) for e in os.listdir(d) if e.startswith("b")]
+    from jetstream_spark.streaming.state_compact import list_parts
+
+    parts = list_parts(os.path.join(state_dir, "counts"))
     if not parts:
         return spark.createDataFrame([], "event_type string, hb timestamp, n long")
-    return (
-        spark.read.parquet(*parts)
-        .groupBy("event_type", "hb")
-        .agg(F.sum("n").alias("n"))
-    )
+    return _merge_counts(spark.read.parquet(*parts))
+
+
+def compact_state(spark: SparkSession, state_dir: str) -> bool:
+    """Fold accumulated per-batch count parts into one — the merge is the
+    reader's own sum, so the monitor's state is identical before/after;
+    crash-safe via the shared manifest swap (state_compact.py)."""
+    from jetstream_spark.streaming.state_compact import compact
+
+    return compact(spark, os.path.join(state_dir, "counts"), _merge_counts)
 
 
 def detect_anomalies(spark: SparkSession, state_dir: str) -> DataFrame:

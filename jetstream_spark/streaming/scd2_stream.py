@@ -74,11 +74,37 @@ def _handle_batch(state_dir: str, batch_df: DataFrame, batch_id: int) -> None:
 
 
 def _stored_runs(spark: SparkSession, state_dir: str) -> DataFrame:
-    d = os.path.join(state_dir, "runs")
-    parts = [os.path.join(d, e) for e in os.listdir(d) if e.startswith("b")]
+    from jetstream_spark.streaming.state_compact import list_parts
+
+    parts = list_parts(os.path.join(state_dir, "runs"))
     if not parts:
         return spark.createDataFrame([], _RUNS_SCHEMA)
     return spark.read.parquet(*parts)
+
+
+def _merge_runs(df: DataFrame) -> DataFrame:
+    """Re-collapse stored mini-runs — scd2_collapse is idempotent, so the
+    merged part re-collapses at read exactly like the parts it replaces."""
+    runs = df.select(
+        "user_id",
+        F.col("valid_from_us").alias("ord_us"),
+        F.lit(0).cast("long").alias("ord_tie"),
+        "tier",
+        F.col("n_events").alias("n"),
+        F.col("valid_from_us").alias("from_us"),
+        "last_us",
+    )
+    return scd2_collapse(runs).select(
+        "user_id", "version", "tier", "valid_from_us", "last_us", "n_events"
+    )
+
+
+def compact_state(spark: SparkSession, state_dir: str) -> bool:
+    """Fold accumulated mini-run parts into one collapsed part; the live
+    dimension is identical before/after (collapse idempotence)."""
+    from jetstream_spark.streaming.state_compact import compact
+
+    return compact(spark, os.path.join(state_dir, "runs"), _merge_runs)
 
 
 def current_scd2(spark: SparkSession, state_dir: str) -> DataFrame:

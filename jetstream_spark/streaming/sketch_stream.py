@@ -80,8 +80,28 @@ def _handle_batch(state_dir: str, batch_df: DataFrame, batch_id: int) -> None:
 
 
 def _parts(state_dir: str, kind: str) -> list[str]:
-    d = os.path.join(state_dir, kind)
-    return [os.path.join(d, e) for e in os.listdir(d) if e.startswith("b")]
+    from jetstream_spark.streaming.state_compact import list_parts
+
+    return list_parts(os.path.join(state_dir, kind))
+
+
+def compact_state(spark: SparkSession, state_dir: str) -> bool:
+    """Fold sketch parts by cellwise sum and candidate parts by distinct
+    union — both are the read side's own merges, so heavy_hitters is
+    identical before/after; crash-safe via the shared manifest swap."""
+    from jetstream_spark.streaming.state_compact import compact
+
+    a = compact(
+        spark,
+        os.path.join(state_dir, "sketch"),
+        lambda df: df.groupBy("j", "b").agg(F.sum("bucket_count").alias("bucket_count")),
+    )
+    b = compact(
+        spark,
+        os.path.join(state_dir, "cands"),
+        lambda df: df.groupBy("term").agg(F.max("batch_count").alias("batch_count")),
+    )
+    return a or b
 
 
 def read_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
