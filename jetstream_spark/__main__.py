@@ -238,6 +238,12 @@ def cmd_anomaly_stream(args) -> int:
 
     spark = _spark(args.cpus)
     init_anomaly_state(args.state_dir)
+    if getattr(args, "compact_state", False):
+        from jetstream_spark.streaming.anomaly_stream import compact_state
+
+        did = compact_state(spark, args.state_dir)
+        print(f"state compaction: {'done' if did else 'nothing to fold'}")
+        return 0
     ckpt = os.path.join(args.state_dir, "_anom_ckpt")
     q = start_streaming_anomaly(spark, args.events_dir, args.state_dir, ckpt)
     print(f"monitoring {args.events_dir} (checkpoint {ckpt})", flush=True)
@@ -268,6 +274,12 @@ def cmd_scd2_stream(args) -> int:
 
     spark = _spark(args.cpus)
     init_scd2_state(args.state_dir)
+    if getattr(args, "compact_state", False):
+        from jetstream_spark.streaming.scd2_stream import compact_state
+
+        did = compact_state(spark, args.state_dir)
+        print(f"state compaction: {'done' if did else 'nothing to fold'}")
+        return 0
     ckpt = os.path.join(args.state_dir, "_scd2_ckpt")
     q = start_streaming_scd2(spark, args.events_dir, args.state_dir, ckpt)
     print(f"maintaining SCD2 from {args.events_dir} (checkpoint {ckpt})", flush=True)
@@ -379,6 +391,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--events-dir", default="./events_in", help="ndjson {event_id, ts, event_type} drop directory")
     p.add_argument("--state-dir", default="./anomaly_state", help="hourly-count parts + marker root")
     p.add_argument("--drain", action="store_true", help="process available input then exit (batch mode)")
+    p.add_argument("--compact-state", action="store_true", help="fold per-batch state parts into one, then exit")
     p.set_defaults(fn=cmd_anomaly_stream)
 
     p = sub.add_parser("scd2-stream", help="standing changelog -> SCD2 dimension maintainer")
@@ -386,6 +399,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--state-dir", default="./scd2_state", help="mini-run parts + marker root")
     p.add_argument("--drain", action="store_true", help="process available input then exit (batch mode)")
     p.add_argument("--show", type=int, default=10, help="dimension rows to print after --drain")
+    p.add_argument("--compact-state", action="store_true", help="fold per-batch state parts into one, then exit")
     p.set_defaults(fn=cmd_scd2_stream)
 
     p = sub.add_parser("dedup-stream", help="standing near-dup detection over a doc drop dir")

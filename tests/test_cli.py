@@ -217,3 +217,28 @@ def test_cli_scd2_stream_drain(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dimension rows: 2 (1 current)" in out.stdout
     assert "u1 v2 tier=3" in out.stdout
+
+
+def test_cli_scd2_stream_compact_state(tmp_path):
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-03-01T10:00:00", "user_id": 1, "props": '{"k": 5}'},
+        {"event_id": 2, "ts": "2024-03-01T10:05:00", "user_id": 1, "props": '{"k": 80}'},
+    ]
+    with open(events_dir / "b1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    state = str(tmp_path / "state")
+    out = _run("scd2-stream", "--events-dir", str(events_dir), "--state-dir", state, "--drain")
+    assert out.returncode == 0, out.stderr[-2000:]
+    with open(events_dir / "b2.json", "w") as f:
+        f.write(json.dumps({"event_id": 3, "ts": "2024-03-01T10:06:00", "user_id": 1, "props": '{"k": 90}'}) + "\n")
+    out = _run("scd2-stream", "--events-dir", str(events_dir), "--state-dir", state, "--drain")
+    assert out.returncode == 0, out.stderr[-2000:]
+    out = _run("scd2-stream", "--state-dir", state, "--compact-state")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "state compaction: done" in out.stdout
+    # dimension survives compaction verbatim
+    out = _run("scd2-stream", "--events-dir", str(events_dir), "--state-dir", state, "--drain")
+    assert "dimension rows: 2 (1 current)" in out.stdout
