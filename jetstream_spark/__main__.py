@@ -334,6 +334,39 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any declared registry query by name against an sf-dir — the
+    one-line path from "I use the reference" to "I ran operator X here".
+    `--list` prints the catalog (name, oracle-backed?, doc)."""
+    from jetstream_spark.queries import all_queries
+
+    reg = all_queries()
+    if args.list or not args.name:
+        for name, spec in reg.items():
+            kind = "oracle" if spec.oracle else "rows-only"
+            print(f"{name:32s} [{kind}] {spec.doc}")
+        return 0
+    if args.name not in reg:
+        import difflib
+
+        close = difflib.get_close_matches(args.name, reg, n=3)
+        print(f"unknown query {args.name!r}" + (f"; did you mean: {', '.join(close)}" if close else ""))
+        return 2
+    spark = _spark(args.cpus)
+    df = reg[args.name].build(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    if args.limit:
+        df = df.limit(args.limit)
+    if args.format == "json":
+        for line in df.toJSON().toLocalIterator():
+            print(line)
+    else:
+        df.show(n=args.limit or 20, truncate=False)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="jetstream_spark")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] cores (default: all)")
@@ -393,6 +426,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drain", action="store_true", help="process available input then exit (batch mode)")
     p.add_argument("--compact-state", action="store_true", help="fold per-batch state parts into one, then exit")
     p.set_defaults(fn=cmd_anomaly_stream)
+
+    p = sub.add_parser("query", help="run a declared registry query by name")
+    p.add_argument("name", nargs="?", help="query name (see --list)")
+    p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"), help="parquet table directory")
+    p.add_argument("--limit", type=int, default=20, help="rows to print (0 = all)")
+    p.add_argument("--format", choices=("table", "json"), default="table")
+    p.add_argument("--explain", action="store_true", help="print the formatted physical plan instead of rows")
+    p.add_argument("--list", action="store_true", help="list the query catalog and exit")
+    p.set_defaults(fn=cmd_query)
 
     p = sub.add_parser("scd2-stream", help="standing changelog -> SCD2 dimension maintainer")
     p.add_argument("--events-dir", default="./events_in", help="ndjson {event_id, ts, user_id, props} drop directory")

@@ -242,3 +242,18 @@ def test_cli_scd2_stream_compact_state(tmp_path):
     # dimension survives compaction verbatim
     out = _run("scd2-stream", "--events-dir", str(events_dir), "--state-dir", state, "--drain")
     assert "dimension rows: 2 (1 current)" in out.stdout
+
+
+def test_cli_query_list_and_run(tmp_path):
+    out = _run("query", "--list")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "q1_pricing_summary" in out.stdout and "[oracle]" in out.stdout
+    out = _run("query", "hll_distinct", "--sf-dir", "/root/testdata/sf0.001", "--format", "json", "--limit", "0")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert '"exact_distinct"' in out.stdout
+    out = _run("query", "q1_pricing_sumary")  # typo -> suggestion, exit 2
+    assert out.returncode == 2
+    assert "did you mean" in out.stdout
+    out = _run("query", "dedup_exact", "--sf-dir", "/root/testdata/sf0.001", "--explain")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Physical Plan" in out.stdout
