@@ -257,3 +257,18 @@ def test_cli_query_list_and_run(tmp_path):
     out = _run("query", "dedup_exact", "--sf-dir", "/root/testdata/sf0.001", "--explain")
     assert out.returncode == 0, out.stderr[-2000:]
     assert "Physical Plan" in out.stdout
+
+
+def test_queries_catalog_in_sync():
+    """QUERIES.md is generated from the registry; a stale commit fails here."""
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    before = (root / "QUERIES.md").read_text()
+    subprocess.run([sys.executable, str(root / "tools" / "gen_catalog.py")], check=True, cwd=root)
+    after = (root / "QUERIES.md").read_text()
+    if before != after:
+        (root / "QUERIES.md").write_text(before)  # restore; the assert reports
+    assert before == after, "QUERIES.md is stale — run tools/gen_catalog.py"
