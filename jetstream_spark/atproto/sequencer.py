@@ -76,13 +76,19 @@ def sequence_events(
     base = max(last_time_us + 1, wall_clock_us)
 
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # range partitioning runs a sampling pass over the input BEFORE the
+    # shuffle pass — without a cache that evaluates the upstream lineage
+    # (for ingest: the Python CBOR decode) twice. Cache the input for the
+    # double read, release it as soon as `ordered` is materialized below.
+    src = df.persist()
     ordered = (
-        df.repartitionByRange(n_parts, *order_cols)
+        src.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
     counts = {r["_pid"]: r["cnt"] for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    src.unpersist()
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
