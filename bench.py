@@ -250,12 +250,18 @@ def bench_ingest_pipeline(spark, sf_dir: str) -> tuple[float, int]:
 
     frames = _events_as_frames(spark, sf_dir)
     n = frames.count()
-    t0 = time.time()
-    normalized = normalize_frames(frames)
-    sequenced, _, cached = sequence_events(normalized, last_time_us=0, wall_clock_us=1_000_000)
-    to_wire(sequenced).write.format("noop").mode("overwrite").save()
-    cached.unpersist()
-    return time.time() - t0, n
+    # min-of-2 like every other timing: the first pass pays Python-worker
+    # spawn for the CBOR decode kernel, which is session warmup, not
+    # per-batch cost in a standing pipeline
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        normalized = normalize_frames(frames)
+        sequenced, _, cached = sequence_events(normalized, last_time_us=0, wall_clock_us=1_000_000)
+        to_wire(sequenced).write.format("noop").mode("overwrite").save()
+        cached.unpersist()
+        best = min(best, time.time() - t0)
+    return best, n
 
 
 def bench_delivery_fanout(
