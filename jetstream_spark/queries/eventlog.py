@@ -540,6 +540,95 @@ FROM active GROUP BY cohort_day, week_offset
 """
 
 
+# --- A/B experiment analysis --------------------------------------------------
+AB_CONV_VALUE = 150.0
+
+
+def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on conversion (did the user make a
+    HIGH-VALUE purchase, value > {AB_CONV_VALUE}? — plain purchase
+    saturates at 100% of users in this corpus)
+    between md5-split experiment arms — the experiment-analysis read every
+    event platform serves. Arms come from the same engine-independent
+    md5-bucket arithmetic as sample_split, so assignment is reproducible
+    and the oracle recomputes it bit-for-bit.
+
+    z = (p_a − p_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b)) with pooled p̂; one
+    per-user aggregate shuffle (arm + converted flags collapse map-side),
+    then a 2-row fold — nothing beyond user-count scale ever moves."""
+    ev = table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string").cast("binary"))
+    arm = F.when(
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 2) == 0, "A"
+    ).otherwise("B")
+    conv = (F.col("event_type") == "purchase") & (F.col("value") > AB_CONV_VALUE)
+    users = ev.groupBy("user_id").agg(
+        F.max(F.when(conv, 1).otherwise(0)).alias("converted")
+    ).select(arm.alias("arm"), "converted")
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    a = arms.where(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = arms.where(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(b)
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    z = (p_a - p_b) / se
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("conv_rate_a"),
+        F.round(p_b, 6).alias("conv_rate_b"),
+        F.round(z, 4).alias("zscore"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
+
+
+_AB_ARM_SQL = (
+    "CASE WHEN (("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    + ") % 2) = 0 THEN 'A' ELSE 'B' END"
+)
+
+Q_AB_TEST_ORACLE = f"""
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > {AB_CONV_VALUE} THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), armed AS (
+  SELECT {_AB_ARM_SQL} AS arm, converted FROM users
+), arms AS (
+  SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+  FROM armed GROUP BY arm
+), j AS (
+  SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+  FROM (SELECT * FROM arms WHERE arm = 'A') a
+  CROSS JOIN (SELECT * FROM arms WHERE arm = 'B') b
+)
+SELECT n_a, n_b,
+       round(CAST(conv_a AS DOUBLE) / n_a, 6) AS conv_rate_a,
+       round(CAST(conv_b AS DOUBLE) / n_b, 6) AS conv_rate_b,
+       round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)), 4) AS zscore,
+       abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+           / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                  * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))) > 1.96 AS significant_95
+FROM j
+"""
+
+
 # --- changelog -> SCD2 dimension materialization ------------------------------
 TIER_WIDTH = 25  # k in [0,100) -> 4 tiers
 
@@ -773,4 +862,5 @@ QUERIES = [
     QuerySpec("geomean_value", q_geomean_value, Q_GEOMEAN_ORACLE, "grouped-agg pandas UDF (UDAF surface)", ("agg", "eventlog")),
     QuerySpec("conversion_funnel", q_conversion_funnel, Q_FUNNEL_ORACLE, "funnel via conditional min-agg", ("eventlog",)),
     QuerySpec("rate_anomaly", q_rate_anomaly, Q_RATE_ANOMALY_ORACLE, "hourly event-rate z-score anomalies (per-type stats broadcast back)", ("eventlog", "monitoring")),
+    QuerySpec("ab_test_conversion", q_ab_test_conversion, Q_AB_TEST_ORACLE, "two-proportion z-test over deterministic md5 user arms", ("eventlog", "experiment")),
 ]

@@ -352,3 +352,37 @@ def test_scd2_intervals_chain(spark):
             assert a["valid_to_us"] == b["valid_from_us"]
             assert a["tier"] != b["tier"]
         assert runs[-1]["valid_to_us"] is None
+
+
+def test_ab_test_matches_python(spark):
+    """Recompute the two-proportion z-test from the raw parquet with the
+    same md5 arm assignment; flagging must agree with the unrounded z."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from jetstream_spark.queries.eventlog import AB_CONV_VALUE, q_ab_test_conversion
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet").to_pydict()
+    conv: dict[int, int] = {}
+    for u, et, v in zip(t["user_id"], t["event_type"], t["value"]):
+        c = conv.get(u, 0)
+        conv[u] = max(c, int(et == "purchase" and v > AB_CONV_VALUE))
+    arms = {"A": [0, 0], "B": [0, 0]}
+    for u, c in conv.items():
+        arm = "A" if int(hashlib.md5(str(u).encode()).hexdigest()[:4], 16) % 2 == 0 else "B"
+        arms[arm][0] += 1
+        arms[arm][1] += c
+    (n_a, c_a), (n_b, c_b) = arms["A"], arms["B"]
+    pool = (c_a + c_b) / (n_a + n_b)
+    z = (c_a / n_a - c_b / n_b) / math.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+
+    r = q_ab_test_conversion(spark, SF_DIR).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    assert abs(r["conv_rate_a"] - c_a / n_a) <= 1e-6
+    assert abs(r["conv_rate_b"] - c_b / n_b) <= 1e-6
+    assert abs(r["zscore"] - z) <= 1e-4
+    assert r["significant_95"] == (abs(z) > 1.96)
+    # md5 arms split a healthy fraction to each side
+    assert min(n_a, n_b) > 0.3 * (n_a + n_b)
