@@ -30,6 +30,7 @@ from jetstream_spark.queries.spec import QuerySpec
 # for the (un)pivot surface; approx-agg error-bound pytest).
 _PRIORITY = (
     # ---- NEW in r4 (profiling batch): never driver-checked ----
+    "ab_test_conversion",     # two-proportion z-test over md5 arms
     "timeseries_gapfill",     # dense hourly resample + LOCF
     "ewma_hourly",            # normalized EWMA via HOF weighted fold
     "negative_samples",       # deterministic contrastive negative draws
@@ -86,8 +87,10 @@ _PRIORITY = (
     "dedup_ngram_jaccard",
     "dedup_components",
     "dedup_incremental",
-    "ann_brute_force_topk",
     # ================= driver window boundary (~50) ==================
+    # ann_brute_force_topk displaced for ab_test_conversion: the partial
+    # top-k change carries a bound + exact-agreement pytest + local oracle
+    "ann_brute_force_topk",
     # ann_lsh/ivf_indexed + doc_chunking + dedup_keep_canonical displaced
     # for the never-checked scd2/phrase/temperature/negative batch: all
     # r3-driver-green with dedicated pytest e2e (index freshness + plan
