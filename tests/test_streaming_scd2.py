@@ -126,3 +126,27 @@ def test_check_order_flags_interleaved_parts(spark, tmp_path):
     _handle_batch(state2, _events_df(spark, [_row(3, 5, 7, 90)]), 1)
     bad = check_order(spark, state2)
     assert {r["user_id"] for r in bad.collect()} == {7}
+
+
+def test_random_batch_splits_equal_batch_operator(spark, tmp_path):
+    """Any cursor-ordered batching of a random event stream yields the
+    same dimension as the one-shot batch operator (fixed seeds)."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        events = [
+            _row(i, i, rng.randrange(1, 4), rng.randrange(100))
+            for i in range(40)  # minute == event ordinal: globally ordered
+        ]
+        state = str(tmp_path / f"s{seed}")
+        init_scd2_state(state)
+        # split into 2-5 ordered chunks at random boundaries
+        cuts = sorted(rng.sample(range(1, 40), rng.randrange(1, 4)))
+        chunks = [events[a:b] for a, b in zip([0] + cuts, cuts + [40])]
+        for bid, chunk in enumerate(chunks):
+            _handle_batch(state, _events_df(spark, chunk), bid)
+        got = _table(current_scd2(spark, state))
+        want = _table(scd2_chain(_batch_runs(_events_df(spark, events))))
+        assert got == want, f"seed={seed} cuts={cuts}"
+        assert check_order(spark, state).isEmpty()
