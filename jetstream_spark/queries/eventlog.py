@@ -808,6 +808,14 @@ def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrays grow with series length: fine at hour-count scale (the series
     is already one row per hour, not per event)."""
     dense = q_timeseries_gapfill(spark, sf_dir).select("event_type", "hb", "n")
+    return ewma_over(dense)
+
+
+def ewma_over(dense: DataFrame) -> DataFrame:
+    """The EWMA core over any (event_type, hb, n) hourly frame — shared by
+    the batch query above and the anomaly monitor's smoothed-baseline read
+    (streaming/anomaly_stream.py::smoothed_rates), so both smooth
+    identically."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("hb")

@@ -106,3 +106,26 @@ def start_streaming_anomaly(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def smoothed_rates(spark: SparkSession, state_dir: str) -> DataFrame:
+    """EWMA-smoothed hourly baseline over everything the monitor has seen
+    — the SAME smoothing core as the batch `ewma_hourly` query, applied to
+    the merged counts state. Missing hours are treated as observed zeros
+    by densifying each type's min..max hour span first (the gap-fill
+    contract), so a quiet hour pulls the baseline down instead of being
+    skipped."""
+    counts = read_hourly_counts(spark, state_dir)
+    span = counts.groupBy("event_type").agg(
+        F.min("hb").alias("lo"), F.max("hb").alias("hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hb"),
+    )
+    dense = grid.join(counts, ["event_type", "hb"], "left").select(
+        "event_type", "hb", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    from jetstream_spark.queries.eventlog import ewma_over
+
+    return ewma_over(dense)

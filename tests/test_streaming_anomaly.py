@@ -120,3 +120,39 @@ def test_anomaly_stream_exactly_once_replay(spark, tmp_path):
         for r in read_hourly_counts(spark, state_dir).collect()
     )
     assert after == before
+
+
+def test_smoothed_rates_match_batch_ewma_core(spark, tmp_path):
+    """The monitor's EWMA baseline over its merged state equals the batch
+    smoothing core applied to one-shot dense hourly counts."""
+    from jetstream_spark.queries.eventlog import ewma_over
+    from jetstream_spark.streaming.anomaly_stream import smoothed_rates
+
+    events_dir, state_dir = str(tmp_path / "drop"), str(tmp_path / "state")
+    os.makedirs(events_dir)
+    init_anomaly_state(state_dir)
+    ck = tmp_path / "ck"
+    _write_batch(events_dir, "b1", BATCH1)
+    _drain(spark, events_dir, state_dir, ck)
+    _write_batch(events_dir, "b2", BATCH2)
+    _drain(spark, events_dir, state_dir, ck)
+    late = _mk_rows(5000, 20, "click", 3)  # hours 16-19 become gaps
+    _write_batch(events_dir, "b3", late)
+    _drain(spark, events_dir, state_dir, ck)
+
+    got = sorted(map(tuple, smoothed_rates(spark, state_dir).collect()))
+    rows = [(eid, ts, et) for eid, ts, et in BATCH1 + BATCH2 + late]
+    ev = spark.createDataFrame(rows, "event_id long, ts string, event_type string").selectExpr(
+        "event_type", "date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hb"
+    )
+    hourly = ev.groupBy("event_type", "hb").agg(F.count(F.lit(1)).alias("n"))
+    span = hourly.groupBy("event_type").agg(F.min("hb").alias("lo"), F.max("hb").alias("hi"))
+    dense = (
+        span.select("event_type", F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hb"))
+        .join(hourly, ["event_type", "hb"], "left")
+        .select("event_type", "hb", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    want = sorted(map(tuple, ewma_over(dense).collect()))
+    assert got == want
+    # smoothing actually spans a gap (BATCH1/2 leave empty hours between)
+    assert any(r[2] == 0 for r in got), "dense baseline must include gap hours"
