@@ -45,6 +45,7 @@ _PRIORITY = (
     "hll_distinct",           # deterministic integer-scaled HLL sketch
     "fuzzy_join_names",       # edit-distance join, lossless blocking
     "pagerank_copurchase",    # 3-round PageRank, unrolled-CTE oracle
+    "triangle_count",         # compact-forward triangles + clustering
     "quantile_norm",          # percentile-rank + winsorization
     # ---- NEW in r4 (late additions): never driver-checked ----
     "rate_anomaly",           # hourly event-rate z-score anomalies
@@ -86,10 +87,12 @@ _PRIORITY = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_components",
-    "dedup_incremental",
     # ================= driver window boundary (~50) ==================
-    # ann_brute_force_topk displaced for ab_test_conversion: the partial
-    # top-k change carries a bound + exact-agreement pytest + local oracle
+    # ann_brute_force_topk + dedup_incremental displaced for ab_test /
+    # triangle_count: both r3-driver-green; the r4 changes to each carry
+    # dedicated pytests (partial-top-k bound+agreement; bucketed-probe
+    # plan assertion + fingerprint freshness) and fresh local oracles
+    "dedup_incremental",
     "ann_brute_force_topk",
     # ann_lsh/ivf_indexed + doc_chunking + dedup_keep_canonical displaced
     # for the never-checked scd2/phrase/temperature/negative batch: all

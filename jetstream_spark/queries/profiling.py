@@ -524,6 +524,77 @@ def _pagerank_oracle() -> str:
     )
 
 
+# --- triangle counting / clustering coefficient -------------------------------
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles, wedges, and the global clustering coefficient of the
+    part co-purchase graph — the cohesion read on any similarity/co-
+    occurrence graph (a dedup candidate graph with high clustering is
+    communities; low clustering is chains that need the star escalation).
+
+    Compact-forward shape: edges are ordered (s < t) so every triangle is
+    counted exactly once by the 2-path join e1(s,t)⋈e2(t,u)⋈e3(s,u);
+    intermediate volume is Σ_t d⁺(t)·d⁻(t), bounded at scale by ordering
+    nodes by DEGREE instead of id (the standard refinement — same plan,
+    different ordering key). Wedges fold from the degree frame alone."""
+    li = table(spark, sf_dir, "lineitem")
+    e = (
+        _copurchase_edges(li)
+        .where(F.col("s") < F.col("t"))
+        .localCheckpoint()  # three join consumers + the degree agg
+    )
+    deg = (
+        e.select(F.col("s").alias("v"))
+        .unionAll(e.select(F.col("t").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("n_wedges"),
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.s") == F.col("e1.t"))
+        .join(e3, (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.t") == F.col("e2.t")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    edges_n = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(tri)
+        .crossJoin(edges_n)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+Q_TRIANGLE_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT s AS v FROM e UNION ALL SELECT t AS v FROM e
+  ) GROUP BY v
+), stats AS (
+  SELECT count(*) AS n_nodes, CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM e e1 JOIN e e2 ON e2.s = e1.t JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t
+), en AS (SELECT count(*) AS n_edges FROM e)
+SELECT s.n_nodes, en.n_edges, t.n_triangles, s.n_wedges,
+       round(CAST(3 AS DOUBLE) * t.n_triangles / s.n_wedges, 6) AS clustering_coeff
+FROM stats s CROSS JOIN tri t CROSS JOIN en
+"""
+
+
 # --- quantile normalization / winsorization -----------------------------------
 
 _N_TOKENS_EXPR = "size(filter(split(lower(text), '[^a-z0-9]+'), x -> x != ''))"
@@ -626,6 +697,7 @@ QUERIES = [
     QuerySpec("hll_distinct", q_hll_distinct, Q_HLL_DISTINCT_ORACLE, "deterministic integer-scaled HLL distinct sketch vs exact", ("profiling", "sketch")),
     QuerySpec("fuzzy_join_names", q_fuzzy_join_names, Q_FUZZY_JOIN_ORACLE, "edit-distance<=2 self-join, lossless q-gram + length-band blocking", ("profiling", "dedup")),
     QuerySpec("pagerank_copurchase", q_pagerank_copurchase, _pagerank_oracle(), "3-round PageRank over co-purchase graph, unrolled-CTE oracle", ("graph",)),
+    QuerySpec("triangle_count", q_triangle_count, Q_TRIANGLE_ORACLE, "compact-forward triangle count + global clustering coefficient", ("graph",)),
     QuerySpec("quantile_norm", q_quantile_norm, Q_QUANTILE_NORM_ORACLE, "percentile-rank + p05/p95 winsorization of doc token counts", ("profiling", "quality")),
     QuerySpec("compression_ratio", q_compression_ratio, None, "zlib compression-ratio quality signal (rows-only; zlib-equality tested)", ("quality",)),
 ]

@@ -237,3 +237,35 @@ def test_profile_skew_matches_pyarrow(spark):
         assert got[c]["distinct_keys"] == len(freq)
         assert abs(got[c]["top_key_share"] - max(freq.values()) / t.num_rows) <= 1e-6
         assert got[c]["p99_over_avg"] > 0
+
+
+def test_triangle_count_matches_python(spark):
+    """Exact triangle/wedge counts vs a pure-Python recount on the
+    collected edge set."""
+    from itertools import combinations
+
+    from jetstream_spark.queries.profiling import _copurchase_edges, q_triangle_count
+
+    edges = {
+        (r["s"], r["t"])
+        for r in _copurchase_edges(table(spark, SF_DIR, "lineitem")).collect()
+        if r["s"] < r["t"]
+    }
+    adj: dict[int, set] = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    tri = sum(
+        1
+        for s, t in edges
+        for u in adj[s] & adj[t]
+        if u > t  # s < t < u counts each triangle once
+    )
+    wedges = sum(len(n) * (len(n) - 1) // 2 for n in adj.values())
+    r = q_triangle_count(spark, SF_DIR).collect()[0]
+    assert r["n_nodes"] == len(adj)
+    assert r["n_edges"] == len(edges)
+    assert r["n_triangles"] == tri
+    assert r["n_wedges"] == wedges
+    assert abs(r["clustering_coeff"] - 3 * tri / wedges) <= 1e-6
+    assert tri > 0
