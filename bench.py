@@ -485,10 +485,17 @@ def main() -> None:
             specs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         p = prev_q.get(name)
-        if p is not None and p >= REGRESSION_FLOOR_S and best > p * REGRESSION_FACTOR:
+        extra = 0
+        while (
+            p is not None
+            and p >= REGRESSION_FLOOR_S
+            and best > p * REGRESSION_FACTOR
+            and extra < 2  # bounded: only would-be flags pay re-samples
+        ):
             t0 = time.time()
             specs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            extra += 1
         return round(best, 3)
 
     timings: dict[str, float] = {}
