@@ -95,6 +95,7 @@ AUDIT = {
     "timeseries_gapfill": "hourly collapse = the only event-scale Exchange; grid Generate from the span frame; LOCF window at hour scale",
     "ewma_hourly": "ordered window collect + HOF weighted fold; same event_type Exchange reused by fill join and smoothing window",
     "ab_test_conversion": "one per-user agg Exchange (arm + converted collapse map-side); z fold over a 2-row cross join",
+    "triangle_count": "ordered 2-path join over the checkpointed edge frame; wedge fold from the degree agg only",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
