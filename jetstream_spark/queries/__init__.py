@@ -17,17 +17,13 @@ from jetstream_spark.queries.spec import QuerySpec
 # registry entries in declaration order, so this window is re-curated every
 # round: (1) queries whose only driver evidence is oldest, (2) queries whose
 # code changed this round, (3) the rest ordered oldest-evidence-first.
-# Round-4 rotation: 25 never-driver-checked r4 queries lead (8 late
-# additions first), then the 7 r1-only stragglers, the 10 changed-code
-# dedup/ANN entries, and 8 family-balanced r2 representatives — exactly
-# 50. Displaced to make room: window_running_revenue / rollup_revenue /
-# set_symdiff_buyers / percentiles_price / anti_join_idle_customers /
-# full_outer_nation_activity / hopping_window_hourly / unpivot_measures
-# — each family keeps an in-window representative (4 window shapes in
-# the r1 block plus tumbling/sessionization cousins r3-green; cube +
-# grouping_sets; intersect_repeat_buyers and the q16/q22 anti joins
-# r3-green; the r3-green q-series join battery; pivot_segment_revenue
-# for the (un)pivot surface; approx-agg error-bound pytest).
+# Round-4 rotation (final): 39 never-driver-checked r4 queries lead —
+# the late profiling/temporal/graph/experiment batch first, then the
+# earlier r4 additions — followed by the longest-unchecked r1-only
+# queries and the changed-code dedup/ANN entries; exactly 50. Every
+# displaced entry sits immediately below the boundary, is r2/r3-driver-
+# green, and carries dedicated pytest e2e coverage (plan assertions,
+# property tests, or reference-equality tests) noted at its line.
 _PRIORITY = (
     # ---- NEW in r4 (profiling batch): never driver-checked ----
     "ab_test_conversion",     # two-proportion z-test over md5 arms
