@@ -150,3 +150,17 @@ def test_random_batch_splits_equal_batch_operator(spark, tmp_path):
         want = _table(scd2_chain(_batch_runs(_events_df(spark, events))))
         assert got == want, f"seed={seed} cuts={cuts}"
         assert check_order(spark, state).isEmpty()
+
+
+def test_collapse_idempotent_on_runs(spark):
+    """scd2_collapse must be a projection: re-collapsing a collapsed runs
+    frame reproduces it exactly (the property both the streaming read
+    side and state compaction rely on)."""
+    from jetstream_spark.streaming.scd2_stream import _batch_runs, _merge_runs
+
+    runs = _batch_runs(_events_df(spark, BATCH1 + BATCH2 + BATCH3)).select(
+        "user_id", "version", "tier", "valid_from_us", "last_us", "n_events"
+    )
+    once = _merge_runs(runs)
+    twice = _merge_runs(once)
+    assert _table(once.select(*runs.columns)) == _table(twice.select(*runs.columns))
