@@ -42,6 +42,7 @@ _PRIORITY = (
     "fuzzy_join_names",       # edit-distance join, lossless blocking
     "pagerank_copurchase",    # 3-round PageRank, unrolled-CTE oracle
     "triangle_count",         # compact-forward triangles + clustering
+    "degree_profile",         # log2 degree distribution
     "quantile_norm",          # percentile-rank + winsorization
     # ---- NEW in r4 (late additions): never driver-checked ----
     "rate_anomaly",           # hourly event-rate z-score anomalies
@@ -82,8 +83,8 @@ _PRIORITY = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_components",
     # ================= driver window boundary (~50) ==================
+    "dedup_components",
     # ann_brute_force_topk + dedup_incremental displaced for ab_test /
     # triangle_count: both r3-driver-green; the r4 changes to each carry
     # dedicated pytests (partial-top-k bound+agreement; bucketed-probe

@@ -595,6 +595,44 @@ FROM stats s CROSS JOIN tri t CROSS JOIN en
 """
 
 
+# --- degree distribution profile ----------------------------------------------
+def q_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the co-purchase graph — the
+    first look at any graph before choosing join/partition strategy
+    (a heavy tail says salt the hub keys; a flat profile says plain hash
+    partitioning holds). One degree aggregate + one tiny bucket fold."""
+    li = table(spark, sf_dir, "lineitem")
+    e = _copurchase_edges(li).where(F.col("s") < F.col("t"))
+    deg = (
+        e.select(F.col("s").alias("v"))
+        .unionAll(e.select(F.col("t").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    bucket = F.floor(F.log2("d")).cast("int")
+    return deg.groupBy(bucket.alias("log2_degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").alias("min_degree"),
+        F.max("d").alias("max_degree"),
+    )
+
+
+Q_DEGREE_PROFILE_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT s AS v FROM e UNION ALL SELECT t AS v FROM e
+  ) GROUP BY v
+)
+SELECT CAST(floor(log2(d)) AS INTEGER) AS log2_degree,
+       count(*) AS n_nodes, min(d) AS min_degree, max(d) AS max_degree
+FROM deg GROUP BY 1
+"""
+
+
 # --- quantile normalization / winsorization -----------------------------------
 
 _N_TOKENS_EXPR = "size(filter(split(lower(text), '[^a-z0-9]+'), x -> x != ''))"
@@ -698,6 +736,7 @@ QUERIES = [
     QuerySpec("fuzzy_join_names", q_fuzzy_join_names, Q_FUZZY_JOIN_ORACLE, "edit-distance<=2 self-join, lossless q-gram + length-band blocking", ("profiling", "dedup")),
     QuerySpec("pagerank_copurchase", q_pagerank_copurchase, _pagerank_oracle(), "3-round PageRank over co-purchase graph, unrolled-CTE oracle", ("graph",)),
     QuerySpec("triangle_count", q_triangle_count, Q_TRIANGLE_ORACLE, "compact-forward triangle count + global clustering coefficient", ("graph",)),
+    QuerySpec("degree_profile", q_degree_profile, Q_DEGREE_PROFILE_ORACLE, "log2-bucketed degree distribution (the salt-or-not first look)", ("graph", "profiling")),
     QuerySpec("quantile_norm", q_quantile_norm, Q_QUANTILE_NORM_ORACLE, "percentile-rank + p05/p95 winsorization of doc token counts", ("profiling", "quality")),
     QuerySpec("compression_ratio", q_compression_ratio, None, "zlib compression-ratio quality signal (rows-only; zlib-equality tested)", ("quality",)),
 ]

@@ -269,3 +269,22 @@ def test_triangle_count_matches_python(spark):
     assert r["n_wedges"] == wedges
     assert abs(r["clustering_coeff"] - 3 * tri / wedges) <= 1e-6
     assert tri > 0
+
+
+def test_degree_profile_conservation(spark):
+    from jetstream_spark.queries.profiling import _copurchase_edges, q_degree_profile
+
+    edges = [
+        (r["s"], r["t"])
+        for r in _copurchase_edges(table(spark, SF_DIR, "lineitem")).collect()
+        if r["s"] < r["t"]
+    ]
+    deg: dict[int, int] = {}
+    for s, t in edges:
+        deg[s] = deg.get(s, 0) + 1
+        deg[t] = deg.get(t, 0) + 1
+    rows = q_degree_profile(spark, SF_DIR).collect()
+    assert sum(r["n_nodes"] for r in rows) == len(deg)
+    assert max(r["max_degree"] for r in rows) == max(deg.values())
+    for r in rows:  # bucket bounds actually bracket their members
+        assert 2 ** r["log2_degree"] <= r["min_degree"] <= r["max_degree"] < 2 ** (r["log2_degree"] + 1)
