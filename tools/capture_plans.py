@@ -96,6 +96,7 @@ AUDIT = {
     "ewma_hourly": "ordered window collect + HOF weighted fold; same event_type Exchange reused by fill join and smoothing window",
     "ab_test_conversion": "one per-user agg Exchange (arm + converted collapse map-side); z fold over a 2-row cross join",
     "triangle_count": "ordered 2-path join over the checkpointed edge frame; wedge fold from the degree agg only",
+    "degree_profile": "one degree agg Exchange; log2 bucket fold over the node-scale frame",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
