@@ -682,6 +682,14 @@ def scd2_collapse(base: DataFrame) -> DataFrame:
         F.min("from_us").alias("valid_from_us"),
         F.max("last_us").alias("last_us"),
         F.sum("n").alias("n_events"),
+        # the run's FIRST row's tie-break (ord_tie of the minimal
+        # (ord_us, ord_tie) row): carried so stored runs re-collapse in the
+        # SAME order the batch operator would give two runs that start at
+        # the identical microsecond across a batch boundary — ord_tie=0
+        # here would make that order nondeterministic
+        F.min(F.struct(F.col("ord_us"), F.col("ord_tie")))
+        .getField("ord_tie")
+        .alias("first_tie"),
     )
 
 

@@ -41,7 +41,7 @@ SCD2_STREAM_SCHEMA = "event_id long, ts timestamp, user_id long, props string"
 
 _RUNS_SCHEMA = (
     "user_id long, version long, tier long, valid_from_us long,"
-    " last_us long, n_events long"
+    " last_us long, n_events long, first_tie long"
 )
 
 
@@ -84,18 +84,22 @@ def _stored_runs(spark: SparkSession, state_dir: str) -> DataFrame:
 
 def _merge_runs(df: DataFrame) -> DataFrame:
     """Re-collapse stored mini-runs — scd2_collapse is idempotent, so the
-    merged part re-collapses at read exactly like the parts it replaces."""
+    merged part re-collapses at read exactly like the parts it replaces.
+    Runs order by (valid_from_us, first_tie): first_tie is the run's first
+    event's tie-break, so two runs starting at the identical microsecond
+    across a batch boundary merge in the batch operator's event_id order,
+    not a nondeterministic one."""
     runs = df.select(
         "user_id",
         F.col("valid_from_us").alias("ord_us"),
-        F.lit(0).cast("long").alias("ord_tie"),
+        F.col("first_tie").alias("ord_tie"),
         "tier",
         F.col("n_events").alias("n"),
         F.col("valid_from_us").alias("from_us"),
         "last_us",
     )
     return scd2_collapse(runs).select(
-        "user_id", "version", "tier", "valid_from_us", "last_us", "n_events"
+        "user_id", "version", "tier", "valid_from_us", "last_us", "n_events", "first_tie"
     )
 
 
@@ -104,7 +108,12 @@ def compact_state(spark: SparkSession, state_dir: str) -> bool:
     dimension is identical before/after (collapse idempotence)."""
     from jetstream_spark.streaming.state_compact import compact
 
-    return compact(spark, os.path.join(state_dir, "runs"), _merge_runs)
+    return compact(
+        spark,
+        os.path.join(state_dir, "runs"),
+        _merge_runs,
+        done_batches=load_done_batches(state_dir),
+    )
 
 
 def current_scd2(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -113,7 +122,7 @@ def current_scd2(spark: SparkSession, state_dir: str) -> DataFrame:
     runs = _stored_runs(spark, state_dir).select(
         "user_id",
         F.col("valid_from_us").alias("ord_us"),
-        F.lit(0).cast("long").alias("ord_tie"),
+        F.col("first_tie").alias("ord_tie"),
         "tier",
         F.col("n_events").alias("n"),
         F.col("valid_from_us").alias("from_us"),

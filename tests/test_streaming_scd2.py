@@ -159,8 +159,31 @@ def test_collapse_idempotent_on_runs(spark):
     from jetstream_spark.streaming.scd2_stream import _batch_runs, _merge_runs
 
     runs = _batch_runs(_events_df(spark, BATCH1 + BATCH2 + BATCH3)).select(
-        "user_id", "version", "tier", "valid_from_us", "last_us", "n_events"
+        "user_id", "version", "tier", "valid_from_us", "last_us", "n_events", "first_tie"
     )
     once = _merge_runs(runs)
     twice = _merge_runs(once)
     assert _table(once.select(*runs.columns)) == _table(twice.select(*runs.columns))
+
+
+def test_equal_timestamp_boundary_ties_match_batch(spark, tmp_path):
+    """Two runs STARTING at the identical microsecond across a batch
+    boundary (allowed by the at-or-after contract) must merge in the batch
+    operator's (ts, event_id) order — the stored first_tie carries the
+    tie-break that ord_tie=0 used to lose."""
+    state = str(tmp_path / "state")
+    init_scd2_state(state)
+    # user 9: batch 0 has ONE event at minute 5 (tier 0, id 1); batch 1
+    # has events at the SAME minute 5 (tier 9, id 2) then minute 6
+    b0 = [_row(1, 5, 9, 5)]
+    b1 = [_row(2, 5, 9, 95), _row(3, 6, 9, 97)]
+    _handle_batch(state, _events_df(spark, b0), 0)
+    _handle_batch(state, _events_df(spark, b1), 1)
+    got = _table(current_scd2(spark, state))
+    want = _table(scd2_chain(_batch_runs(_events_df(spark, b0 + b1))))
+    assert got == want
+    # the current tier is the HIGHER event_id's tier, deterministically
+    from jetstream_spark.queries.eventlog import TIER_WIDTH
+
+    cur = [r for r in current_scd2(spark, state).collect() if r["is_current"]]
+    assert len(cur) == 1 and cur[0]["tier"] == 95 // TIER_WIDTH != 5 // TIER_WIDTH
