@@ -78,7 +78,12 @@ def compact_state(spark: SparkSession, state_dir: str) -> bool:
     crash-safe via the shared manifest swap (state_compact.py)."""
     from jetstream_spark.streaming.state_compact import compact
 
-    return compact(spark, os.path.join(state_dir, "counts"), _merge_counts)
+    return compact(
+        spark,
+        os.path.join(state_dir, "counts"),
+        _merge_counts,
+        done_batches=load_done_batches(state_dir),
+    )
 
 
 def detect_anomalies(spark: SparkSession, state_dir: str) -> DataFrame:

@@ -91,15 +91,18 @@ def compact_state(spark: SparkSession, state_dir: str) -> bool:
     identical before/after; crash-safe via the shared manifest swap."""
     from jetstream_spark.streaming.state_compact import compact
 
+    done = load_done_batches(state_dir)
     a = compact(
         spark,
         os.path.join(state_dir, "sketch"),
         lambda df: df.groupBy("j", "b").agg(F.sum("bucket_count").alias("bucket_count")),
+        done_batches=done,
     )
     b = compact(
         spark,
         os.path.join(state_dir, "cands"),
         lambda df: df.groupBy("term").agg(F.max("batch_count").alias("batch_count")),
+        done_batches=done,
     )
     return a or b
 

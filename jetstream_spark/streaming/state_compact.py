@@ -86,11 +86,26 @@ def compact(
     subdir: str,
     merge: "callable[[DataFrame], DataFrame]",
     min_parts: int = 2,
+    done_batches: "set[int] | None" = None,
 ) -> bool:
     """Fold all current parts into one via `merge` (the reader's own
-    re-aggregation). Returns True if a compaction happened."""
+    re-aggregation). Returns True if a compaction happened.
+
+    `done_batches` coordinates against a CONCURRENTLY RUNNING stream: a
+    `b{id}` directory whose parquet write is still in flight (batch not
+    yet done-marked) must not be read half-written, folded in, and
+    deleted. When provided, only done-marked b-dirs are absorbed;
+    committed `c` parts are always safe (their rename IS the commit).
+    Callers pass load_done_batches(state_dir) — see the stream modules."""
     recover(subdir)
     paths = list_parts(subdir)
+    if done_batches is not None:
+        paths = [
+            p
+            for p in paths
+            if os.path.basename(p).startswith("c")
+            or int(os.path.basename(p)[1:]) in done_batches
+        ]
     if len(paths) < min_parts:
         return False
     names = [os.path.basename(p) for p in paths]

@@ -128,3 +128,24 @@ def test_sketch_compaction_preserves_heavy_hitters(spark, tmp_path):
     assert sorted(map(tuple, sk.heavy_hitters(spark, state).collect())) == before
     assert len(list_parts(os.path.join(state, "sketch"))) == 1
     assert len(list_parts(os.path.join(state, "cands"))) == 1
+
+
+def test_compaction_skips_undone_inflight_batch(spark, tmp_path):
+    """A b-dir whose batch is NOT done-marked (a concurrent stream's write
+    could still be in flight) must survive compaction untouched; only
+    done-marked batches and committed c-parts are absorbed."""
+    from jetstream_spark.atproto.log import load_done_batches
+
+    state = _mk_anom_state(spark, tmp_path)  # batches 0..2, all done-marked
+    # simulate an in-flight batch: parquet present, marker absent
+    inflight_rows = [(900 + i, "2024-03-01T09:05:00", "click") for i in range(5)]
+    inflight = os.path.join(state, "counts", "b99")
+    _anom_df(spark, inflight_rows).groupBy(
+        F.col("event_type"), F.date_trunc("hour", "ts").alias("hb")
+    ).agg(F.count(F.lit(1)).alias("n")).write.parquet(inflight)
+
+    assert anom.compact_state(spark, state)
+    names = {os.path.basename(p) for p in list_parts(os.path.join(state, "counts"))}
+    assert "b99" in names, names  # not absorbed, not deleted
+    assert any(n.startswith("c") for n in names)
+    assert 99 not in load_done_batches(state)
