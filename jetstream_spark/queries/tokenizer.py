@@ -29,12 +29,27 @@ Encoding joins the corpus's exploded words against the final vocab's
 (word → n_symbols) — a vocabulary-sized build side, so the planner
 broadcasts it under threshold; per-doc stats come from one groupBy.
 
-No SQL oracle: the trainer is genuinely iterative (argmax → transform →
-argmax dependency chain), the case the driver records as rows-only.
-Correctness is pinned by tests/test_bpe.py: exact equality of learned
-merges and encoded lengths with an independent pure-Python BPE reference
-(dict-based, Sennrich et al. algorithm) on the same corpus, plus
-monotonicity invariants (token count non-increasing per merge).
+SQL oracle (the kmeans_train unrolled-CTE pattern): the merge count is
+fixed, so the whole trainer unrolls as N_MERGES generated DuckDB CTE
+rounds. The vocabulary's symbol sequence is kept as a pipe-delimited
+string where EVERY symbol is individually wrapped — "hello" starts as
+'|h||e||l||l||o|' — because then BPE's merge step (replace all
+non-overlapping adjacent (l, r) occurrences, scanning left-to-right) is
+EXACTLY SQL replace(pstr, '|l||r|', '|lr|'): symbols never contain '|',
+so the pattern only matches whole adjacent symbols, and because each
+symbol carries its own delimiters, adjacent matches share no characters
+(the '|a a a a|' pitfall of space-joined encodings, where the shared
+separator breaks the second match, cannot occur). Per round: pair counts
+explode the split symbol list, the argmax CTE is ORDER BY count DESC,
+left, right LIMIT 1 (the Spark tie-break), and the merge CTE is one
+cross join against that 1-row argmax. CTEs are AS MATERIALIZED so the
+24-round chain evaluates each vocabulary state once.
+
+Correctness is additionally pinned by tests/test_bpe.py: exact equality
+of learned merges and encoded lengths with an independent pure-Python
+BPE reference (dict-based, Sennrich et al. algorithm) on the same
+corpus, plus monotonicity invariants (token count non-increasing per
+merge).
 """
 
 from __future__ import annotations
@@ -83,6 +98,29 @@ def _merge_fold(left: str, right: str) -> F.Column:
     )
 
 
+def _pair_argmax_frame(vocab: DataFrame) -> DataFrame:
+    """ONE trainer round's statistic as a frame (pre-collect): explode the
+    vocabulary's adjacent symbol pairs, partial-agg to pair counts, and
+    TakeOrdered the deterministic argmax (count desc, pair asc). Extracted
+    so the per-round physical plan is test-assertable — the engine-wide
+    plan sweep only sees final frames, not loop bodies."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("symbols") - 1),
+        lambda i: F.struct(
+            F.element_at("symbols", i).alias("left"),
+            F.element_at("symbols", i + F.lit(1)).alias("right"),
+        ),
+    )
+    return (
+        vocab.where(F.size("symbols") >= 2)
+        .select(F.explode(pairs).alias("p"), "freq")
+        .groupBy("p.left", "p.right")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("left"), F.col("right"))
+        .limit(1)
+    )
+
+
 def learn_bpe(
     spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
@@ -95,22 +133,7 @@ def learn_bpe(
 
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
-        pairs = F.transform(
-            F.sequence(F.lit(1), F.size("symbols") - 1),
-            lambda i: F.struct(
-                F.element_at("symbols", i).alias("left"),
-                F.element_at("symbols", i + F.lit(1)).alias("right"),
-            ),
-        )
-        top = (
-            vocab.where(F.size("symbols") >= 2)
-            .select(F.explode(pairs).alias("p"), "freq")
-            .groupBy("p.left", "p.right")
-            .agg(F.sum("freq").alias("pair_count"))
-            .orderBy(F.col("pair_count").desc(), F.col("left"), F.col("right"))
-            .limit(1)
-            .collect()
-        )
+        top = _pair_argmax_frame(vocab).collect()
         if not top:
             break
         left, right, count = top[0]["left"], top[0]["right"], top[0]["pair_count"]
@@ -124,7 +147,8 @@ def learn_bpe(
 def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned merge table (rank, left, right, pair_count) — the
     artifact a BPE tokenizer ships. See module docstring for the
-    distributed shape; rows-only driver check (iterative)."""
+    distributed shape and the unrolled replace-CTE oracle that
+    hash-checks the full trajectory."""
     merges, _ = learn_bpe(spark, sf_dir)
     return spark.createDataFrame(
         [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
@@ -156,7 +180,69 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_rounds_sql(n_merges: int = N_MERGES) -> str:
+    """The shared CTE chain: tokenized vocab v0, then per round r a pair
+    explode p{r}, a 1-row argmax t{r}, and the merged vocab v{r}."""
+    parts = [
+        """w AS MATERIALIZED (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+  FROM documents)""",
+        r"""v0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         regexp_replace(word, '(.)', '|\1|', 'g') AS pstr
+  FROM w GROUP BY word)""",
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(
+            f"""p{r} AS (
+  SELECT s.syms[u.i] AS lft, s.syms[u.i + 1] AS rgt, s.freq
+  FROM (SELECT freq, str_split(trim(pstr, '|'), '||') AS syms FROM v{p}) s,
+       unnest(generate_series(1, len(s.syms) - 1)) AS u(i))"""
+        )
+        parts.append(
+            f"""t{r} AS MATERIALIZED (
+  SELECT {r} AS rank, lft, rgt, CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM p{r} GROUP BY lft, rgt
+  ORDER BY pair_count DESC, lft, rgt LIMIT 1)"""
+        )
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+  SELECT v.word, v.freq,
+         replace(v.pstr, '|' || t.lft || '||' || t.rgt || '|',
+                         '|' || t.lft || t.rgt || '|') AS pstr
+  FROM v{p} v, t{r} t)"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_learn_oracle(n_merges: int = N_MERGES) -> str:
+    union = "\nUNION ALL\n".join(f"SELECT * FROM t{r}" for r in range(1, n_merges + 1))
+    return f"""
+WITH {_bpe_rounds_sql(n_merges)}
+SELECT rank, lft AS "left", rgt AS "right", pair_count
+FROM ({union})
+"""
+
+
+def _bpe_encode_oracle(n_merges: int = N_MERGES) -> str:
+    return f"""
+WITH {_bpe_rounds_sql(n_merges)},
+wl AS (
+  SELECT word, len(str_split(trim(pstr, '|'), '||')) AS n_sym, len(word) AS n_chr
+  FROM v{n_merges}),
+dw AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+  FROM documents)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(wl.n_sym) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(wl.n_chr) AS DOUBLE) / sum(wl.n_sym), 6) AS compression
+FROM dw JOIN wl USING (word)
+GROUP BY doc_id
+"""
+
+
 QUERIES = [
-    QuerySpec("bpe_learn_merges", q_bpe_learn_merges, None, "iterative distributed BPE trainer over the vocab table", ("tokenizer",)),
-    QuerySpec("bpe_encode_stats", q_bpe_encode_stats, None, "per-doc BPE token stats via vocab-encoded join", ("tokenizer",)),
+    QuerySpec("bpe_learn_merges", q_bpe_learn_merges, _bpe_learn_oracle(), "iterative distributed BPE trainer, hash-checked against unrolled replace-CTE SQL", ("tokenizer",)),
+    QuerySpec("bpe_encode_stats", q_bpe_encode_stats, _bpe_encode_oracle(), "per-doc BPE token stats via vocab-encoded join (unrolled-CTE oracle)", ("tokenizer",)),
 ]
