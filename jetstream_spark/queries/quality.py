@@ -277,38 +277,62 @@ def dsir_weights(docs: DataFrame, target_lang: str = DSIR_TARGET_LANG) -> DataFr
     over each document's tokens. Docs that look like the target get
     positive weight — the resampling score of Xie et al.'s data selection.
 
-    Scale: both feature models are DSIR_BUCKETS-row tables (broadcast);
-    per-doc scoring is one map-side join + one aggregation by doc."""
-    terms = docs.select(
-        "doc_id", "lang", F.explode(_tokens()).alias("term")
-    ).withColumn("b", _term_bucket())
-    raw = terms.groupBy("b").agg(F.count(F.lit(1)).alias("cnt_raw"))
-    tgt = (
-        terms.filter(F.col("lang") == target_lang)
+    Scale (r5 restructure — the pre-r5 shape tokenized the corpus FOUR
+    times: raw counts, target counts, totals, and the scoring join): the
+    feature model is ONE tokenize+explode pass partial-aggregated to
+    DSIR_BUCKETS rows carrying both raw and target counts — the totals are
+    the sums of those 256 rows, so no separate totals pass exists. The
+    256 log-ratios come back to the driver (bounded collect, the CMS /
+    IVF-centroid precedent) and scoring is a MAP-ONLY projection: an
+    `aggregate` fold over each doc's token array looking each token's
+    bucket up in a 256-element array literal — no scoring join, no
+    per-doc groupBy shuffle, docs never explode a second time. Total plan
+    cost: two tokenization passes, one 256-row shuffle, zero scoring
+    shuffles (was: four passes + two scoring shuffles)."""
+    spark = docs.sparkSession
+    stats = (
+        docs.select("lang", F.explode(_tokens()).alias("term"))
+        .withColumn("b", _term_bucket())
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("cnt_tgt"))
-    )
-    totals = terms.agg(
-        F.count(F.lit(1)).cast("long").alias("tot_raw"),
-        F.sum((F.col("lang") == target_lang).cast("long")).cast("long").alias("tot_tgt"),
-    )
-    ratios = (
-        raw.join(tgt, "b", "left")
-        .join(F.broadcast(totals))
-        .select(
-            "b",
-            (
-                F.log((F.coalesce(F.col("cnt_tgt"), F.lit(0)) + 1).cast("double") / (F.col("tot_tgt") + DSIR_BUCKETS).cast("double"))
-                - F.log((F.col("cnt_raw") + 1).cast("double") / (F.col("tot_raw") + DSIR_BUCKETS).cast("double"))
-            ).alias("log_ratio"),
+        .agg(
+            F.count(F.lit(1)).alias("cnt_raw"),
+            F.sum((F.col("lang") == target_lang).cast("long")).alias("cnt_tgt"),
         )
+        .collect()
+    )
+    tot_raw = sum(r["cnt_raw"] for r in stats)
+    tot_tgt = sum(r["cnt_tgt"] for r in stats)
+    import math
+
+    log_ratio = [
+        math.log(1.0 / (tot_tgt + DSIR_BUCKETS)) - math.log(1.0 / (tot_raw + DSIR_BUCKETS))
+    ] * DSIR_BUCKETS  # unseen bucket: add-one smoothing on both sides
+    for r in stats:
+        log_ratio[r["b"]] = math.log(
+            (r["cnt_tgt"] + 1) / (tot_tgt + DSIR_BUCKETS)
+        ) - math.log((r["cnt_raw"] + 1) / (tot_raw + DSIR_BUCKETS))
+    lr = F.array(*[F.lit(v) for v in log_ratio])
+
+    def tok_bucket(t: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(t.cast("binary")), 1, 4), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).cast("int")
+
+    toks = _tokens()
+    score = F.aggregate(
+        F.col("toks"),
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(lr, tok_bucket(t) + 1),
     )
     return (
-        terms.join(F.broadcast(ratios), "b")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.sum("log_ratio"), 6).alias("dsir_logweight"),
+        docs.select("doc_id", "lang", toks.alias("toks"))
+        .where(F.size("toks") >= 1)  # tokenless docs never produced terms rows
+        .select(
+            "doc_id",
+            "lang",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.round(score, 6).alias("dsir_logweight"),
         )
     )
 
