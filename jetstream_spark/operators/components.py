@@ -63,14 +63,9 @@ def connected_components(
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
-        msgs = sym.join(labels, sym["a"] == labels["node"]).select(
-            F.col("b").alias("node"), F.col("label")
-        )
         # eager localCheckpoint = materialize AND truncate lineage, so round
         # i+1's plan starts from a leaf instead of embedding rounds 0..i
-        new_labels = (
-            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        new_labels = _hash_to_min_round(sym, labels).localCheckpoint()
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:
@@ -81,6 +76,47 @@ def connected_components(
     # large-star/small-star variant instead of failing: same output
     # contract, so callers never need to know which algorithm ran.
     return connected_components_star(edges, src, dst)
+
+
+def _hash_to_min_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE hash-to-min round as a frame (pre-checkpoint): join labels onto
+    the symmetric edges, union with the current labels, min-aggregate by
+    node — two key-hashed shuffles, nothing broadcast-or-collected that
+    grows with the graph. Extracted so the per-round physical plan is
+    test-assertable (the engine-wide plan sweep only sees final frames,
+    not loop bodies)."""
+    msgs = sym.join(labels, sym["a"] == labels["node"]).select(
+        F.col("b").alias("node"), F.col("label")
+    )
+    return labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+
+
+def _large_star_frame(e: DataFrame) -> DataFrame:
+    """One large-star rewire as a frame (pre-checkpoint): neighborhoods
+    over the symmetrized edge set; every strictly larger neighbor v is
+    rewired to m(u) = min(Γ(u) ∪ {u})."""
+    s = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = s.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    out = (
+        s.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star_frame(e: DataFrame) -> DataFrame:
+    """One small-star rewire as a frame (pre-checkpoint): each edge keyed
+    on its larger endpoint; the smaller neighbors (and u itself) rewire to
+    that neighborhood's min."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))  # all v < u here
+    out = d.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        mins.select("u", F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
 
 
 def connected_components_star(
@@ -122,34 +158,12 @@ def connected_components_star(
         .localCheckpoint()
     )
 
-    def large_star(e: DataFrame) -> DataFrame:
-        # neighborhoods over the SYMMETRIZED edge set; rewire every strictly
-        # larger neighbor v to m(u) = min(Γ(u) ∪ {u})
-        s = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = s.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
-        out = (
-            s.join(mins, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        return out.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
-
-    def small_star(e: DataFrame) -> DataFrame:
-        # key each edge on its LARGER endpoint; rewire the smaller neighbors
-        # (and u itself) to m(u) = min of that neighborhood
-        d = e.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        ).where(F.col("u") != F.col("v"))
-        mins = d.groupBy("u").agg(F.min("v").alias("m"))  # all v < u here
-        out = d.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v")).union(
-            mins.select("u", F.col("m").alias("v"))
-        )
-        return out.where(F.col("u") != F.col("v")).distinct().localCheckpoint()
-
     prev_e, prev_n = sym, sym.count()
     e = sym
     for _ in range(max_iter):
-        e = small_star(large_star(prev_e))
+        e = _small_star_frame(
+            _large_star_frame(prev_e).localCheckpoint()
+        ).localCheckpoint()
         n = e.count()
         # both sides are distinct() + localCheckpointed: equal counts plus an
         # empty difference is exact set equality, no collision risk

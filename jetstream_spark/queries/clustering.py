@@ -254,6 +254,63 @@ WHERE list_aggregate(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * 
 KM_ROUNDS = 3
 
 
+def _km_assign_of(c):
+    """Vectorized assigner for a fixed centroid matrix: |x|²−2x·c+|c|²
+    expansion — an (n,k) product, never an (n,k,d) tensor."""
+    import numpy as np
+
+    cn = (c**2).sum(axis=1)
+
+    def cells_of(m):
+        d2 = (m**2).sum(axis=1, keepdims=True) - 2.0 * (m @ c.T) + cn[None, :]
+        return np.argmin(d2, axis=1), d2
+
+    return cells_of
+
+
+def _km_round_agg(emb: DataFrame, cents) -> DataFrame:
+    """ONE Lloyd round's aggregate as a frame (pre-collect): a map-only
+    Arrow assignment pass emitting per-batch per-cell partial sums, then
+    one groupBy(cell, d) shuffle of ≤ P·k·d partial rows. Extracted so the
+    per-round physical plan is test-assertable (the engine-wide plan
+    sweep only sees final frames, not loop bodies)."""
+    import numpy as np
+
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast(cents)
+    d = cents.shape[1]
+
+    def partials(batches):
+        cells_of = _km_assign_of(bc.value)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cell, _ = cells_of(m)
+            out_c, out_d, out_s, out_n = [], [], [], []
+            for kk in np.unique(cell):
+                mask = cell == kk
+                s = m[mask].sum(axis=0)
+                out_c.append(np.full(d, kk))
+                out_d.append(np.arange(d))
+                out_s.append(s)
+                out_n.append(np.full(d, int(mask.sum())))
+            yield pd.DataFrame(
+                {
+                    "cell": np.concatenate(out_c).astype(np.int32),
+                    "d": np.concatenate(out_d).astype(np.int32),
+                    "s": np.concatenate(out_s),
+                    "n": np.concatenate(out_n).astype(np.int64),
+                }
+            )
+
+    return (
+        emb.mapInPandas(partials, schema="cell int, d int, s double, n long")
+        .groupBy("cell", "d")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+
+
 def _km_seeds(spark: SparkSession, sf_dir: str):
     """Raw (unnormalized) float64 seed centroids: corpus rows [100, 116) —
     classic euclidean Lloyd, distinct from the cosine coarse quantizer."""
@@ -301,48 +358,8 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, d = cents.shape
     sc = spark.sparkContext
 
-    def assign_of(c):
-        cn = (c**2).sum(axis=1)
-
-        def cells_of(m):
-            d2 = (m**2).sum(axis=1, keepdims=True) - 2.0 * (m @ c.T) + cn[None, :]
-            return np.argmin(d2, axis=1), d2
-
-        return cells_of
-
     for _ in range(KM_ROUNDS):
-        bc = sc.broadcast(cents)
-
-        def partials(batches):
-            cells_of = assign_of(bc.value)
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-                cell, _ = cells_of(m)
-                out_c, out_d, out_s, out_n = [], [], [], []
-                for kk in np.unique(cell):
-                    mask = cell == kk
-                    s = m[mask].sum(axis=0)
-                    out_c.append(np.full(d, kk))
-                    out_d.append(np.arange(d))
-                    out_s.append(s)
-                    out_n.append(np.full(d, int(mask.sum())))
-                yield pd.DataFrame(
-                    {
-                        "cell": np.concatenate(out_c).astype(np.int32),
-                        "d": np.concatenate(out_d).astype(np.int32),
-                        "s": np.concatenate(out_s),
-                        "n": np.concatenate(out_n).astype(np.int64),
-                    }
-                )
-
-        agg = (
-            emb.mapInPandas(partials, schema="cell int, d int, s double, n long")
-            .groupBy("cell", "d")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
-            .collect()
-        )
+        agg = _km_round_agg(emb, cents).collect()
         new = cents.copy()  # empty cluster: carry the centroid forward
         for r in agg:
             new[r["cell"], r["d"]] = r["s"] / r["n"]
@@ -351,7 +368,7 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     bfinal = sc.broadcast(cents)
 
     def final_stats(batches):
-        cells_of = assign_of(bfinal.value)
+        cells_of = _km_assign_of(bfinal.value)
         for pdf in batches:
             if len(pdf) == 0:
                 continue

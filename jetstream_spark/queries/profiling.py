@@ -483,16 +483,29 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - PR_DAMP) / n
     for _ in range(PR_ROUNDS):
-        contrib = (
-            edges.join(F.broadcast(deg), "s")
-            .join(F.broadcast(ranks), F.col("s") == F.col("node"))
-            .select("t", (F.col("rank") / F.col("outd")).alias("c"))
-        )
-        ranks = contrib.groupBy("t").agg(
-            (F.lit(base) + F.lit(PR_DAMP) * F.sum("c")).alias("rank")
-        ).select(F.col("t").alias("node"), "rank").localCheckpoint()
+        ranks = _pagerank_round(edges, deg, ranks, base).localCheckpoint()
     return ranks.select(
         F.col("node").alias("part_key"), F.round("rank", 9).alias("pagerank")
+    )
+
+
+def _pagerank_round(
+    edges: DataFrame, deg: DataFrame, ranks: DataFrame, base: float
+) -> DataFrame:
+    """ONE PageRank round as a frame: broadcast the node-scale deg/rank
+    frames onto the edge list, then one groupBy(t) shuffle. Extracted so
+    the per-round physical plan is test-assertable (no cartesian, no
+    round-robin, rank/deg joins actually broadcast) — the engine-wide
+    plan sweep only sees final frames, not loop bodies."""
+    contrib = (
+        edges.join(F.broadcast(deg), "s")
+        .join(F.broadcast(ranks), F.col("s") == F.col("node"))
+        .select("t", (F.col("rank") / F.col("outd")).alias("c"))
+    )
+    return (
+        contrib.groupBy("t")
+        .agg((F.lit(base) + F.lit(PR_DAMP) * F.sum("c")).alias("rank"))
+        .select(F.col("t").alias("node"), "rank")
     )
 
 
@@ -531,27 +544,34 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence graph (a dedup candidate graph with high clustering is
     communities; low clustering is chains that need the star escalation).
 
-    Compact-forward shape: edges are ordered (s < t) so every triangle is
-    counted exactly once by the 2-path join e1(s,t)⋈e2(t,u)⋈e3(s,u);
-    intermediate volume is Σ_t d⁺(t)·d⁻(t), bounded at scale by ordering
-    nodes by DEGREE instead of id (the standard refinement — same plan,
-    different ordering key). Wedges fold from the degree frame alone."""
+    Compact-forward shape: every triangle is counted exactly once by the
+    2-path join e1(s,t)⋈e2(t,u)⋈e3(s,u) over edges oriented by a total
+    node order. The count is ORDER-INVARIANT, so (r5) edges are oriented
+    by DEGREE — from the lower-(degree, id) endpoint to the higher — not
+    by id: the intermediate 2-path volume is Σ_v d⁺(v)·d⁻(v), and
+    degree-orientation gives hubs out-degree ≈ 0 (all their edges point
+    IN), bounding total 2-paths at O(m^1.5) on any graph vs the
+    unbounded hub blow-up of id-ordering on skewed graphs
+    (tests/test_profiling.py pins the reduction on a star fixture).
+    Wedges fold from the degree frame alone."""
     li = table(spark, sf_dir, "lineitem")
-    e = (
+    e0 = (
         _copurchase_edges(li)
         .where(F.col("s") < F.col("t"))
-        .localCheckpoint()  # three join consumers + the degree agg
+        .localCheckpoint()  # degree agg + the reorientation join
     )
     deg = (
-        e.select(F.col("s").alias("v"))
-        .unionAll(e.select(F.col("t").alias("v")))
+        e0.select(F.col("s").alias("v"))
+        .unionAll(e0.select(F.col("t").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()  # wedge stats + both reorientation joins
     )
     stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("n_wedges"),
     )
+    e = _degree_oriented(e0, deg).localCheckpoint()  # three join consumers
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.s") == F.col("e1.t"))
@@ -571,6 +591,28 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
             ).alias("clustering_coeff"),
         )
+    )
+
+
+def _degree_oriented(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Reorient each undirected edge to point from its lower-(degree, id)
+    endpoint to the higher one. A bijection on the edge set, so any
+    order-invariant count (triangles) is unchanged; hubs end up with
+    out-degree ≈ 0, which is what bounds the compact-forward join's
+    intermediate volume. Two node-scale degree joins (keyed, not
+    broadcast-hinted: the node table outgrows broadcast long before the
+    edge table stops fitting a shuffle)."""
+    ds = deg.select(F.col("v").alias("s"), F.col("d").alias("sd"))
+    dt = deg.select(F.col("v").alias("t"), F.col("d").alias("td"))
+    fwd = F.struct(F.col("sd"), F.col("s")) < F.struct(F.col("td"), F.col("t"))
+    return (
+        e.join(ds, "s")
+        .join(dt, "t")
+        .select(
+            F.when(fwd, F.col("s")).otherwise(F.col("t")).alias("new_s"),
+            F.when(fwd, F.col("t")).otherwise(F.col("s")).alias("new_t"),
+        )
+        .select(F.col("new_s").alias("s"), F.col("new_t").alias("t"))
     )
 
 

@@ -11,9 +11,12 @@ Two scale anti-patterns must never silently reappear in a declared query:
   shingle gate only fires when the scan yields fewer splits than cores.
 
 Plans are taken WITHOUT executing the final job (sparkPlan, not the
-adaptive executed plan), so the sweep stays cheap; iterative builders that
-run driver-side rounds during construction are exercised too — their
-per-round actions at sf0.001 cost little.
+adaptive executed plan). Iterative builders run their driver-side rounds
+during construction — cheap at sf0.001 — so since r5 NOTHING is skipped:
+every declared query's final frame is swept. Because a final frame only
+shows the LAST round's lineage (earlier rounds hide behind localCheckpoint
+leaves), the iterative algorithms additionally expose their per-round
+frame constructors, asserted round-shape-by-round-shape below.
 """
 
 from __future__ import annotations
@@ -23,35 +26,142 @@ import pytest
 from jetstream_spark.queries import all_queries
 from tests.conftest import SF_DIR
 
-# builders whose construction runs multi-round jobs — covered by their own
-# dedicated plan audits (PLANS.md) and tests; excluded here to keep the
-# sweep fast, not because they are exempt from the rules
-_SKIP = {
-    "kmeans_train",        # K rounds of driver-iterated Lloyd updates
-    "bpe_learn_merges",    # iterative merge selection
-    "bpe_encode_stats",    # depends on learned merges
-    "dedup_components",    # iterative hash-to-min
-    "dedup_keep_canonical",  # builds on components
-    "cluster_aware_split",   # builds on components
-    "pagerank_copurchase",   # per-round checkpoints detach lineage anyway
-    "ann_lsh_indexed",     # materialized-index build side effects
-    "ann_ivf_indexed",
-    "dedup_incremental",   # bucketed-index build side effects
-    "knn_graph_ivf",
-}
 
-# no exemptions: every deliberate spread repartition in the engine is
-# hash-based (doc_id), so RoundRobinPartitioning must never appear
-_RR_ALLOWED: set[str] = set()
+def _assert_clean(name: str, plan: str) -> None:
+    assert "CartesianProduct" not in plan, f"{name}: cartesian join\n{plan[:2000]}"
+    assert "RoundRobinPartitioning" not in plan, (
+        f"{name}: blind round-robin reshuffle\n{plan[:2000]}"
+    )
 
 
-@pytest.mark.parametrize("name", [n for n in all_queries() if n not in _SKIP])
+def _plan(df) -> str:
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
 def test_no_cartesian_or_roundrobin(spark, name):
     spec = all_queries()[name]
     df = spec.build(spark, SF_DIR)
-    plan = df._jdf.queryExecution().sparkPlan().toString()
-    assert "CartesianProduct" not in plan, f"{name}: cartesian join\n{plan[:2000]}"
-    if name not in _RR_ALLOWED:
-        assert "RoundRobinPartitioning" not in plan, (
-            f"{name}: blind round-robin reshuffle\n{plan[:2000]}"
-        )
+    _assert_clean(name, _plan(df))
+
+
+# ---- per-ROUND plans of the iterative algorithms ------------------------------
+# The sweep above sees only each query's final frame; for loop-built
+# operators that frame starts at a localCheckpoint leaf, hiding the round
+# bodies. Each algorithm therefore exposes its round constructor, pinned
+# here: clean of the two anti-patterns AND using the intended join strategy.
+
+
+def test_pagerank_round_plan(spark):
+    from pyspark.sql import functions as F
+
+    from jetstream_spark.queries.profiling import _copurchase_edges, _pagerank_round
+    from jetstream_spark.tables import table
+
+    edges = _copurchase_edges(table(spark, SF_DIR, "lineitem")).localCheckpoint()
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("outd")).localCheckpoint()
+    ranks = (
+        edges.select(F.col("s").alias("node")).distinct().withColumn("rank", F.lit(0.5))
+    )
+    plan = _plan(_pagerank_round(edges, deg, ranks, 0.05))
+    _assert_clean("pagerank_round", plan)
+    # the node-scale rank/degree frames must BROADCAST onto the edge list;
+    # a sort-merge join here would shuffle the edges once per round
+    assert plan.count("BroadcastHashJoin") == 2, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_kmeans_round_plan(spark):
+    from jetstream_spark.queries.clustering import _km_round_agg, _km_seeds
+    from jetstream_spark.tables import table
+
+    emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    frame = _km_round_agg(emb, _km_seeds(spark, SF_DIR))
+    plan = _plan(frame)
+    _assert_clean("kmeans_round", plan)
+    # one map-only Arrow pass + at most ONE partial-aggregated exchange on
+    # (cell, d) — at sf0.001 the scan is a single split and Catalyst elides
+    # the exchange outright
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+    assert plan.count("HashAggregate") == 2, plan[:2000]  # partial + final
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_bpe_round_plan(spark):
+    from pyspark.sql import functions as F
+
+    from jetstream_spark.queries.tokenizer import _chars, _pair_argmax_frame, _word_freq
+
+    vocab = _word_freq(spark, SF_DIR).select(
+        "word", "freq", _chars(F.col("word")).alias("symbols")
+    )
+    plan = _plan(_pair_argmax_frame(vocab))
+    _assert_clean("bpe_round", plan)
+    # the argmax is a TakeOrdered over partial-aggregated pair counts, not
+    # a global sort of the pair table
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_components_round_plans(spark):
+    from pyspark.sql import functions as F
+
+    from jetstream_spark.operators.components import (
+        _hash_to_min_round,
+        _large_star_frame,
+        _small_star_frame,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src bigint, dst bigint"
+    )
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    _assert_clean("hash_to_min_round", _plan(_hash_to_min_round(sym, labels)))
+    star_in = sym.select(F.col("a").alias("u"), F.col("b").alias("v")).localCheckpoint()
+    large = _large_star_frame(star_in)
+    _assert_clean("large_star_round", _plan(large))
+    _assert_clean("small_star_round", _plan(_small_star_frame(large.localCheckpoint())))
+
+
+# ---- fact-join strategy pins ---------------------------------------------------
+# r4's bench flagged q9/q21/dsir ~30% slower with byte-identical plans
+# (min-of-2 sampled their slow warmup tails — see bench.timed). These pins
+# make an ACTUAL join-strategy flip — the failure mode the flag was
+# mistaken for — a test failure instead of a bench mystery.
+
+
+def test_q9_join_strategy_pinned(spark):
+    df = all_queries()["q9_product_profit"].build(spark, SF_DIR)
+    plan = _plan(df)
+    # lineitem never shuffles: part/orders/supplier/nation all broadcast
+    assert plan.count("BroadcastHashJoin") == 4, plan[:2000]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan[:2000]
+
+
+def test_q21_join_strategy_pinned(spark):
+    df = all_queries()["q21_sole_blame_suppliers"].build(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_dsir_scoring_is_map_only(spark):
+    # r5 restructure: the 256-bucket model folds into an array literal, so
+    # the returned frame is ONE projection over the documents scan — no
+    # join, no exchange. (The stats pass runs at build time, collect-bounded
+    # to 256 rows.)
+    df = all_queries()["importance_weights_dsir"].build(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]

@@ -288,3 +288,53 @@ def test_degree_profile_conservation(spark):
     assert max(r["max_degree"] for r in rows) == max(deg.values())
     for r in rows:  # bucket bounds actually bracket their members
         assert 2 ** r["log2_degree"] <= r["min_degree"] <= r["max_degree"] < 2 ** (r["log2_degree"] + 1)
+
+
+def test_degree_orientation_bounds_hub_two_paths(spark):
+    """The r5 refinement: orienting edges by (degree, id) instead of id
+    must (a) preserve the exact triangle count and (b) collapse the
+    2-path intermediate volume on a hub-skewed graph. Fixture: a star
+    whose hub id sits in the MIDDLE of its spoke ids (the id-ordering
+    worst case: in-edges x out-edges through the hub), plus one triangle."""
+    from pyspark.sql import functions as F
+
+    from jetstream_spark.queries.profiling import _degree_oriented
+
+    hub, spokes = 50, [i for i in range(1, 101) if i != 50]
+    pairs = [(min(i, hub), max(i, hub)) for i in spokes] + [(1, 2)]
+    e = spark.createDataFrame(pairs, "s bigint, t bigint").localCheckpoint()
+    deg = (
+        e.select(F.col("s").alias("v"))
+        .unionAll(e.select(F.col("t").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
+
+    def two_paths(edges) -> int:
+        e1, e2 = edges.alias("e1"), edges.alias("e2")
+        return e1.join(e2, F.col("e2.s") == F.col("e1.t")).count()
+
+    def triangles(edges) -> int:
+        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+        return (
+            e1.join(e2, F.col("e2.s") == F.col("e1.t"))
+            .join(e3, (F.col("e3.s") == F.col("e1.s")) & (F.col("e3.t") == F.col("e2.t")))
+            .count()
+        )
+
+    oriented = _degree_oriented(e, deg).localCheckpoint()
+    # bijection on the edge set
+    assert oriented.count() == e.count()
+    assert (
+        oriented.select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
+        .exceptAll(e.select(F.col("s").alias("a"), F.col("t").alias("b")))
+        .isEmpty()
+    )
+    # id-ordering routes in_edges x out_edges 2-paths through the hub
+    # (49 x 50 pairs); degree-ordering points every spoke edge INTO the
+    # hub, so only the 1-2 triangle edge can start a 2-path
+    assert two_paths(e) >= 49 * 50
+    assert two_paths(oriented) <= 4
+    # and the triangle count is identical either way
+    assert triangles(e) == triangles(oriented) == 1
