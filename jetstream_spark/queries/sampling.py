@@ -986,7 +986,102 @@ WHERE d.neg_rnk <> d.own_rnk
 """
 
 
+# --- deterministic global shuffle into training shards ---------------------------
+SHUFFLE_SEED = 13
+N_TRAIN_SHARDS = 16
+
+
+def _shuffle_key() -> F.Column:
+    """Seeded, engine-independent shuffle key: md5(doc_id ':' seed). The
+    hex string is the within-shard sort key; its first 4 hex chars give
+    the shard. Changing the seed is a full reshuffle; fixing it makes the
+    training order perfectly reproducible across reruns and engines."""
+    return F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}")).cast("binary")
+    )
+
+
+def shuffled_shards(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, shard, skey) — the shard assignment + order key
+    every consumer below shares."""
+    h = _shuffle_key()
+    return docs.select(
+        "doc_id",
+        F.expr(_N_TOKENS_EXPR).alias("n_tokens"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % N_TRAIN_SHARDS).alias("shard"),
+        h.alias("skey"),
+    )
+
+
+def write_training_shards(docs: DataFrame, out_dir: str) -> None:
+    """The side-effecting writer: ONE hash repartition on the shard key +
+    an in-partition sort by the shuffle key, then a partitioned parquet
+    write — the 'materialize the training order' step. At 100 TB this is
+    exactly one shuffle of the corpus (unavoidable: a global shuffle IS
+    the operator) with no global sort — order is only ever needed within
+    a shard, which is what sortWithinPartitions provides."""
+    # sort by (shard, skey), not skey alone: FileFormatWriter requires each
+    # task's rows sorted by the partition columns and INSERTS ITS OWN
+    # non-stable sort by `shard` if the incoming order doesn't already
+    # satisfy that — which would scramble the skey order inside each shard
+    # file. Leading with `shard` makes the writer's requirement a prefix of
+    # our ordering, so no extra sort is added and skey order survives.
+    (
+        shuffled_shards(docs)
+        .repartition(N_TRAIN_SHARDS, "shard")
+        .sortWithinPartitions("shard", "skey")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest of the deterministic global shuffle: per shard, the
+    doc/token counts plus the first and last doc in training order (the
+    determinism witnesses — if either moves, the order moved). The
+    verifiable face of write_training_shards: same assignment + order
+    key, aggregated instead of materialized, so the manifest is
+    hash-checkable against DuckDB while the writer itself is exercised in
+    tests. Plan: map-only key derivation + ONE shard aggregate."""
+    s = shuffled_shards(table(spark, sf_dir, "documents"))
+    return (
+        s.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min_by("doc_id", "skey").alias("head_doc_id"),
+            F.max_by("doc_id", "skey").alias("tail_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SKEY_SQL = f"md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}')"
+_SHARD_SQL = (
+    "(("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr({_SKEY_SQL}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    + f") % {N_TRAIN_SHARDS})"
+)
+
+Q_TRAINING_SHARDS_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens,
+         {_SHARD_SQL} AS shard, {_SKEY_SQL} AS skey
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       arg_min(doc_id, skey) AS head_doc_id,
+       arg_max(doc_id, skey) AS tail_doc_id
+FROM s GROUP BY shard ORDER BY shard
+"""
+
+
 QUERIES = [
+    QuerySpec("training_shards", q_training_shards, Q_TRAINING_SHARDS_ORACLE, "deterministic seeded global shuffle into training shards: per-shard manifest", ("sampling",)),
     QuerySpec("negative_samples", q_negative_samples, Q_NEGATIVE_SAMPLES_ORACLE, "deterministic md5 negative sampling over a dense rank space", ("sampling",)),
     QuerySpec("domain_temperature_sample", q_domain_temperature_sample, Q_TEMP_SAMPLE_ORACLE, "temperature-flattened domain mixture via quantized deterministic acceptance", ("sampling",)),
     QuerySpec("split_drift_psi", q_split_drift_psi, _psi_oracle(), "PSI drift between train/test splits over binned doc features", ("sampling", "monitoring")),

@@ -466,3 +466,48 @@ def test_negative_samples_invariants(spark):
     # deterministic: a second run is identical
     again = q_negative_samples(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_training_shards_writer_matches_manifest(spark, tmp_path):
+    """write_training_shards materializes exactly the order the manifest
+    query describes: per shard, the parquet rows come back sorted by the
+    shuffle key, and head/tail doc ids match the manifest's witnesses."""
+    import os
+
+    from jetstream_spark.queries.sampling import (
+        N_TRAIN_SHARDS,
+        q_training_shards,
+        write_training_shards,
+    )
+    from jetstream_spark.tables import table
+
+    out = str(tmp_path / "shards")
+    write_training_shards(table(spark, SF_DIR, "documents"), out)
+    manifest = {r["shard"]: r for r in q_training_shards(spark, SF_DIR).collect()}
+    assert set(manifest) <= set(range(N_TRAIN_SHARDS))
+
+    written = spark.read.parquet(out)
+    assert written.count() == sum(r["n_docs"] for r in manifest.values())
+    for shard, m in manifest.items():
+        part = os.path.join(out, f"shard={shard}")
+        rows = [r.asDict() for r in spark.read.parquet(part).collect()]
+        # parquet preserves write order within a file; shard dirs written
+        # from one sorted partition each
+        keys = [r["skey"] for r in rows]
+        assert keys == sorted(keys), f"shard {shard} not in shuffle-key order"
+        assert rows[0]["doc_id"] == m["head_doc_id"]
+        assert rows[-1]["doc_id"] == m["tail_doc_id"]
+
+
+def test_training_shards_reshuffle_on_seed_change(spark, monkeypatch):
+    """The seed IS the shuffle: a different seed must move a large
+    fraction of docs to different shards (and reorder within shards)."""
+    import jetstream_spark.queries.sampling as samp
+    from jetstream_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+    a = {r["doc_id"]: r["shard"] for r in samp.shuffled_shards(docs).collect()}
+    monkeypatch.setattr(samp, "SHUFFLE_SEED", 14)
+    b = {r["doc_id"]: r["shard"] for r in samp.shuffled_shards(docs).collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > len(a) * 0.8  # ~15/16 expected to move
