@@ -44,7 +44,7 @@ AUDIT = {
     "q11_revenue_concentration": "global scalar subquery reaches the filter as a 1-row broadcast",
     "q13_order_count_distribution": "outer join with ON-filter; two aggregation levels, partial agg before each exchange",
     "unigram_perplexity": "vocab + totals broadcast; scoring join map-side; one per-doc agg shuffle",
-    "importance_weights_dsir": "256-row ratio model broadcast; one map-side join + per-doc agg",
+    "importance_weights_dsir": "r5: map-only scoring — 256 log-ratios folded into an array literal, no join, no exchange; stats pass is one explode+agg to 256 rows at build time",
     "curation_pipeline": "dedup window + filter + split collapsed into one pass over the scan plus the md5 window shuffle",
     "kmeans_cluster_stats": "16-row centroid broadcast; assignment collapses map-side (partial max-struct agg), no window",
     "semdedup_pairs": "self-join shuffles both sides once on the cell key; JVM zip_with cosine",
@@ -95,7 +95,7 @@ AUDIT = {
     "timeseries_gapfill": "hourly collapse = the only event-scale Exchange; grid Generate from the span frame; LOCF window at hour scale",
     "ewma_hourly": "ordered window collect + HOF weighted fold; same event_type Exchange reused by fill join and smoothing window",
     "ab_test_conversion": "one per-user agg Exchange (arm + converted collapse map-side); z fold over a 2-row cross join",
-    "triangle_count": "ordered 2-path join over the checkpointed edge frame; wedge fold from the degree agg only",
+    "triangle_count": "r5: DEGREE-oriented 2-path join over the checkpointed edge frame (hub out-degree ~0 bounds intermediates); wedge fold from the degree agg only",
     "degree_profile": "one degree agg Exchange; log2 bucket fold over the node-scale frame",
 }
 
