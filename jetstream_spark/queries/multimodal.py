@@ -443,7 +443,98 @@ FROM geo JOIN (
 """
 
 
+PHASH_W = 32  # scanline width of the encoded image
+PHASH_CELLS = 64  # 8x8 aHash grid, flattened
+
+
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) image dedup — the image-side member of the
+    dedup family: exact text dedup misses re-encoded/resized variants of
+    the same picture, but block-mean hashes collide for perceptually-close
+    images. Each doc's bytes become a real 8-bit greyscale PNG
+    ({PHASH_W}-wide, zero-padded to full rows, ≥{PHASH_CELLS} pixels),
+    round-trip through the in-repo codec, and hash to {PHASH_CELLS} bits:
+    bit_c = (mean of cell c) > (global pixel mean), cells = contiguous
+    64ths of the flattened image. Groups sharing a hash are perceptual
+    duplicates (on this corpus: near-dup texts whose 64-cell luminance
+    profile coincides).
+
+    The threshold is computed in EXACT integer arithmetic
+    (sum_c·N > S·cnt_c clears both denominators), so the oracle rebuilds
+    the identical hash from text characters with no float divergence. At
+    scale: one map-only Arrow pass (encode+decode+hash inside the batch
+    kernel), then ONE hash-key shuffle — the md5-groupBy shape of
+    dedup_exact; hamming-near grouping would reuse dedup_simhash's
+    pigeonhole banding over the same bit string.
+    """
+    import numpy as np
+
+    from jetstream_spark.operators.png import encode_png
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def phash(batches):
+        for pdf in batches:
+            out_ids, out_bits = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                n = max(PHASH_CELLS, -(-len(raw) // PHASH_W) * PHASH_W)
+                codes = raw.ljust(n, b"\x00")
+                payload = encode_png(codes, PHASH_W, n // PHASH_W, 1)
+                px = np.frombuffer(
+                    decode_media(payload, "image/png", allow_stub=False), dtype=np.uint8
+                ).astype(np.int64)
+                # ceil(c*n/64) start offsets partition [0,n) into the cells
+                starts = -(-(np.arange(PHASH_CELLS) * n) // PHASH_CELLS)
+                sums = np.add.reduceat(px, starts)
+                cnts = np.diff(np.append(starts, n))
+                total = int(px.sum())
+                bits = (sums * n) > (total * cnts)
+                out_ids.append(int(doc_id))
+                out_bits.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame({"doc_id": out_ids, "phash": out_bits})
+
+    hashed = docs.mapInPandas(phash, schema="doc_id long, phash string")
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "phash")
+    )
+
+
+Q_MM_PHASH_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS L,
+         greatest({PHASH_CELLS}, CAST(ceil(length(text)/{PHASH_W}.0)*{PHASH_W} AS INT)) AS N
+  FROM documents
+),
+px AS (
+  SELECT doc_id, N,
+         CASE WHEN i < L THEN ascii(substr(text, CAST(i+1 AS INT), 1)) ELSE 0 END AS v,
+         CAST(i * {PHASH_CELLS} // N AS INT) AS cell
+  FROM d, unnest(generate_series(0, N-1)) AS u(i)
+),
+cells AS (SELECT doc_id, N, cell, sum(v) AS s_c, count(*) AS n_c FROM px GROUP BY 1, 2, 3),
+tot AS (SELECT doc_id, sum(s_c) AS S FROM cells GROUP BY 1),
+bits AS (
+  SELECT c.doc_id,
+         string_agg(CASE WHEN c.s_c * c.N > t.S * c.n_c THEN '1' ELSE '0' END, ''
+                    ORDER BY c.cell) AS phash
+  FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+)
+SELECT phash, count(*) AS n_docs, min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM bits GROUP BY phash HAVING count(*) >= 2
+ORDER BY n_docs DESC, phash
+"""
+
+
 QUERIES = [
+    QuerySpec("multimodal_phash_dedup", q_multimodal_phash_dedup, Q_MM_PHASH_ORACLE, "perceptual-hash (aHash) image dedup over real PNG round-trips", ("multimodal",)),
     QuerySpec("multimodal_resize", q_multimodal_resize, Q_MM_RESIZE_ORACLE, "real PNG decode -> nearest-neighbor thumbnail resample", ("multimodal",)),
     QuerySpec("multimodal_video_frames", q_multimodal_video_frames, Q_MM_VIDEO_ORACLE, "real animated-GIF frame extraction (in-repo LZW, spec-golden-pinned)", ("multimodal",)),
     QuerySpec("multimodal_audio_stats", q_multimodal_audio_stats, Q_MM_AUDIO_ORACLE, "real WAV container round-trip (stdlib wave encode, in-repo RIFF decode)", ("multimodal",)),

@@ -258,6 +258,23 @@ IVF_NPROBE = 4
 _IVF_CENTROID_BASE = 100  # vec_id in [100, 100+IVF_CELLS) serve as centroids
 
 
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> "np.ndarray":
+    """(IVF_CELLS, d) unit-norm coarse-quantizer centroids — the fixed
+    corpus rows, shared by every IVF consumer. Bounded 16-row collect."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.where(
+            (F.col("vec_id") >= _IVF_CENTROID_BASE)
+            & (F.col("vec_id") < _IVF_CENTROID_BASE + IVF_CELLS)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_rows.sort(key=lambda r: r["vec_id"])
+    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: a coarse quantizer (here: 16 fixed, deterministic corpus
     vectors as centroids — a real pipeline k-means-trains them on a sample;
@@ -272,17 +289,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = table(spark, sf_dir, "embeddings")
-    cent_rows = (
-        emb.where(
-            (F.col("vec_id") >= _IVF_CENTROID_BASE)
-            & (F.col("vec_id") < _IVF_CENTROID_BASE + IVF_CELLS)
-        )
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cent_rows.sort(key=lambda r: r["vec_id"])
-    cents = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents = _ivf_centroids(spark, sf_dir)
     q_ids, q_mat = _query_matrix(spark, sf_dir)
     q_norms = np.linalg.norm(q_mat, axis=1)
     # each query's nprobe nearest cells (by cosine to the centroid)
@@ -1159,6 +1166,142 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the two-level composition production ANN indexes actually
+    ship (FAISS IndexIVFPQ) — IVF prunes WHICH vectors a query touches
+    (each query probes its {IVF_NPROBE}/{IVF_CELLS} nearest cells), PQ
+    shrinks WHAT a touched vector costs (ADC over {PQ_M}-byte codes
+    instead of the raw {PQ_M * PQ_SUB} floats). At 100 TB: the inverted
+    file is cell-partitioned parquet (the ann_ivf_indexed layout), each
+    cell stores codes not vectors, so a probe reads nprobe/cells of a
+    corpus that is itself ~{PQ_M + 8}/{PQ_M * PQ_SUB * 4} the raw bytes —
+    the two reductions multiply.
+
+    One map-only Arrow pass per partition: assign cell (argmax cosine vs
+    the {IVF_CELLS} unit centroids, ties to the lowest cell like np.argmax
+    and the oracle's row_number), mask candidates per query by its probe
+    set, PQ-encode the survivors, ADC-score, pre-reduce to TOP_K per
+    partition. ONE window shuffle of ≤ k·Q rows/partition finishes. Both
+    quantizers are deterministic corpus slices, so the oracle rebuilds
+    cells, probes, codes, and ADC relationally and hash-matches."""
+    cents = _ivf_centroids(spark, sf_dir)
+    cb = _pq_codebooks(spark, sf_dir)  # (M, K, SUB)
+    q_ids, q_mat = _query_matrix(spark, sf_dir)
+    q_norms = np.linalg.norm(q_mat, axis=1)
+    q_cells = np.argsort(-(q_mat / q_norms[:, None]) @ cents.T, axis=1)[:, :IVF_NPROBE]
+    q_sub = _normalized(q_mat).reshape(len(q_ids), PQ_M, PQ_SUB)
+    tables = ((q_sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=-1)
+    bq = spark.sparkContext.broadcast((q_ids, q_cells, tables, cb, cents))
+    emb = table(spark, sf_dir, "embeddings")
+
+    def score(batches):
+        ids, cells, tab, books, c = bq.value
+        nq = len(ids)
+        run_v = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        run_d = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        for pdf in batches:
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            raw = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            b_cell = np.argmax(_normalized(raw) @ c.T, axis=1)
+            xs = _normalized(raw).reshape(len(b_ids), PQ_M, PQ_SUB)
+            d_codes = ((xs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=-1)
+            codes = np.argmin(d_codes, axis=-1)  # (n, M)
+            adc = tab[:, np.arange(PQ_M)[None, :], codes].sum(axis=-1).T  # (n, Q)
+            for qi in range(nq):
+                keep = np.isin(b_cell, cells[qi]) & (b_ids != ids[qi])
+                v = np.concatenate([run_v[qi], b_ids[keep]])
+                d = np.concatenate([run_d[qi], adc[keep, qi]])
+                order = np.lexsort((v, d))[:TOP_K]
+                run_v[qi], run_d[qi] = v[order], d[order]
+        if any(len(v) for v in run_v):
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, [len(v) for v in run_v]),
+                    "vec_id": np.concatenate(run_v),
+                    "adc_dist": np.concatenate(run_d),
+                }
+            )
+
+    scores = emb.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, vec_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist"), F.col("vec_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            (F.round("adc_dist", 6) + F.lit(0.0)).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """IVF cell/probe CTEs (from _ivf_oracle) composed with the PQ
+    codebook/code/ADC CTEs (from _pq_oracle): candidates are the vectors
+    whose cell is in the query's probe set, scored by ADC."""
+    sub = PQ_SUB
+    sq = f"list_aggregate(list_transform(generate_series(1, {sub}), j -> (n.u[cb.m * {sub} + j] - cb.c[j]) * (n.u[cb.m * {sub} + j] - cb.c[j])), 'sum')"
+    sq_q = sq.replace("n.u", "q.u")
+    return f"""
+WITH e AS ({_COS_E_SQL}),
+n AS (
+  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM e
+),
+cents AS (
+  SELECT vec_id - {_IVF_CENTROID_BASE} AS cell,
+         list_transform(v, x -> x / nrm) AS cv
+  FROM e
+  WHERE vec_id >= {_IVF_CENTROID_BASE} AND vec_id < {_IVF_CENTROID_BASE + IVF_CELLS}
+),
+celldot AS (
+  SELECT e.vec_id, c.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_aggregate(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * c.cv[i]), 'sum') DESC,
+                    c.cell
+         ) AS rn
+  FROM e, cents c
+),
+assign AS (
+  SELECT vec_id, cell FROM celldot WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id, cell FROM celldot WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+),
+cb AS (
+  SELECT m.range AS m, vec_id - {_PQ_CODE_BASE} AS k,
+         list_transform(generate_series(1, {sub}), j -> u[m.range * {sub} + j]) AS c
+  FROM n, range(0, {PQ_M}) m
+  WHERE vec_id >= {_PQ_CODE_BASE} AND vec_id < {_PQ_CODE_BASE + PQ_K}
+),
+codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT n.vec_id, cb.m, cb.k,
+           row_number() OVER (PARTITION BY n.vec_id, cb.m ORDER BY {sq}, cb.k) AS rn
+    FROM n, cb) WHERE rn = 1
+),
+adc AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, sum({sq_q}) AS dist
+  FROM n q
+  JOIN qprobe qp ON qp.vec_id = q.vec_id
+  JOIN assign a ON a.cell = qp.cell AND a.vec_id <> q.vec_id
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN cb ON cb.m = c.m AND cb.k = c.k
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id, round(dist, 6) + 0.0 AS adc_dist, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = [
     QuerySpec("knn_graph", q_knn_graph, Q_KNN_GRAPH_ORACLE, "exact top-k neighbor graph via blocked cogroup + partial top-k", ("similarity",)),
     QuerySpec("knn_graph_ivf", q_knn_graph_ivf, _knn_graph_ivf_oracle(), "approximate kNN graph restricted to IVF cells (one cell-key cogroup shuffle)", ("similarity",)),
@@ -1167,7 +1310,8 @@ QUERIES = [
     QuerySpec("ann_lsh_indexed", q_ann_lsh_indexed, _lsh_oracle(), "LSH ANN through the materialized bucket-partitioned index", ("similarity",)),
     QuerySpec("ann_ivf_topk", q_ann_ivf, _ivf_oracle(), "IVF coarse-quantizer ANN (approximate scale path)", ("similarity",)),
     QuerySpec("ann_ivf_indexed", q_ann_ivf_indexed, _ivf_oracle(), "IVF ANN through the materialized cell-partitioned inverted file", ("similarity",)),
-    QuerySpec("ann_pq_topk", q_ann_pq_topk, _pq_oracle(), "product-quantization ANN: 4-bit codes + ADC table scoring (the memory-compressed tier)", ("similarity",)),
+    QuerySpec("ann_pq_topk", q_ann_pq_topk, _pq_oracle(), "product-quantization ANN: byte codes + ADC table scoring (the memory-compressed tier)", ("similarity",)),
+    QuerySpec("ann_ivfpq_topk", q_ann_ivfpq_topk, _ivfpq_oracle(), "IVF-PQ: cell-pruned probe scored over PQ codes (the composed production index)", ("similarity",)),
     QuerySpec("embedding_norms", q_embedding_norms, Q_EMB_NORMS_ORACLE, "vector norm/stats ops", ("similarity",)),
     QuerySpec("embedding_downproject", q_embedding_downproject, Q_EMB_DOWNPROJECT_ORACLE, "adjacent-pair dim reduction", ("similarity",)),
     QuerySpec("embedding_quantize_int8", q_embedding_quantize_int8, Q_EMB_QUANTIZE_ORACLE, "symmetric int8 quantization + reconstruction error", ("similarity",)),

@@ -247,3 +247,43 @@ def test_wav_decode_fuzz_never_crashes():
             pass
 
     run()
+
+
+def test_phash_dedup_matches_pure_python(spark):
+    """multimodal_phash_dedup groups == a pure-Python aHash recompute over
+    the raw text bytes (PNG round-trip must be lossless, and the
+    exact-integer threshold must agree bit-for-bit)."""
+    from collections import Counter
+
+    from jetstream_spark.queries.multimodal import (
+        PHASH_CELLS,
+        PHASH_W,
+        q_multimodal_phash_dedup,
+    )
+    from jetstream_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    def ref_hash(text: str) -> str:
+        raw = text.encode("utf-8")
+        n = max(PHASH_CELLS, -(-len(raw) // PHASH_W) * PHASH_W)
+        px = list(raw.ljust(n, b"\x00"))
+        total = sum(px)
+        bits = []
+        for c in range(PHASH_CELLS):
+            lo = -(-(c * n) // PHASH_CELLS)
+            hi = -(-((c + 1) * n) // PHASH_CELLS)
+            s = sum(px[lo:hi])
+            bits.append("1" if s * n > total * (hi - lo) else "0")
+        return "".join(bits)
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    expect = Counter(ref_hash(r["text"]) for r in docs)
+    groups = {h: c for h, c in expect.items() if c >= 2}
+    got = {r["phash"]: r for r in q_multimodal_phash_dedup(spark, SF_DIR).collect()}
+    assert {h: r["n_docs"] for h, r in got.items()} == groups
+    assert groups, "fixture lost its perceptual-dup structure"
+    by_hash: dict = {}
+    for r in docs:
+        by_hash.setdefault(ref_hash(r["text"]), []).append(r["doc_id"])
+    for h, r in got.items():
+        assert r["min_doc_id"] == min(by_hash[h]) and r["max_doc_id"] == max(by_hash[h])

@@ -97,6 +97,12 @@ AUDIT = {
     "ab_test_conversion": "one per-user agg Exchange (arm + converted collapse map-side); z fold over a 2-row cross join",
     "triangle_count": "r5: DEGREE-oriented 2-path join over the checkpointed edge frame (hub out-degree ~0 bounds intermediates); wedge fold from the degree agg only",
     "degree_profile": "one degree agg Exchange; log2 bucket fold over the node-scale frame",
+    "ann_pq_topk": "map-only Arrow encode+ADC with per-partition partial top-k; ONE window exchange of <= k*Q rows/partition; no join",
+    "ann_ivfpq_topk": "same map-only shape as PQ plus the cell mask — no extra exchange for the IVF pruning (it folds into the same kernel pass)",
+    "multimodal_phash_dedup": "map-only Arrow PNG-roundtrip+hash kernel; ONE phash-key exchange (the dedup_exact groupBy shape)",
+    "training_shards": "map-only key derivation + ONE shard aggregate exchange; the writer path adds only the shard hash exchange + in-partition sort",
+    "doc_packing": "ONE shard-key exchange; prefix-sum window and the window aggregate both run inside the same shard partitioning",
+    "bpe_learn_merges": "per-round plan: vocab-sized pair-count exchange + 1-row argmax collect + map-only fold rewrite; corpus touched once at collapse",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
