@@ -1095,7 +1095,137 @@ FROM g LEFT JOIN lab ON g.rep = lab.v
 """
 
 
+# --- exact substring spans (character-level cross-doc verbatim runs) -------------
+SUBSTR_L = 48  # window length in characters
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level EXACT substring dedup — the 'deduplicating training
+    data' recipe of Lee et al. 2022 (ExactSubstr): find verbatim runs of
+    ≥{SUBSTR_L} characters shared ACROSS documents, merge overlapping hits
+    into maximal spans per doc, and report how much of each doc is
+    cross-corpus verbatim text. Catches what token-level tiers miss:
+    quotes/boilerplate that straddle token boundaries or sit inside
+    otherwise-unique documents.
+
+    Spark shape (the scalable stand-in for their suffix array): every
+    {SUBSTR_L}-char window hashes map-side (HOF transform over start
+    positions, md5 of the slice); ONE window-hash shuffle finds hashes in
+    ≥2 distinct docs; the join-back + per-doc interval merge share ONE
+    doc_id shuffle (the dedup_span_scrub island idiom: a hit opens a new
+    island iff its start clears the running max end; island id = running
+    sum of opens). Window volume is corpus-bytes-linear; the documented
+    100 TB knobs are stride-S window sampling (detects runs ≥ L+S−1) and
+    a df ceiling on degenerate hot windows — the same ceiling the shingle
+    tiers use."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    wins_arr = F.when(
+        F.length("text") >= SUBSTR_L,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - (SUBSTR_L - 1)),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.md5(F.encode(F.col("text").substr(i, F.lit(SUBSTR_L)), "UTF-8")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,h:string>>"))
+    wins = docs.select("doc_id", F.explode(wins_arr).alias("w")).select(
+        "doc_id", F.col("w.start").alias("start"), F.col("w.h").alias("h")
+    )
+    rep = (
+        wins.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("h")
+    )
+    hits = wins.join(rep, "h").select(
+        "doc_id", "start", (F.col("start") + SUBSTR_L).alias("end")
+    )
+    w_prev = Window.partitionBy("doc_id").orderBy("start").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = (
+        hits.withColumn(
+            "opens",
+            (F.col("start") >= F.coalesce(F.max("end").over(w_prev), F.lit(-1))).cast("int"),
+        )
+        .withColumn("island", F.sum("opens").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg((F.max("end") - F.min("start")).alias("span_chars"))
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_chars").alias("chars_flagged"),
+        F.max("span_chars").alias("longest_span"),
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "chars_flagged",
+            "longest_span",
+            F.round(F.col("chars_flagged") / F.col("n_chars"), 6).alias("frac_flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q_SUBSTR_SPANS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, n_chars, length(text) AS L
+  FROM documents
+),
+w AS (
+  SELECT doc_id, CAST(i AS INT) AS start, md5(substr(text, CAST(i AS INT), {SUBSTR_L})) AS h
+  FROM d, unnest(generate_series(1, L - {SUBSTR_L - 1})) AS u(i)
+  WHERE L >= {SUBSTR_L}
+),
+rep AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM w) GROUP BY h HAVING count(*) >= 2
+),
+hits AS (
+  SELECT doc_id, start, start + {SUBSTR_L} AS "end" FROM w JOIN rep USING (h)
+),
+flagged AS (
+  SELECT doc_id, start, "end",
+         CASE WHEN start >= coalesce(max("end") OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS opens
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, island, max("end") - min(start) AS span_chars
+  FROM (
+    SELECT doc_id, start, "end",
+           sum(opens) OVER (PARTITION BY doc_id ORDER BY start
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM flagged
+  ) GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(span_chars) AS chars_flagged,
+         max(span_chars) AS longest_span
+  FROM islands GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_spans, CAST(p.chars_flagged AS BIGINT) AS chars_flagged,
+       CAST(p.longest_span AS BIGINT) AS longest_span,
+       round(p.chars_flagged / CAST(d.n_chars AS DOUBLE), 6) AS frac_flagged
+FROM per_doc p JOIN d USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
+    QuerySpec("dedup_substring_spans", q_dedup_substring_spans, Q_SUBSTR_SPANS_ORACLE, "exact cross-doc substring spans (ExactSubstr, character-level) with interval merge", ("dedup",)),
     QuerySpec("dedup_exact", q_dedup_exact, Q_DEDUP_EXACT_ORACLE, "content-hash exact dedup", ("dedup",)),
     QuerySpec("dedup_span_scrub", q_dedup_span_scrub, Q_SPAN_SCRUB_ORACLE, "boilerplate span REMOVAL with relational interval merging", ("dedup",)),
     QuerySpec("dedup_containment", q_dedup_containment, Q_CONTAINMENT_ORACLE, "directed shingle-containment (quote-inclusion) pairs via prefix-probe join", ("dedup",)),

@@ -511,3 +511,50 @@ def test_training_shards_reshuffle_on_seed_change(spark, monkeypatch):
     b = {r["doc_id"]: r["shard"] for r in samp.shuffled_shards(docs).collect()}
     moved = sum(1 for k in a if a[k] != b[k])
     assert moved > len(a) * 0.8  # ~15/16 expected to move
+
+
+def test_substring_spans_matches_pure_python(spark):
+    """dedup_substring_spans == a dict-based pure-Python recompute of the
+    Lee-et-al ExactSubstr summary (cross-doc repeated 48-char windows,
+    interval-merged per doc)."""
+    from jetstream_spark.queries.dedup import SUBSTR_L, q_dedup_substring_spans
+    from jetstream_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    docs = {
+        r["doc_id"]: (r["text"], r["n_chars"])
+        for r in table(spark, SF_DIR, "documents").select("doc_id", "text", "n_chars").collect()
+    }
+    owners: dict = {}
+    for doc_id, (text, _) in docs.items():
+        for i in range(len(text) - SUBSTR_L + 1):
+            owners.setdefault(text[i : i + SUBSTR_L], set()).add(doc_id)
+    expect = {}
+    for doc_id, (text, n_chars) in docs.items():
+        hits = [
+            (i + 1, i + 1 + SUBSTR_L)
+            for i in range(len(text) - SUBSTR_L + 1)
+            if len(owners[text[i : i + SUBSTR_L]]) >= 2
+        ]
+        if not hits:
+            continue
+        spans = []
+        for s, e in hits:  # hits already sorted by start
+            if spans and s < spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        chars = sum(e - s for s, e in spans)
+        expect[doc_id] = (
+            len(spans),
+            chars,
+            max(e - s for s, e in spans),
+            round(chars / n_chars, 6),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_spans"], r["chars_flagged"], r["longest_span"], r["frac_flagged"])
+        for r in q_dedup_substring_spans(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert expect, "fixture lost its cross-doc verbatim structure"
