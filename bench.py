@@ -78,6 +78,13 @@ EXTRAS = [
     "phrase_search",         # r4: positional posting-list intersection
     "scd2_user_tiers",       # r4: changelog -> SCD2 run collapse
     "profile_columns",       # r4: wide multi-distinct profiling scan
+    "ann_pq_topk",           # r5: PQ codes + ADC (memory-compressed tier)
+    "ann_ivfpq_topk",        # r5: IVF-PQ composition (cell-pruned ADC)
+    "multimodal_phash_dedup",  # r5: aHash image dedup over PNG round-trips
+    "dedup_substring_spans",  # r5: ExactSubstr char-window spans
+    "training_shards",       # r5: seeded global-shuffle manifest
+    "ab_bootstrap_ci",       # r5: 200-replica Poisson bootstrap CI
+    "bpe_learn_merges",      # r5: 24-round iterative BPE trainer
 ]
 
 REGRESSION_FACTOR = 1.15

@@ -629,6 +629,123 @@ FROM j
 """
 
 
+# --- deterministic Poisson bootstrap CI over the experiment metric ---------------
+AB_BOOT_B = 200  # bootstrap replicas
+# Poisson(1) CDF thresholds as EXACT integers over the 32-bit hash space
+# (floor(cdf_k * 16^8)): the draw compares an integer against integer
+# literals, so Spark and the oracle agree bit-for-bit with no float CDF.
+_AB_BOOT_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373)
+
+
+def q_ab_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the A/B conversion-rate LIFT —
+    the nonparametric companion to q_ab_test_conversion's z-test (valid
+    with no normality assumption, and the shape any metric — ratio,
+    winsorized mean, quantile — reuses unchanged). Poisson bootstrap
+    (the industry-standard resampling for distributed data: per replica,
+    each user enters with weight W ~ Poisson(1) instead of a global
+    n-out-of-n draw, so replicas need no global coordination): W comes
+    from inverse-CDF over a 32-bit slice of md5(user_id:b) compared
+    against EXACT integer thresholds — no RNG state, reruns and engines
+    agree bit-for-bit.
+
+    Scale: the per-user collapse is the ONLY event-scale shuffle (shared
+    with the z-test). The replica explode is map-only compute; partial
+    aggregation collapses it to ≤ 2·B rows per partition before the tiny
+    (b, arm) exchange, so shuffle volume is replica-count-scale — at 10^9
+    users the 200× blowup never crosses the wire. The percentile fold
+    runs on B rows."""
+    ev = table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string").cast("binary"))
+    arm = F.when(
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 2) == 0, "A"
+    ).otherwise("B")
+    conv = (F.col("event_type") == "purchase") & (F.col("value") > AB_CONV_VALUE)
+    users = ev.groupBy("user_id").agg(
+        F.max(F.when(conv, 1).otherwise(0)).alias("converted")
+    ).select("user_id", arm.alias("arm"), "converted")
+
+    hb = F.md5(
+        F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("b").cast("string")).cast("binary")
+    )
+    v = F.conv(F.substring(hb, 1, 8), 16, 10).cast("long")
+    w = (
+        F.when(v < _AB_BOOT_T[0], 0)
+        .when(v < _AB_BOOT_T[1], 1)
+        .when(v < _AB_BOOT_T[2], 2)
+        .when(v < _AB_BOOT_T[3], 3)
+        .when(v < _AB_BOOT_T[4], 4)
+        .otherwise(5)
+    )
+    drawn = users.select(
+        "user_id",
+        "arm",
+        "converted",
+        F.explode(F.sequence(F.lit(0), F.lit(AB_BOOT_B - 1))).alias("b"),
+    ).select("arm", "converted", "b", w.alias("w"))
+    rep = drawn.groupBy("b", "arm").agg(
+        F.sum("w").alias("n"), F.sum(F.col("w") * F.col("converted")).alias("c")
+    ).where(F.col("n") > 0)  # a replica that drew an arm empty is excluded
+    # (the inner join on b below then drops it from BOTH sides);
+    # b_replicas reports the replicas actually used — with tiny arms
+    # P(empty arm) = e^-m is a real event, not a corner case
+    a = rep.where(F.col("arm") == "A").select("b", (F.col("c") / F.col("n")).alias("ra"))
+    bb = rep.where(F.col("arm") == "B").select("b", (F.col("c") / F.col("n")).alias("rb"))
+    diffs = a.join(bb, "b").select((F.col("ra") - F.col("rb")).alias("diff"))
+    return diffs.agg(
+        F.count(F.lit(1)).alias("b_replicas"),
+        F.round(F.avg("diff"), 6).alias("mean_lift"),
+        F.round(F.expr("percentile(diff, 0.025)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(diff, 0.975)"), 6).alias("ci_hi"),
+        (
+            (F.expr("percentile(diff, 0.025)") <= 0.0)
+            & (F.expr("percentile(diff, 0.975)") >= 0.0)
+        ).alias("covers_zero"),
+    )
+
+
+_AB_BOOT_V_SQL = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+Q_AB_BOOT_ORACLE = f"""
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > {AB_CONV_VALUE} THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), armed AS (
+  SELECT user_id, {_AB_ARM_SQL} AS arm, converted FROM users
+), drawn AS (
+  SELECT arm, converted, b,
+         CASE WHEN {_AB_BOOT_V_SQL} < {_AB_BOOT_T[0]} THEN 0
+              WHEN {_AB_BOOT_V_SQL} < {_AB_BOOT_T[1]} THEN 1
+              WHEN {_AB_BOOT_V_SQL} < {_AB_BOOT_T[2]} THEN 2
+              WHEN {_AB_BOOT_V_SQL} < {_AB_BOOT_T[3]} THEN 3
+              WHEN {_AB_BOOT_V_SQL} < {_AB_BOOT_T[4]} THEN 4
+              ELSE 5 END AS w
+  FROM armed, unnest(generate_series(0, {AB_BOOT_B - 1})) AS u(b)
+), rep AS (
+  SELECT b, arm, sum(w) AS n, sum(w * converted) AS c FROM drawn GROUP BY b, arm
+  HAVING sum(w) > 0
+), diffs AS (
+  SELECT a.b, CAST(a.c AS DOUBLE) / a.n - CAST(r.c AS DOUBLE) / r.n AS diff
+  FROM (SELECT * FROM rep WHERE arm = 'A') a
+  JOIN (SELECT * FROM rep WHERE arm = 'B') r USING (b)
+)
+SELECT count(*) AS b_replicas,
+       round(avg(diff), 6) AS mean_lift,
+       round(quantile_cont(diff, 0.025), 6) AS ci_lo,
+       round(quantile_cont(diff, 0.975), 6) AS ci_hi,
+       quantile_cont(diff, 0.025) <= 0.0 AND quantile_cont(diff, 0.975) >= 0.0 AS covers_zero
+FROM diffs
+"""
+
+
 # --- changelog -> SCD2 dimension materialization ------------------------------
 TIER_WIDTH = 25  # k in [0,100) -> 4 tiers
 
@@ -879,4 +996,5 @@ QUERIES = [
     QuerySpec("conversion_funnel", q_conversion_funnel, Q_FUNNEL_ORACLE, "funnel via conditional min-agg", ("eventlog",)),
     QuerySpec("rate_anomaly", q_rate_anomaly, Q_RATE_ANOMALY_ORACLE, "hourly event-rate z-score anomalies (per-type stats broadcast back)", ("eventlog", "monitoring")),
     QuerySpec("ab_test_conversion", q_ab_test_conversion, Q_AB_TEST_ORACLE, "two-proportion z-test over deterministic md5 user arms", ("eventlog", "experiment")),
+    QuerySpec("ab_bootstrap_ci", q_ab_bootstrap_ci, Q_AB_BOOT_ORACLE, "deterministic Poisson-bootstrap CI for the conversion lift (no RNG state)", ("eventlog", "experiment")),
 ]

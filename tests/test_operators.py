@@ -456,3 +456,28 @@ def test_ann_ivfpq_candidates_and_recall(spark):
     hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
     recall = hits / sum(len(v) for v in exact.values())
     assert recall >= 0.25, f"IVF-PQ recall collapsed: {recall:.2f}"
+
+
+def test_ab_bootstrap_ci_properties(spark):
+    """Deterministic Poisson-bootstrap CI: reruns are bit-identical (no
+    RNG state), the interval is ordered and brackets the point-estimate
+    lift, and covers_zero agrees with the bounds."""
+    from jetstream_spark.queries.eventlog import (
+        AB_BOOT_B,
+        q_ab_bootstrap_ci,
+        q_ab_test_conversion,
+    )
+
+    r1 = q_ab_bootstrap_ci(spark, SF_DIR).collect()[0].asDict()
+    r2 = q_ab_bootstrap_ci(spark, SF_DIR).collect()[0].asDict()
+    assert r1 == r2
+    # replicas that drew an arm empty are excluded by contract; at this SF
+    # the arms are small enough that P(empty) = e^-m costs a few of the 200
+    assert AB_BOOT_B * 0.9 <= r1["b_replicas"] <= AB_BOOT_B
+    assert r1["ci_lo"] <= r1["mean_lift"] <= r1["ci_hi"]
+    z = q_ab_test_conversion(spark, SF_DIR).collect()[0]
+    lift = z["conv_rate_a"] - z["conv_rate_b"]
+    # the bootstrap mean concentrates on the observed lift; the CI must
+    # contain it with lots of room at these n
+    assert r1["ci_lo"] <= lift <= r1["ci_hi"]
+    assert r1["covers_zero"] == (r1["ci_lo"] <= 0.0 <= r1["ci_hi"])

@@ -104,6 +104,7 @@ AUDIT = {
     "doc_packing": "ONE shard-key exchange; prefix-sum window and the window aggregate both run inside the same shard partitioning",
     "bpe_learn_merges": "per-round plan: vocab-sized pair-count exchange + 1-row argmax collect + map-only fold rewrite; corpus touched once at collapse",
     "dedup_substring_spans": "map-side HOF window hashing; ONE hash exchange for df>=2 + join-back; interval merge + per-doc agg share ONE doc_id exchange",
+    "ab_bootstrap_ci": "one per-user event-scale exchange; replica explode map-only with partial agg before the (b, arm) exchange; percentile fold on B rows",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
