@@ -88,6 +88,7 @@ _PRIORITY = (
     "multimodal_phash_dedup", # perceptual-hash image dedup (aHash over PNG round-trip)
     "dedup_substring_spans",  # ExactSubstr: cross-doc verbatim runs, interval-merged
     "ab_bootstrap_ci",        # deterministic Poisson-bootstrap lift CI
+    "wordpiece_encode_stats", # greedy longest-match encoder (recursive-CTE oracle)
     "training_shards",        # deterministic seeded global shuffle manifest
     "dedup_exact",  # displaced: r1+r2 double-green, trivial md5 path untouched since r1
     "salted_join_revenue",  # displaced: r2-green + salted-vs-plain equality property test

@@ -246,3 +246,120 @@ QUERIES = [
     QuerySpec("bpe_learn_merges", q_bpe_learn_merges, _bpe_learn_oracle(), "iterative distributed BPE trainer, hash-checked against unrolled replace-CTE SQL", ("tokenizer",)),
     QuerySpec("bpe_encode_stats", q_bpe_encode_stats, _bpe_encode_oracle(), "per-doc BPE token stats via vocab-encoded join (unrolled-CTE oracle)", ("tokenizer",)),
 ]
+
+
+def q_wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style GREEDY encoding against the BPE-learned piece
+    inventory: at each position take the LONGEST piece that prefixes the
+    remaining word; an unmatched character consumes one UNK token. The
+    same piece inventory under greedy longest-match segments differently
+    from merge-order BPE — shipping tokenizers (BERT WordPiece) use
+    exactly this decode rule, and the delta between the two encoders'
+    token counts is a real tokenizer-selection signal.
+
+    Scale shape: the piece inventory is tokenizer-artifact-sized
+    (|alphabet| + N_MERGES here; ~30k in production — always broadcast),
+    and the greedy matcher runs over the DISTINCT-WORD table (Heaps-law
+    sublinear), never the corpus: one Arrow-batch kernel over the word
+    table, then the corpus joins the (word → counts) result exactly like
+    bpe_encode_stats — the segmentation never touches the corpus. The
+    oracle re-derives the pieces from the unrolled BPE CTEs and replays
+    the greedy scan as a recursive CTE, so both engines walk the
+    identical longest-match trajectory."""
+    import pandas as pd
+
+    _, vocab = learn_bpe(spark, sf_dir)
+    pieces = {
+        r["s"]
+        for r in vocab.select(F.explode("symbols").alias("s")).distinct().collect()
+    }  # bounded: <= |alphabet| + N_MERGES (the IVF-centroid collect precedent)
+    max_len = max(len(p) for p in pieces)
+    bc = spark.sparkContext.broadcast((pieces, max_len))
+
+    def encode(batches):
+        ps, top = bc.value
+        for pdf in batches:
+            n_wp, n_unk = [], []
+            for word in pdf["word"]:
+                pos, toks, unks = 0, 0, 0
+                while pos < len(word):
+                    k = min(top, len(word) - pos)
+                    while k > 0 and word[pos : pos + k] not in ps:
+                        k -= 1
+                    if k == 0:
+                        unks += 1
+                        pos += 1
+                    else:
+                        pos += k
+                    toks += 1
+                n_wp.append(toks)
+                n_unk.append(unks)
+            yield pd.DataFrame(
+                {"word": pdf["word"], "n_wp": n_wp, "n_unk": n_unk}
+            )
+
+    words_tbl = _word_freq(spark, sf_dir).select("word")
+    encoded = words_tbl.mapInPandas(encode, schema="word string, n_wp long, n_unk long")
+    word_len = encoded.withColumn("n_chr", F.length("word"))
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+    words = docs.select("doc_id", F.explode(toks).alias("word"))
+    return (
+        words.join(word_len, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_wp").alias("n_wp_tokens"),
+            F.sum("n_unk").alias("n_unk_tokens"),
+            F.round(F.sum("n_chr") / F.sum("n_wp"), 6).alias("compression"),
+        )
+    )
+
+
+def _wordpiece_oracle(n_merges: int = N_MERGES) -> str:
+    """Pieces from the unrolled trainer's final vocab; the greedy
+    longest-match scan replayed as a recursive CTE (one step per emitted
+    token; a piece longer than the remainder can't false-match because
+    substr clamps, so equality with the full piece fails)."""
+    return f"""
+WITH RECURSIVE {_bpe_rounds_sql(n_merges)},
+pieces AS MATERIALIZED (
+  SELECT DISTINCT unnest(str_split(trim(pstr, '|'), '||')) AS p FROM v{n_merges}),
+uw AS MATERIALIZED (SELECT DISTINCT word FROM w),
+seg AS (
+  -- the piece list rides along as a column: a correlated subquery over a
+  -- chain-derived CTE evaluates EMPTY inside DuckDB's recursive member
+  -- (verified), so the base case snapshots the bounded list once and the
+  -- recursion references nothing outside its own rows
+  SELECT word, 1 AS pos, 0 AS ntok, 0 AS nunk,
+         (SELECT list(p) FROM pieces) AS ps
+  FROM uw
+  UNION ALL
+  SELECT word, pos + greatest(bk, 1) AS pos, ntok + 1 AS ntok,
+         nunk + CASE WHEN bk = 0 THEN 1 ELSE 0 END AS nunk, ps
+  FROM (
+    SELECT word, pos, ntok, nunk, ps,
+           coalesce(list_max(list_transform(
+             list_filter(ps, q -> q = substr(word, pos, len(q))),
+             q -> len(q))), 0) AS bk
+    FROM seg WHERE pos <= len(word))
+),
+wl AS MATERIALIZED (
+  SELECT word, ntok AS n_wp, nunk AS n_unk, len(word) AS n_chr
+  FROM seg WHERE pos = len(word) + 1),
+dw AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word
+  FROM documents)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(wl.n_wp) AS BIGINT) AS n_wp_tokens,
+       CAST(sum(wl.n_unk) AS BIGINT) AS n_unk_tokens,
+       round(CAST(sum(wl.n_chr) AS DOUBLE) / sum(wl.n_wp), 6) AS compression
+FROM dw JOIN wl USING (word)
+GROUP BY doc_id
+"""
+
+
+QUERIES.append(
+    QuerySpec("wordpiece_encode_stats", q_wordpiece_encode_stats, _wordpiece_oracle(), "greedy longest-match (WordPiece) encoding of the BPE piece inventory (recursive-CTE oracle)", ("tokenizer",))
+)

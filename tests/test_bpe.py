@@ -98,3 +98,50 @@ def test_merges_shrink_token_count(spark):
         F.sum(F.length("word") * F.col("freq")).alias("chars"),
     ).collect()[0]
     assert agg["tokens"] < agg["chars"]
+
+
+def test_wordpiece_greedy_matches_pure_python(spark):
+    """wordpiece_encode_stats == a pure-Python greedy longest-match over
+    the same BPE piece inventory; and UNK never fires on this corpus
+    (every single char survives as a piece)."""
+    from jetstream_spark.queries.tokenizer import (
+        learn_bpe,
+        q_wordpiece_encode_stats,
+    )
+    from jetstream_spark.tables import table
+    from tests.conftest import SF_DIR
+
+    import re
+
+    _, vocab = learn_bpe(spark, SF_DIR)
+    pieces = {s for r in vocab.select("symbols").collect() for s in r["symbols"]}
+    top = max(len(p) for p in pieces)
+
+    def greedy(word):
+        pos, toks, unks = 0, 0, 0
+        while pos < len(word):
+            k = min(top, len(word) - pos)
+            while k > 0 and word[pos : pos + k] not in pieces:
+                k -= 1
+            pos += max(k, 1)
+            unks += k == 0
+            toks += 1
+        return toks, unks
+
+    expect = {}
+    for r in table(spark, SF_DIR, "documents").select("doc_id", "text").collect():
+        words = [w for w in re.split(r"[^a-z0-9]+", r["text"].lower()) if w]
+        stats = [greedy(w) for w in words]
+        n_wp = sum(t for t, _ in stats)
+        expect[r["doc_id"]] = (
+            len(words),
+            n_wp,
+            sum(u for _, u in stats),
+            round(sum(len(w) for w in words) / n_wp, 6),
+        )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_wp_tokens"], r["n_unk_tokens"], r["compression"])
+        for r in q_wordpiece_encode_stats(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert all(u == 0 for _, _, u, _ in got.values())

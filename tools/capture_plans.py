@@ -105,6 +105,7 @@ AUDIT = {
     "bpe_learn_merges": "per-round plan: vocab-sized pair-count exchange + 1-row argmax collect + map-only fold rewrite; corpus touched once at collapse",
     "dedup_substring_spans": "map-side HOF window hashing; ONE hash exchange for df>=2 + join-back; interval merge + per-doc agg share ONE doc_id exchange",
     "ab_bootstrap_ci": "one per-user event-scale exchange; replica explode map-only with partial agg before the (b, arm) exchange; percentile fold on B rows",
+    "wordpiece_encode_stats": "greedy kernel runs over the DISTINCT-WORD table only (Arrow batch, broadcast piece set); corpus joins the word->counts result, never re-segments",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
