@@ -1133,7 +1133,11 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<struct<start:int,h:string>>"))
     wins = docs.select("doc_id", F.explode(wins_arr).alias("w")).select(
         "doc_id", F.col("w.start").alias("start"), F.col("w.h").alias("h")
-    )
+    # two consumers read the hashed-window frame (the df>=2 build and the
+    # hits join-back) — materialize it ONCE so the corpus-bytes explode +
+    # md5 doesn't run twice (the KMV single-materialization precedent;
+    # measured ~25% at sf0.1: 9.3-9.9 s -> 7.1-8.5 s)
+    ).localCheckpoint(eager=False)
     rep = (
         wins.select("doc_id", "h")
         .distinct()
