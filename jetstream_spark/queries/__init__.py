@@ -15,74 +15,18 @@ from jetstream_spark.queries.spec import QuerySpec
 
 # Names the driver should check FIRST. The driver verifies the first ~50
 # registry entries in declaration order, so this window is re-curated every
-# round: (1) queries whose code changed this round, (2) never-driver-checked
-# entries, (3) the rest ordered oldest-evidence-first.
-# Round-5 rotation: the VERDICT r4 #2/#3 sweep — the three entries changed
-# this round (canon-safe PCA output, the two newly-oracled BPE queries) lead,
-# then the two never-windowed rows-only entries, then ALL queries whose
-# newest driver evidence is r1/r2, oldest first; exactly 50. Only two stale
-# entries are displaced below the boundary (noted there); every other
-# registry entry is r3/r4-driver-green.
+# round under a HARD rule (pinned by tests/test_registry_priority.py):
+#   1. never-driver-checked entries ALWAYS lead the window — a new operator
+#      debuts with driver evidence in its debut round, no exceptions;
+#   2. then entries whose code changed this round;
+#   3. then the rest, oldest driver evidence first.
+# Round-6 rotation: the 7 r5 additions (zero driver evidence — VERDICT r5
+# "What's wrong" #1) plus any r6 additions lead; then the two r2-stale
+# displaced entries; then the two queries whose code changes this round
+# (bm25 single-tokenization fix, containment df ceiling); then the oldest
+# r3-evidence entries in driver order, to exactly 50.
 _PRIORITY = (
-    # ---- code changed this round (r5) ----
-    "embedding_pca_project",  # r5 fix: proj serialized to proj_csv scalar (was driver-red ARRAY<DOUBLE>)
-    "bpe_learn_merges",  # r5: flipped rows-only -> unrolled replace-CTE oracle
-    "bpe_encode_stats",  # r5: flipped rows-only -> unrolled-CTE oracle
-    # ---- never driver-windowed rows-only entries ----
-    "compression_ratio",  # never windowed; rows-only zlib signal (zlib-equality tested)
-    "embedding_outliers",  # never windowed; rows-only Mahalanobis tail (numpy-equality tested)
-    # ---- r1-only driver evidence: longest unchecked ----
-    "cube_segment_priority",
-    "range_frame_window",
-    "ntile_quartiles",
-    # ---- r1+r2 driver evidence, code untouched since ----
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "replay_scan",
-    "subscribe_filter",
-    "monotonic_delivery",
-    "per_key_ordering",
-    "asof_join_purchases",
-    "anti_join_idle_customers",
-    "window_running_revenue",
-    "rollup_revenue",
-    "set_symdiff_buyers",
-    "full_outer_nation_activity",
-    "percentiles_price",
-    "unpivot_measures",
-    "dedup_embedding_cosine",
-    "semi_join_late_orders",
-    "grouping_sets_status",
-    "range_join_part_pairs",
-    "pivot_segment_revenue",
-    "scalar_functions",
-    "tumbling_window_hourly",
-    "json_props_stats",
-    "conversion_funnel",
-    # ---- r2-only driver evidence ----
-    "ann_brute_force_topk",
-    "doc_chunking",
-    "null_semantics",
-    "variant_props_stats",
-    "geomean_value",
-    "text_token_count",
-    "text_quality_score",
-    "embedding_norms",
-    "text_repetition",
-    "text_lang_id",
-    "text_fingerprint",
-    "multimodal_metadata",
-    "multimodal_byte_stats",
-    "multimodal_frame_sample",
-    "sample_split",
-    "doc_packing",
-    "embedding_downproject",
-    "hopping_window_hourly",
-    # ================= driver window boundary (50) ==================
-    # NEW in r5 — below the boundary because the window is spent on the
-    # verdict-mandated stale sweep; both are fully oracle-backed and local-
-    # verified (tools/verify_oracle.py), and rotate in-window next round:
+    # ---- never driver-checked (r6 additions first, then r5 additions) ----
     "ann_pq_topk",            # product-quantization ANN: codes + ADC tables
     "ann_ivfpq_topk",         # IVF-PQ composition: cell-pruned probe over codes
     "multimodal_phash_dedup", # perceptual-hash image dedup (aHash over PNG round-trip)
@@ -90,9 +34,58 @@ _PRIORITY = (
     "ab_bootstrap_ci",        # deterministic Poisson-bootstrap lift CI
     "wordpiece_encode_stats", # greedy longest-match encoder (recursive-CTE oracle)
     "training_shards",        # deterministic seeded global shuffle manifest
-    "dedup_exact",  # displaced: r1+r2 double-green, trivial md5 path untouched since r1
-    "salted_join_revenue",  # displaced: r2-green + salted-vs-plain equality property test
-    # everything below/after: r3/r4-driver-green, follows in module order
+    # ---- r2-only driver evidence (displaced from the r5 window) ----
+    "dedup_exact",
+    "salted_join_revenue",
+    # ---- code changed this round (r6) ----
+    "bm25_topk",          # r6: token array projected once (VERDICT r5 #2)
+    "dedup_containment",  # r6: opt-in df stop-shingle ceiling (VERDICT r5 #3)
+    # ---- r3-latest driver evidence, driver order (oldest first) ----
+    "q2_min_cost_supplier",
+    "q4_priority_checking",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_by_linestatus",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q20_excess_shippers",
+    "q13_order_count_distribution",
+    "q11_revenue_concentration",
+    "q21_sole_blame_suppliers",
+    "q22_idle_rich_customers",
+    "cms_heavy_hitters",
+    "kmeans_cluster_stats",
+    "semdedup_pairs",
+    "curation_pipeline",
+    "quality_gopher_rules",
+    "unigram_perplexity",
+    "domain_mix_weights",
+    "importance_weights_dsir",
+    "sessionization",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_lsh_indexed",
+    "ann_ivf_indexed",
+    "vocab_top_terms",
+    "text_pii_scrub",
+    "stratified_sample",
+    "dedup_components",
+    "dedup_keep_canonical",
+    "dedup_incremental",
+    "embedding_quantize_int8",
+    "tfidf_top_terms",
+    "decontaminate_splits",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_share",
+    # ================= driver window boundary (50) ==================
+    # Displaced this round (all r3-driver-green, rotate back next round):
+    # q18_large_orders, q19_disjunctive, user_journey, distinct_agg,
+    # bool_aggs, ordered_string_agg, intersect_repeat_buyers,
+    # topk_brand_revenue, above_nation_avg, monthly_density, date_functions
+    # — these and everything else follow in module order.
 )
 
 
