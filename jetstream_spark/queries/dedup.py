@@ -719,7 +719,9 @@ FROM s LEFT JOIN hits ON s.doc_id = hits.doc_id
 CONTAIN_T = 0.7
 
 
-def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_containment(
+    spark: SparkSession, sf_dir: str, *, df_ceiling: int | None = None
+) -> DataFrame:
     """EXACT directed containment pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
     ≥ t flags document A as (near-)contained in B — the quote-inclusion /
     superset-dup case that symmetric Jaccard misses by construction (a short
@@ -743,14 +745,33 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     was measured and rejected: with the prefix sized at n−⌈t·n⌉+1, the
     containment positional bound m + (n_a − P_a) ≥ ⌈t·n_a⌉ degenerates to
     m ≥ 1 — it prunes nothing this side of verification, and the verify
-    join it forces is the 10× cost above."""
+    join it forces is the 10× cost above.
+
+    ``df_ceiling`` (opt-in, default None = exact) is mitigation (a) coded:
+    shingles with document frequency above the ceiling are dropped from the
+    CANDIDATE index only, capping the self-join volume at Σ_{{df≤c}} df(s)²
+    regardless of how hot a boilerplate shingle gets; surviving candidate
+    pairs are then verified EXACTLY against the full (unfiltered) shingle
+    sets, so reported containment values are identical to the exact tier.
+    A qualifying pair is missed only if every shingle it shares is above
+    the ceiling — the stop-shingle case the ceiling exists to ignore."""
     # one materialization: the shingle frame feeds three subtrees (both
     # join sides + the size table) and would otherwise re-shingle per use
     sh = _doc_shingles(spark, sf_dir).localCheckpoint()
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    a = exploded.select(F.col("doc_id").alias("doc_a"), "s")
-    b = exploded.select(F.col("doc_id").alias("doc_b"), "s")
+    if df_ceiling is None:
+        index = exploded
+    else:
+        keep = (
+            exploded.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= F.lit(df_ceiling))
+            .select("s")
+        )
+        index = exploded.join(keep, "s")
+    a = index.select(F.col("doc_id").alias("doc_a"), "s")
+    b = index.select(F.col("doc_id").alias("doc_b"), "s")
     # count each UNORDERED pair once (a<b halves the join/agg volume), then
     # test containment in both directions off the same inter count
     inter = (
@@ -759,6 +780,22 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    if df_ceiling is not None:
+        # the ceiling-filtered inter undercounts shared shingles; re-derive
+        # the EXACT inter for the (bounded) candidate set against the full
+        # index: candidates ⨝ full shingles of doc_a, matched on (s, doc_b)
+        cand = inter.select("doc_a", "doc_b")
+        inter = (
+            cand.join(
+                exploded.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a"
+            )
+            .join(
+                exploded.select(F.col("doc_id").alias("doc_b"), "s"),
+                ["doc_b", "s"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     with_sizes = inter.join(
         sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")), "doc_a"
     ).join(
@@ -1099,7 +1136,13 @@ FROM g LEFT JOIN lab ON g.rep = lab.v
 SUBSTR_L = 48  # window length in characters
 
 
-def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_substring_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    sample_mod: int = 1,
+    use_xxhash: bool = False,
+) -> DataFrame:
     """Character-level EXACT substring dedup — the 'deduplicating training
     data' recipe of Lee et al. 2022 (ExactSubstr): find verbatim runs of
     ≥{SUBSTR_L} characters shared ACROSS documents, merge overlapping hits
@@ -1114,30 +1157,57 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥2 distinct docs; the join-back + per-doc interval merge share ONE
     doc_id shuffle (the dedup_span_scrub island idiom: a hit opens a new
     island iff its start clears the running max end; island id = running
-    sum of opens). Window volume is corpus-bytes-linear; the documented
-    100 TB knobs are stride-S window sampling (detects runs ≥ L+S−1) and
-    a df ceiling on degenerate hot windows — the same ceiling the shingle
-    tiers use."""
+    sum of opens). Window volume is corpus-bytes-linear; the 100 TB knobs
+    (opt-in, defaults preserve exact oracle parity):
+
+    - ``sample_mod=S`` keeps a window iff its hash ≡ 0 (mod S) — a
+      CONTENT-DEFINED 1/S sample, so both copies of a shared run select
+      the identical windows regardless of where the run sits in each doc.
+      (A positional stride, the naive knob, breaks exactly there: runs at
+      different offsets sample disjoint window sets and never match.)
+      Shuffle volume drops ×S; a shared run of r chars is detected with
+      probability 1−(1−1/S)^(r−L+1) — ≥99% already at r ≈ L + 4.6·S —
+      and reported spans are the sampled subset (chars_flagged becomes a
+      lower bound).
+    - ``use_xxhash=True`` swaps the 128-bit md5 hex string for xxhash64:
+      8-byte long keys through the shuffle and join instead of 32-char
+      strings (md5 stays the default because the DuckDB oracle recomputes
+      it for the hash-equality check)."""
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
+    if use_xxhash:
+        def _win_hash(i):
+            return F.xxhash64(F.col("text").substr(i, F.lit(SUBSTR_L)))
+        empty_t = "array<struct<start:int,h:bigint>>"
+    else:
+        def _win_hash(i):
+            return F.md5(F.encode(F.col("text").substr(i, F.lit(SUBSTR_L)), "UTF-8"))
+        empty_t = "array<struct<start:int,h:string>>"
     wins_arr = F.when(
         F.length("text") >= SUBSTR_L,
         F.transform(
             F.sequence(F.lit(1), F.length("text") - (SUBSTR_L - 1)),
-            lambda i: F.struct(
-                i.alias("start"),
-                F.md5(F.encode(F.col("text").substr(i, F.lit(SUBSTR_L)), "UTF-8")).alias("h"),
-            ),
+            lambda i: F.struct(i.alias("start"), _win_hash(i).alias("h")),
         ),
-    ).otherwise(F.array().cast("array<struct<start:int,h:string>>"))
+    ).otherwise(F.array().cast(empty_t))
     wins = docs.select("doc_id", F.explode(wins_arr).alias("w")).select(
         "doc_id", F.col("w.start").alias("start"), F.col("w.h").alias("h")
+    )
+    if sample_mod > 1:
+        # content-defined sampling BEFORE the materialization: the kept 1/S
+        # of windows is what shuffles, checkpoints, and joins downstream
+        hnum = (
+            F.col("h")
+            if use_xxhash
+            else F.conv(F.substring("h", 1, 15), 16, 10).cast("long")
+        )
+        wins = wins.where(F.pmod(hnum, F.lit(sample_mod)) == 0)
     # two consumers read the hashed-window frame (the df>=2 build and the
     # hits join-back) — materialize it ONCE so the corpus-bytes explode +
     # md5 doesn't run twice (the KMV single-materialization precedent;
     # measured ~25% at sf0.1: 9.3-9.9 s -> 7.1-8.5 s)
-    ).localCheckpoint(eager=False)
+    wins = wins.localCheckpoint(eager=False)
     rep = (
         wins.select("doc_id", "h")
         .distinct()

@@ -481,24 +481,31 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop with no shuffle of the corpus. Top-k is
     TakeOrderedAndProject (per-partition heaps), not a global sort.
     At 100 TB the stats row is computed once and cached/persisted; probing a
-    new query re-uses it."""
+    new query re-uses it.
+
+    The token array is projected ONCE (``toks`` below) and both consumers
+    (stats agg, per-doc scoring) reference the alias: split+filter is a
+    non-cheap expression referenced ~8x, so CollapseProject keeps the
+    projection as its own node and the tokenization runs once per row per
+    consumer instead of once per reference (VERDICT r5 #2)."""
     docs = table(spark, sf_dir, "documents")
-    toks = _tokens()
-    dl = F.size(toks)
+    tokd = docs.select("doc_id", _tokens().alias("toks"))
     # 1-row stats: N, avgdl, df_t for each query term
-    stats = docs.agg(
+    stats = tokd.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(toks)).alias("avgdl"),
+        F.avg(F.size("toks")).alias("avgdl"),
         *[
-            F.sum(F.array_contains(toks, t).cast("long")).alias(f"df_{t}")
+            F.sum(F.array_contains("toks", t).cast("long")).alias(f"df_{t}")
             for t in BM25_QUERY
         ],
     )
     def tf_of(term: str):
-        return F.size(F.filter(toks, lambda x: x == F.lit(term))).alias(f"tf_{term}")
+        return F.size(
+            F.filter(F.col("toks"), lambda x: x == F.lit(term))
+        ).alias(f"tf_{term}")
 
-    scored = docs.select(
-        "doc_id", dl.alias("dl"), *[tf_of(t) for t in BM25_QUERY]
+    scored = tokd.select(
+        "doc_id", F.size("toks").alias("dl"), *[tf_of(t) for t in BM25_QUERY]
     ).crossJoin(F.broadcast(stats))
     score = None
     for t in BM25_QUERY:
