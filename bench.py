@@ -213,12 +213,28 @@ def host_shift_factor(timings: dict, prev: dict, cal_now: float | None, cal_prev
     return round(med, 3) if med > 1.05 else 1.0
 
 
-def find_regressions(timings: dict, current_sf, shift: float = 1.0) -> dict:
+def find_regressions(
+    timings: dict, current_sf, shift: float = 1.0, resamples: dict | None = None
+) -> dict:
     """Queries >1.15× slower than the previous round at the same SF after
     host-speed normalization (throughput metrics: >1.15× lower). Returns
-    {name: {"prev", "now"}} with prev reported raw (un-normalized)."""
+    {name: {"prev", "now", "extra_samples", "host_shift"}} with prev
+    reported raw (un-normalized): every flagged entry carries its own
+    evidence — how many adaptive re-samples confirmed the number and what
+    host normalization was applied — so a reader can tell a confirmed
+    engine regression from a burst the sampler couldn't shake."""
     prev = _prev_bench_queries(current_sf)
+    resamples = resamples or {}
     regressions = {}
+
+    def entry(name, p, now):
+        return {
+            "prev": p,
+            "now": now,
+            "extra_samples": resamples.get(name, 0),
+            "host_shift": shift,
+        }
+
     for name, now in timings.items():
         p = prev.get(name)
         if p is None:
@@ -227,9 +243,9 @@ def find_regressions(timings: dict, current_sf, shift: float = 1.0) -> dict:
             continue  # rebuild-vs-fresh varies with testdata regen; not a probe cost
         if name.endswith("_per_sec"):
             if now < p / (shift * REGRESSION_FACTOR):
-                regressions[name] = {"prev": p, "now": now}
+                regressions[name] = entry(name, p, now)
         elif p >= REGRESSION_FLOOR_S and now > p * shift * REGRESSION_FACTOR:
-            regressions[name] = {"prev": p, "now": now}
+            regressions[name] = entry(name, p, now)
     return regressions
 
 
@@ -426,6 +442,17 @@ SF1_QUERIES = [
     "pagerank_copurchase",
     "bm25_topk",
     "profile_columns",
+    # r6: the iterative BPE trainer — corpus-linear initial word count, then
+    # 24 driver-coordinated rounds over the vocab-sized frame whose cost is
+    # set by Heaps-law DISTINCT words (replicas add none), so expect
+    # sub-linear growth. dedup_substring_spans was considered and EXCLUDED
+    # for the dedup_minhash_lsh reason above: replica scaling makes EVERY
+    # window a cross-doc duplicate, so the hits frame inflates from
+    # "repeated windows only" (sparse at sf0.1) to "all windows" — interval
+    # merge over 100% of corpus positions benchmarks the replica
+    # construction, not the engine; its sample_mod knob is the at-scale
+    # lever and is covered by tests/test_dedup_knobs.py.
+    "bpe_learn_merges",
 ]
 
 
@@ -553,6 +580,7 @@ def main() -> None:
     # reports steady-state engine cost — the number that scales.
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     prev_q = _prev_bench_queries(sf_val)
+    resample_counts: dict[str, int] = {}
 
     def timed(name: str) -> float:
         """min-of-2, plus adaptive extra samples when the result would flag
@@ -592,6 +620,8 @@ def main() -> None:
             improving = sample < best * 0.97
             best = min(best, sample)
             extra += 1
+        if extra:
+            resample_counts[name] = extra
         return round(best, 3)
 
     timings: dict[str, float] = {}
@@ -644,7 +674,9 @@ def main() -> None:
     shift = host_shift_factor(
         {**timings, **extras}, prev_q, calibration_s, _prev_calibration(sf_val)
     )
-    regressions = find_regressions({**timings, **extras}, sf_val, shift)
+    regressions = find_regressions(
+        {**timings, **extras}, sf_val, shift, resamples=resample_counts
+    )
     detail = {
         "metric": "headline_queries_total_wall",
         "value": total,
