@@ -69,28 +69,50 @@ class TokenBucket:
 class SubscriberInfo:
     sub_id: int
     sub: Subscription
+    ip: str = ""
     delivered: int = 0
+    bytes_delivered: int = 0
     dropped: bool = False
 
 
 @dataclass
 class Registry:
-    """S22: mutex-guarded id→subscriber map."""
+    """S22: mutex-guarded id→subscriber map, with per-IP delivery
+    accounting matching the reference's CounterVec/GaugeVec label
+    (cmd/jetstream/metrics.go:8-31: ip_address)."""
 
     _next_id: int = 0
     subscribers: dict[int, SubscriberInfo] = field(default_factory=dict)
+    # per-IP delivered counters OUTLIVE the subscriber entries (counters
+    # never reset on disconnect, like the reference's CounterVec)
+    events_by_ip: dict[str, int] = field(default_factory=dict)
+    bytes_by_ip: dict[str, int] = field(default_factory=dict)
     _lock: threading.Lock = field(default_factory=threading.Lock)
 
-    def add(self, sub: Subscription) -> SubscriberInfo:
+    def add(self, sub: Subscription, ip: str = "") -> SubscriberInfo:
         with self._lock:
             self._next_id += 1
-            info = SubscriberInfo(self._next_id, sub)
+            info = SubscriberInfo(self._next_id, sub, ip=ip)
             self.subscribers[info.sub_id] = info
             return info
 
     def remove(self, sub_id: int) -> None:
         with self._lock:
             self.subscribers.pop(sub_id, None)
+
+    def note_delivered(self, info: SubscriberInfo, nbytes: int) -> None:
+        info.delivered += 1
+        info.bytes_delivered += nbytes
+        with self._lock:
+            self.events_by_ip[info.ip] = self.events_by_ip.get(info.ip, 0) + 1
+            self.bytes_by_ip[info.ip] = self.bytes_by_ip.get(info.ip, 0) + nbytes
+
+    def connected_by_ip(self) -> dict[str, int]:
+        with self._lock:
+            out: dict[str, int] = {}
+            for s in self.subscribers.values():
+                out[s.ip] = out.get(s.ip, 0) + 1
+            return out
 
 
 class SubscribeServer:
@@ -115,10 +137,14 @@ class SubscribeServer:
         # the reference's single-live-pipeline topology (server.go:187-238)
         self.hub = hub
         self.registry = Registry()
-        # server-level delivery counters (cmd/jetstream/metrics.go names);
-        # mutated only on the event loop thread
+        # server-level counters (cmd/jetstream/metrics.go names); mutated
+        # only on the event loop thread. emitted = frames entering the
+        # delivery pipeline (enqueued, pre-rate-limit); delivered = frames
+        # actually written to a subscriber
         self.events_delivered_total = 0
         self.bytes_delivered_total = 0
+        self.events_emitted_total = 0
+        self.bytes_emitted_total = 0
         self._server: asyncio.AbstractServer | None = None
 
     # --- engine-side helpers (run in threads) ------------------------------
@@ -146,8 +172,10 @@ class SubscribeServer:
         def emit(rows: list) -> None:
             def _push() -> None:
                 for row in rows:
+                    frame = row["value"].encode() + b"\n"
                     try:
-                        queue.put_nowait(row["value"].encode() + b"\n")
+                        queue.put_nowait(frame)
+                        self._note_emitted(frame)
                     except asyncio.QueueFull:
                         info.dropped = True
                         return
@@ -202,7 +230,9 @@ class SubscribeServer:
                 if "websocket" in headers.get("upgrade", "").lower()
                 else None
             )
-            await self._stream(reader, writer, sub, ws_key=ws_key)
+            peer = writer.get_extra_info("peername")
+            ip = peer[0] if peer else ""
+            await self._stream(reader, writer, sub, ws_key=ws_key, ip=ip)
         except (ConnectionResetError, BrokenPipeError, asyncio.IncompleteReadError):
             pass
         finally:
@@ -246,18 +276,34 @@ class SubscribeServer:
             data = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
         return opcode, data
 
+    def _note_emitted(self, frame: bytes) -> None:
+        self.events_emitted_total += 1
+        self.bytes_emitted_total += len(frame)
+
     def _metrics_text(self) -> str:
         """Prometheus text exposition — the scrape surface the reference
         serves from its metrics listener (cmd/jetstream/main.go:216-218),
-        with the same metric names (cmd/jetstream/metrics.go:8-28 +
-        pkg/consumer/metrics.go consumer_last_seq)."""
-        lines = [
-            "# TYPE jetstream_subscribers_connected gauge",
-            f"jetstream_subscribers_connected {len(self.registry.subscribers)}",
+        with the same metric names AND label sets
+        (cmd/jetstream/metrics.go:8-31: the connected gauge and the
+        delivered counters carry ip_address; emitted totals are unlabeled;
+        pkg/consumer/metrics.go consumer_last_seq). Per-IP delivered
+        counters never reset on disconnect, like a CounterVec."""
+        lines = ["# TYPE jetstream_subscribers_connected gauge"]
+        for ip, n in sorted(self.registry.connected_by_ip().items()):
+            lines.append(f'jetstream_subscribers_connected{{ip_address="{ip}"}} {n}')
+        lines += [
+            "# TYPE jetstream_events_emitted_total counter",
+            f"jetstream_events_emitted_total {self.events_emitted_total}",
+            "# TYPE jetstream_bytes_emitted_total counter",
+            f"jetstream_bytes_emitted_total {self.bytes_emitted_total}",
             "# TYPE jetstream_events_delivered_total counter",
-            f"jetstream_events_delivered_total {self.events_delivered_total}",
-            "# TYPE jetstream_bytes_delivered_total counter",
-            f"jetstream_bytes_delivered_total {self.bytes_delivered_total}",
+        ]
+        for ip, n in sorted(self.registry.events_by_ip.items()):
+            lines.append(f'jetstream_events_delivered_total{{ip_address="{ip}"}} {n}')
+        lines.append("# TYPE jetstream_bytes_delivered_total counter")
+        for ip, n in sorted(self.registry.bytes_by_ip.items()):
+            lines.append(f'jetstream_bytes_delivered_total{{ip_address="{ip}"}} {n}')
+        lines += [
             "# TYPE consumer_last_seq gauge",
             f'consumer_last_seq{{socket_url="{self.log_dir}"}} {self._head()}',
         ]
@@ -278,12 +324,13 @@ class SubscribeServer:
         writer: asyncio.StreamWriter,
         sub: Subscription,
         ws_key: str | None = None,
+        ip: str = "",
     ) -> None:
         if sub.cursor is None:
             # live tail: start at the current head (server.go:274-287 —
             # no cursor ⇒ only new events), the S18 guard does the rest
             sub.seq = self._head()
-        info = self.registry.add(sub)
+        info = self.registry.add(sub, ip=ip)
         limiter = TokenBucket(self.max_sub_rate * (PLAYBACK_MULT if sub.cursor is not None else 1))
         queue: asyncio.Queue[bytes] = asyncio.Queue(maxsize=self.sub_buffer)
         if ws_key is not None:
@@ -323,6 +370,7 @@ class SubscribeServer:
                                 except asyncio.QueueFull:
                                     info.dropped = True
                                     return
+                            self._note_emitted(frame)
                         sub.advance(batch[-1]["time_us"])
                         limiter.rate = self.max_sub_rate * (
                             PLAYBACK_MULT if not sub.caught_up(self._head()) else 1
@@ -371,7 +419,7 @@ class SubscribeServer:
                 else:
                     writer.write(f"{len(frame):x}\r\n".encode() + frame + b"\r\n")
                 await writer.drain()
-                info.delivered += 1
+                self.registry.note_delivered(info, len(frame))
                 self.events_delivered_total += 1
                 self.bytes_delivered_total += len(frame)
         except (ConnectionResetError, BrokenPipeError):

@@ -112,21 +112,48 @@ def test_websocket_transport_matches_http(edge, spark):
     assert [f["time_us"] for f in got2] == times, "ws resume must be gapless"
 
 
-def test_metrics_endpoint(edge, spark):
-    server, log_dir = edge
+def _scrape(server) -> tuple[str, dict[str, float]]:
+    """Scrape /metrics; labeled series of a family SUM into the family key
+    (the reference's delivered/connected metrics are per-ip_address
+    CounterVec/GaugeVec — cmd/jetstream/metrics.go:8-31)."""
     conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
     conn.request("GET", "/metrics")
     resp = conn.getresponse()
     assert resp.status == 200
     body = resp.read().decode()
     conn.close()
-    metrics = {
-        line.split()[0].split("{")[0]: float(line.split()[-1])
-        for line in body.splitlines()
-        if line and not line.startswith("#")
-    }
+    metrics: dict[str, float] = {}
+    for line in body.splitlines():
+        if not line or line.startswith("#"):
+            continue
+        fam = line.split()[0].split("{")[0]
+        metrics[fam] = metrics.get(fam, 0.0) + float(line.split()[-1])
+    return body, metrics
+
+
+def test_metrics_endpoint(edge, spark):
+    server, log_dir = edge
+    body, metrics = _scrape(server)
     head = eventlog.read_log(spark, log_dir).agg({"time_us": "max"}).first()[0]
     assert metrics["consumer_last_seq"] == head
-    assert metrics["jetstream_events_delivered_total"] >= 0
-    assert metrics["jetstream_subscribers_connected"] >= 0
-    assert "jetstream_bytes_emitted_total" not in metrics or metrics["jetstream_bytes_emitted_total"] >= 0
+    assert metrics.get("jetstream_events_delivered_total", 0) >= 0
+    assert metrics.get("jetstream_events_emitted_total", 0) >= 0
+
+
+def test_metrics_per_ip_delivery_accounting(edge, spark):
+    """After a delivery, the per-IP labeled series must appear with the
+    client's address and count every delivered frame and its bytes."""
+    server, log_dir = edge
+    total = eventlog.read_log(spark, log_dir).count()
+    got: list[dict] = []
+    client = JetstreamClient("127.0.0.1", server.port, SequentialScheduler(got.append))
+    n = client.connect_and_read(cursor=0, max_events=total)
+    assert n == total
+    body, metrics = _scrape(server)
+    assert 'jetstream_events_delivered_total{ip_address="127.0.0.1"}' in body
+    assert 'jetstream_bytes_delivered_total{ip_address="127.0.0.1"}' in body
+    assert server.registry.events_by_ip.get("127.0.0.1", 0) >= total
+    assert server.registry.bytes_by_ip.get("127.0.0.1", 0) > 0
+    # emitted >= delivered: every written frame was first enqueued
+    assert metrics["jetstream_events_emitted_total"] >= metrics["jetstream_events_delivered_total"]
+    assert metrics["jetstream_bytes_emitted_total"] >= metrics["jetstream_bytes_delivered_total"]
