@@ -125,6 +125,7 @@ class SubscribeServer:
         max_sub_rate: float = MAX_SUB_RATE,
         hub=None,
         sub_buffer: int = SUB_BUFFER,
+        consumer_metrics=None,
     ):
         self.spark = spark
         self.log_dir = log_dir
@@ -145,6 +146,11 @@ class SubscribeServer:
         self.bytes_delivered_total = 0
         self.events_emitted_total = 0
         self.bytes_emitted_total = 0
+        # optional operators.observability.ConsumerMetrics: when the ingest
+        # pipeline runs in-process (the reference's topology — one process
+        # serves consumer + server families from one registry,
+        # cmd/jetstream/main.go:216), its families join this scrape
+        self.consumer_metrics = consumer_metrics
         self._server: asyncio.AbstractServer | None = None
 
     # --- engine-side helpers (run in threads) ------------------------------
@@ -303,10 +309,13 @@ class SubscribeServer:
         lines.append("# TYPE jetstream_bytes_delivered_total counter")
         for ip, n in sorted(self.registry.bytes_by_ip.items()):
             lines.append(f'jetstream_bytes_delivered_total{{ip_address="{ip}"}} {n}')
-        lines += [
-            "# TYPE consumer_last_seq gauge",
-            f'consumer_last_seq{{socket_url="{self.log_dir}"}} {self._head()}',
-        ]
+        if self.consumer_metrics is not None:
+            lines.append(self.consumer_metrics.render())
+        else:
+            lines += [
+                "# TYPE consumer_last_seq gauge",
+                f'consumer_last_seq{{socket_url="{self.log_dir}"}} {self._head()}',
+            ]
         return "\n".join(lines) + "\n"
 
     async def _respond(self, writer: asyncio.StreamWriter, code: int, msg: str) -> None:

@@ -25,6 +25,9 @@ The done-marker is only a fast-skip; correctness doesn't depend on it.
 
 from __future__ import annotations
 
+import time
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -36,6 +39,9 @@ from jetstream_spark.atproto.log import (
 )
 from jetstream_spark.atproto.normalize import normalize_frames
 from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
+
+if TYPE_CHECKING:
+    from jetstream_spark.operators.observability import ConsumerMetrics
 
 
 def read_frame_stream(spark: SparkSession, frames_dir: str, max_files_per_trigger: int = 100) -> DataFrame:
@@ -54,9 +60,15 @@ def start_ingest(
     log_dir: str,
     checkpoint_dir: str,
     wall_clock_us: int | None = None,
+    metrics: "ConsumerMetrics | None" = None,
 ) -> StreamingQuery:
     """Launch the standing pipeline. Blocking control stays with the caller
-    (query.processAllAvailable() in tests, awaitTermination() in prod)."""
+    (query.processAllAvailable() in tests, awaitTermination() in prod).
+
+    With `metrics` set (operators.observability.ConsumerMetrics), every
+    committed microbatch updates the reference's consumer_* Prometheus
+    families (pkg/consumer/metrics.go) — one extra tiny agg per batch,
+    nothing per-row; metrics=None leaves the hot path untouched."""
     frames = read_frame_stream(spark, frames_dir)
     normalized = normalize_frames(frames)
 
@@ -67,8 +79,11 @@ def start_ingest(
             return
         # idempotent commit: a crash-replayed batch first deletes its own
         # files, so re-running from any crash point cannot duplicate events
-        ingest_batch(batch_df, log_dir, wall_clock_us=wall_clock_us, batch_id=int(batch_id))
+        t0 = time.monotonic()
+        last = ingest_batch(batch_df, log_dir, wall_clock_us=wall_clock_us, batch_id=int(batch_id))
         _mark_batch_done(log_dir, batch_id)
+        if metrics is not None:
+            metrics.observe_batch(batch_df, time.monotonic() - t0, last)
 
     return (
         normalized.writeStream.foreachBatch(handle_batch)

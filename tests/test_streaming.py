@@ -189,3 +189,89 @@ def test_backfill_replay_rate_limit(spark, tmp_path):
     assert elapsed >= (total - rate) / rate * 0.8, (
         f"replay of {total} at {rate}/s finished in {elapsed:.2f}s — not paced"
     )
+
+
+@pytest.mark.timeout(300)
+def test_consumer_metrics_families(spark, tmp_path):
+    """S27 parity: the ingest pipeline feeds the reference's consumer_*
+    Prometheus families (pkg/consumer/metrics.go) — per-event_type and
+    per-(kind, op_path) counters, a batch-duration histogram with valid
+    cumulative buckets, conservation counters, and the head gauge."""
+    from jetstream_spark.operators.observability import ConsumerMetrics
+
+    frames_dir = str(tmp_path / "frames")
+    log_dir = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    all_frames = make_frames()
+    valid = [f for f in all_frames if f["did"] not in ("did:plc:toobig", "did:plc:badcid")]
+    expected_events = sum(len(f["ops"] or []) if f["kind"] == "commit" else 1 for f in valid)
+    _write_frame_file(frames_dir, all_frames, "batch1.jsonl")
+
+    metrics = ConsumerMetrics(socket_url="test-ingest")
+    q = start_ingest(spark, frames_dir, log_dir, ckpt, wall_clock_us=1_000_000, metrics=metrics)
+    q.processAllAvailable()
+    q.stop()
+
+    assert sum(metrics.events_processed.values()) == expected_events
+    assert metrics.events_sequenced_total == expected_events
+    assert metrics.events_persisted_total == expected_events
+    # every commit op lands in a (kind, collection) bucket; kinds are c/u/d
+    assert sum(metrics.ops_processed.values()) == sum(
+        len(f["ops"] or []) for f in valid if f["kind"] == "commit"
+    )
+    assert all(k in ("c", "u", "d") for k, _ in metrics.ops_processed)
+    head = eventlog.read_log(spark, log_dir).agg(F.max("time_us")).first()[0]
+    assert metrics.last_seq == head
+
+    text = metrics.render()
+    for fam in (
+        "consumer_events_processed_total",
+        "consumer_ops_processed_total",
+        "consumer_event_processing_duration_seconds_bucket",
+        "consumer_event_processing_duration_seconds_sum",
+        "consumer_event_processing_duration_seconds_count",
+        "consumer_last_seq",
+        "consumer_last_evt_processed_at",
+        "consumer_events_sequenced_total",
+        "consumer_events_persisted_total",
+    ):
+        assert fam in text, fam
+    # histogram buckets must be cumulative and end at _count on +Inf
+    bucket_vals = [
+        float(line.rsplit(" ", 1)[1])
+        for line in text.splitlines()
+        if line.startswith("consumer_event_processing_duration_seconds_bucket")
+    ]
+    assert bucket_vals == sorted(bucket_vals)
+    assert bucket_vals[-1] == metrics.duration_count == 1  # one microbatch
+
+
+def test_grafana_dashboard_targets_exposed_families():
+    """Every engine metric the dashboard queries must exist on the scrape
+    surface (host-exporter process_*/node_* series come from outside the
+    engine, as in the reference dashboard)."""
+    import json as _json
+    import re
+
+    from jetstream_spark.operators.observability import ConsumerMetrics
+
+    dash = _json.load(open(os.path.join(os.path.dirname(__file__), "..", "grafana-dashboard.json")))
+    exprs = [t["expr"] for p in dash["panels"] for t in p.get("targets", [])]
+    assert len(exprs) >= 12
+    engine_families = {
+        "jetstream_subscribers_connected",
+        "jetstream_events_emitted_total",
+        "jetstream_bytes_emitted_total",
+        "jetstream_events_delivered_total",
+        "jetstream_bytes_delivered_total",
+    }
+    engine_families |= {
+        line.split()[2]
+        for line in ConsumerMetrics().render().splitlines()
+        if line.startswith("# TYPE")
+    } | {"consumer_event_processing_duration_seconds_bucket"}
+    for expr in exprs:
+        for name in re.findall(r"[a-z_][a-z0-9_]*(?=\{)", expr):
+            if name.startswith(("process_", "node_")) or name in ("label_values",):
+                continue
+            assert name in engine_families, f"dashboard queries unexposed family {name}"
