@@ -126,6 +126,7 @@ class SubscribeServer:
         hub=None,
         sub_buffer: int = SUB_BUFFER,
         consumer_metrics=None,
+        tracer=None,
     ):
         self.spark = spark
         self.log_dir = log_dir
@@ -151,6 +152,8 @@ class SubscribeServer:
         # serves consumer + server families from one registry,
         # cmd/jetstream/main.go:216), its families join this scrape
         self.consumer_metrics = consumer_metrics
+        # optional operators.tracing.StageTracer serving /debug/traces
+        self.tracer = tracer
         self._server: asyncio.AbstractServer | None = None
 
     # --- engine-side helpers (run in threads) ------------------------------
@@ -214,6 +217,9 @@ class SubscribeServer:
             url = urllib.parse.urlparse(parts[1])
             if url.path == "/metrics":
                 await self._respond(writer, 200, self._metrics_text())
+                return
+            if url.path.startswith("/debug/"):
+                await self._handle_debug(writer, url)
                 return
             if url.path != "/subscribe":
                 await self._respond(writer, 404, "not found")
@@ -317,6 +323,39 @@ class SubscribeServer:
                 f'consumer_last_seq{{socket_url="{self.log_dir}"}} {self._head()}',
             ]
         return "\n".join(lines) + "\n"
+
+    async def _handle_debug(self, writer: asyncio.StreamWriter, url) -> None:
+        """The reference's profiling surface (cmd/jetstream/main.go:218
+        `/debug/pprof/*`) with Python analogues, plus `/debug/traces` for
+        the span ring (the reference exports spans to an OTEL collector;
+        headless deployments read this endpoint instead). The CPU profile
+        samples in a worker thread so the event loop keeps serving."""
+        from jetstream_spark.operators import tracing
+
+        params = urllib.parse.parse_qs(url.query)
+        if url.path in ("/debug/pprof", "/debug/pprof/"):
+            await self._respond(
+                writer,
+                200,
+                "jetstream-spark pprof: profile?seconds=N (collapsed stacks), "
+                "heap, goroutine; /debug/traces?limit=N (OTEL-shape spans)",
+            )
+        elif url.path == "/debug/pprof/profile":
+            seconds = min(float(params.get("seconds", ["1"])[0]), 30.0)
+            text = await asyncio.get_running_loop().run_in_executor(
+                None, tracing.cpu_profile, seconds
+            )
+            await self._respond(writer, 200, text or "(no samples)")
+        elif url.path == "/debug/pprof/heap":
+            await self._respond(writer, 200, tracing.heap_profile())
+        elif url.path in ("/debug/pprof/goroutine", "/debug/pprof/threads"):
+            await self._respond(writer, 200, tracing.thread_dump())
+        elif url.path == "/debug/traces":
+            limit = int(params.get("limit", ["100"])[0])
+            body = self.tracer.render_json(limit) if self.tracer is not None else '{"spans": []}'
+            await self._respond(writer, 200, body)
+        else:
+            await self._respond(writer, 404, "not found")
 
     async def _respond(self, writer: asyncio.StreamWriter, code: int, msg: str) -> None:
         reason = {200: "OK", 400: "Bad Request", 404: "Not Found", 405: "Method Not Allowed"}[code]

@@ -42,6 +42,7 @@ from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
 
 if TYPE_CHECKING:
     from jetstream_spark.operators.observability import ConsumerMetrics
+    from jetstream_spark.operators.tracing import StageTracer
 
 
 def read_frame_stream(spark: SparkSession, frames_dir: str, max_files_per_trigger: int = 100) -> DataFrame:
@@ -61,6 +62,7 @@ def start_ingest(
     checkpoint_dir: str,
     wall_clock_us: int | None = None,
     metrics: "ConsumerMetrics | None" = None,
+    tracer: "StageTracer | None" = None,
 ) -> StreamingQuery:
     """Launch the standing pipeline. Blocking control stays with the caller
     (query.processAllAvailable() in tests, awaitTermination() in prod).
@@ -72,7 +74,7 @@ def start_ingest(
     frames = read_frame_stream(spark, frames_dir)
     normalized = normalize_frames(frames)
 
-    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in _load_done_batches(log_dir):
             return  # fully committed earlier — fast skip
         if batch_df.isEmpty():
@@ -84,6 +86,17 @@ def start_ingest(
         _mark_batch_done(log_dir, batch_id)
         if metrics is not None:
             metrics.observe_batch(batch_df, time.monotonic() - t0, last)
+
+    if tracer is None:
+        handle_batch = commit_batch
+    else:
+        # span per microbatch commit — the engine's unit of processing,
+        # the analogue of the reference's per-event HandleStreamEvent span
+        # (pkg/consumer/consumer.go:100). Driver-side only; the executors'
+        # work inside is visible through Spark's own task metrics.
+        def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+            with tracer.span("CommitBatch", batch_id=int(batch_id), log_dir=log_dir):
+                commit_batch(batch_df, batch_id)
 
     return (
         normalized.writeStream.foreachBatch(handle_batch)

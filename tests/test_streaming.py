@@ -198,6 +198,7 @@ def test_consumer_metrics_families(spark, tmp_path):
     per-(kind, op_path) counters, a batch-duration histogram with valid
     cumulative buckets, conservation counters, and the head gauge."""
     from jetstream_spark.operators.observability import ConsumerMetrics
+    from jetstream_spark.operators.tracing import StageTracer
 
     frames_dir = str(tmp_path / "frames")
     log_dir = str(tmp_path / "log")
@@ -208,9 +209,18 @@ def test_consumer_metrics_families(spark, tmp_path):
     _write_frame_file(frames_dir, all_frames, "batch1.jsonl")
 
     metrics = ConsumerMetrics(socket_url="test-ingest")
-    q = start_ingest(spark, frames_dir, log_dir, ckpt, wall_clock_us=1_000_000, metrics=metrics)
+    tracer = StageTracer()
+    q = start_ingest(
+        spark, frames_dir, log_dir, ckpt, wall_clock_us=1_000_000, metrics=metrics, tracer=tracer
+    )
     q.processAllAvailable()
     q.stop()
+
+    # one CommitBatch span per committed microbatch (consumer.go:100 parity)
+    commit_spans = [s for s in tracer.recent() if s["name"] == "CommitBatch"]
+    assert len(commit_spans) >= 1
+    assert all(s["status"] == "OK" for s in commit_spans)
+    assert commit_spans[0]["attributes"]["log_dir"] == log_dir
 
     assert sum(metrics.events_processed.values()) == expected_events
     assert metrics.events_sequenced_total == expected_events
