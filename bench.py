@@ -85,6 +85,9 @@ EXTRAS = [
     "training_shards",       # r5: seeded global-shuffle manifest
     "ab_bootstrap_ci",       # r5: 200-replica Poisson bootstrap CI
     "bpe_learn_merges",      # r5: 24-round iterative BPE trainer
+    "dedup_embedding_lsh",   # r6: random-hyperplane banding + verify (0.9 tier)
+    "zipf_alpha",            # r6: vocab rank-frequency OLS fit
+    "quality_classifier_lr",  # r6: 3-round GD logistic quality filter
 ]
 
 REGRESSION_FACTOR = 1.15

@@ -27,6 +27,9 @@ from jetstream_spark.queries.spec import QuerySpec
 # r3-evidence entries in driver order, to exactly 50.
 _PRIORITY = (
     # ---- never driver-checked (r6 additions first, then r5 additions) ----
+    "dedup_embedding_lsh",    # r6: random-hyperplane banding, integer sign bits
+    "zipf_alpha",             # r6: rank-frequency power-law fit (corpus health)
+    "quality_classifier_lr",  # r6: trained LR quality filter, unrolled-GD oracle
     "ann_pq_topk",            # product-quantization ANN: codes + ADC tables
     "ann_ivfpq_topk",         # IVF-PQ composition: cell-pruned probe over codes
     "multimodal_phash_dedup", # perceptual-hash image dedup (aHash over PNG round-trip)

@@ -479,6 +479,171 @@ FROM p WHERE cos >= {COS_T}
 """
 
 
+# --- embedding near-dup via random-hyperplane LSH (high-threshold regime) ---------
+_RHP_T = 0.9  # the regime where hyperplane banding wins (vs the 0.4 exact scan)
+_RHP_H, _RHP_R = 24, 4  # 24 sign bits → 6 bands × 4 bits
+_RHP_DIM = 64
+_RHP_TWIN_OFFSET = 1_000_000
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_648
+
+
+def _rhp_planes() -> list[list[int]]:
+    """Deterministic integer hyperplanes from the same LCG formula the
+    oracle SQL evaluates — pure int64 arithmetic, so both engines agree
+    bit-for-bit (no float hyperplanes → no cross-engine sign flips)."""
+    return [
+        [
+            ((_LCG_A * (7919 * (h * _RHP_DIM + i + 1)) + _LCG_C) % _LCG_M) - _LCG_M // 2
+            for i in range(_RHP_DIM)
+        ]
+        for h in range(_RHP_H)
+    ]
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.9) via random-hyperplane LSH
+    banding — the SUB-QUADRATIC tier of the embedding-dedup ladder. The
+    exact blocked scan (q_dedup_embedding_cosine) is the right tool at low
+    thresholds where candidates ≈ all pairs; at the near-duplicate
+    threshold 0.9 the angle is 26°, per-hyperplane agreement p ≈ 0.856,
+    and 6 bands × 4 bits give recall 1-(1-p⁴)⁶ ≈ 0.99 while random
+    non-dup vectors (p ≈ 0.5) collide on a 4-bit band with prob 1/16 per
+    band — candidate volume stays near-linear in N.
+
+    The bench corpus has no natural cosine-0.9 pairs (max pairwise ≈ 0.6),
+    so the query dedups base ∪ deterministically-perturbed twins (each
+    even-offset vector gets a copy with ±10% per-component multiplicative
+    noise from an integer LCG — cosine ≈ 0.9985): real near-dups with a
+    known ground truth, built identically in the oracle SQL.
+
+    Scale shape (100 TB): signatures are map-side (24 int-dot products of
+    a length-64 quantized vector against broadcast-literal planes — pure
+    whole-stage-codegen); ONE shuffle on (band, band_key); candidate pairs
+    distinct-ed; verify joins fetch only candidate vectors by vec_id. Sign
+    bits are computed over round(x·128) int8-quantized components with
+    integer hyperplanes, so the bucket assignment is exact integer
+    arithmetic in both engines — float summation order cannot flip a
+    bucket (the failure mode a float-hyperplane LSH oracle would have).
+
+    Reference parity: the reference has no vector surface; this extends
+    the mandated LLM-pipeline dedup family (SURVEY.md §2.3).
+    """
+    planes = _rhp_planes()
+    base = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+
+    def perturb(x, i):
+        # s0 bounded before the LCG multiply so vec_id·64 at any corpus
+        # size stays inside int64 (same pre-mod in the oracle)
+        s0 = F.pmod(F.col("vec_id") * _RHP_DIM + i, F.lit(_LCG_M))
+        u = (F.pmod(F.lit(_LCG_A) * s0 + _LCG_C, F.lit(_LCG_M)) / F.lit(float(_LCG_M))) * 2 - 1
+        return x * (F.lit(1.0) + F.lit(0.1) * u)
+
+    # perturb BEFORE renaming: with the alias in the same select, the
+    # vec_id reference inside the lambda resolves to the +offset output
+    # column, seeding the LCG differently than the oracle
+    twins = base.select("vec_id", F.transform("v", perturb).alias("v")).select(
+        (F.col("vec_id") + _RHP_TWIN_OFFSET).alias("vec_id"), "v"
+    )
+    allv = base.unionByName(twins)
+
+    # floor(x·128 + 0.5), NOT round(): Spark's round works on the decimal
+    # shortest-repr while DuckDB rounds the binary value — a halfway-repr
+    # component would quantize differently and flip a bucket. floor on the
+    # binary double is identical in both engines.
+    qv = F.transform("v", lambda x: F.floor(x * 128 + F.lit(0.5)).cast("long"))
+    signed = allv.select(
+        "vec_id",
+        "v",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)).alias("nrm"),
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(qv, F.array(*[F.lit(c) for c in plane]), lambda x, y: x * y),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                )
+                >= 0
+            )
+            .cast("int")
+            .alias(f"bit{h}")
+            for h, plane in enumerate(planes)
+        ],
+    )
+    band_keys = F.array(
+        *[
+            sum(F.col(f"bit{b * _RHP_R + j}") * (8 >> j) for j in range(_RHP_R))
+            for b in range(_RHP_H // _RHP_R)
+        ]
+    )
+    exploded = signed.select("vec_id", F.posexplode(band_keys).alias("band", "key"))
+    cand = (
+        exploded.alias("a")
+        .join(exploded.alias("b"), ["band", "key"])
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    vecs = signed.select("vec_id", "v", "nrm")
+    pairs = (
+        cand.join(vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "vec_a")
+        .join(vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")), "vec_b")
+        .withColumn(
+            "cos",
+            F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+            / (F.col("na") * F.col("nb")),
+        )
+        .where(F.col("cos") >= _RHP_T)
+    )
+    return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+
+
+Q_EMB_LSH_ORACLE = f"""
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pert AS (
+  SELECT vec_id + {_RHP_TWIN_OFFSET} AS vec_id,
+         list(x * (1 + 0.1 * (((({_LCG_A} * s0 + {_LCG_C}) % {_LCG_M}) / {_LCG_M}.0) * 2 - 1))
+              ORDER BY i) AS v
+  FROM (
+    SELECT vec_id, i, v[i + 1] AS x, (vec_id * {_RHP_DIM} + i) % {_LCG_M} AS s0
+    FROM e, range({_RHP_DIM}) t(i)
+  ) GROUP BY vec_id
+), allv AS (
+  SELECT * FROM e UNION ALL SELECT * FROM pert
+), q AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM allv
+), comp AS (
+  SELECT vec_id, i, CAST(floor(v[i + 1] * 128 + 0.5) AS BIGINT) AS qx
+  FROM q, range({_RHP_DIM}) t(i)
+), hp AS (
+  SELECT h, i,
+         (({_LCG_A} * (7919 * (h * {_RHP_DIM} + i + 1)) + {_LCG_C}) % {_LCG_M}) - {_LCG_M // 2} AS c
+  FROM range({_RHP_H}) a(h), range({_RHP_DIM}) b(i)
+), bits AS (
+  SELECT vec_id, h, CASE WHEN sum(qx * c) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM comp JOIN hp USING (i) GROUP BY vec_id, h
+), bands AS (
+  SELECT vec_id, h // {_RHP_R} AS band,
+         sum(bit * (8 >> (h % {_RHP_R}))) AS key
+  FROM bits GROUP BY vec_id, h // {_RHP_R}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+), p AS (
+  SELECT vec_a, vec_b,
+         list_aggregate(list_transform(generate_series(1, {_RHP_DIM}), i -> qa.v[i] * qb.v[i]), 'sum')
+           / (qa.nrm * qb.nrm) AS cos
+  FROM cand JOIN q qa ON qa.vec_id = cand.vec_a JOIN q qb ON qb.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM p WHERE cos >= {_RHP_T}
+"""
+
+
 # --- near-dup cluster resolution (pairs → connected components) -------------------
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: the minhash-LSH pair stream is a graph; resolve it
@@ -1309,6 +1474,7 @@ QUERIES = [
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash_lsh, _JACCARD_PAIRS_SQL, "MinHash-LSH + exact verify (== exact pairs)", ("dedup",)),
     QuerySpec("dedup_simhash", q_dedup_simhash, _simhash_oracle(), "SimHash hamming≤3 pairs via exact pigeonhole banding", ("dedup",)),
     QuerySpec("dedup_embedding_cosine", q_dedup_embedding_cosine, Q_EMB_NEARDUP_ORACLE, "embedding cosine≥0.4 near-dup pairs", ("dedup",)),
+    QuerySpec("dedup_embedding_lsh", q_dedup_embedding_lsh, Q_EMB_LSH_ORACLE, "random-hyperplane LSH banding + exact verify at cosine≥0.9 (sub-quadratic embedding dedup)", ("dedup",)),
     QuerySpec("dedup_components", q_dedup_components, Q_COMPONENTS_ORACLE, "near-dup pairs → connected-component clusters", ("dedup",)),
     QuerySpec("dedup_keep_canonical", q_dedup_keep_canonical, Q_KEEP_CANONICAL_ORACLE, "surviving corpus after cluster resolution (anti-join)", ("dedup",)),
     QuerySpec("dedup_incremental", q_dedup_incremental, Q_DEDUP_INCREMENTAL_ORACLE, "incoming batch vs materialized bucketed band index", ("dedup",)),

@@ -768,7 +768,74 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(ratio, schema)
 
 
+# --- Zipf rank-frequency fit ---------------------------------------------------
+_ZIPF_MIN_COUNT = 5  # drop the count<5 tail where the log-log curve flattens
+
+
+def q_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law fit of the corpus rank-frequency curve: ln(freq) OLS on
+    ln(rank), reported as Zipf alpha (= −slope) with intercept and r².
+    A language-quality / corpus-health signal — natural text fits alpha
+    ≈ 1 with r² > 0.9; boilerplate floods, template spam, or synthetic
+    data bend the curve and show up here before eyeballing samples.
+
+    Shape: tokenize → ONE shuffle to the Heaps-law vocab (√corpus-scale),
+    drop the count<{_ZIPF_MIN_COUNT} tail, rank by a single-partition
+    window over the SURVIVING vocab only (bounded: vocab after the cutoff
+    is thousands of rows at any corpus size — same bounded-frame argument
+    as the BPE vocab rounds), then one covar/var aggregate for the fit.
+    Nothing corpus-scale crosses the driver.
+    """
+    from pyspark.sql import Window
+
+    from jetstream_spark.queries.text import _tokens
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= _ZIPF_MIN_COUNT)
+    )
+    ranked = vocab.select(
+        F.log(F.row_number().over(Window.orderBy(F.desc("cnt"), "term")).cast("double")).alias("lr"),
+        F.log(F.col("cnt").cast("double")).alias("lf"),
+    )
+    slope = F.covar_pop("lr", "lf") / F.var_pop("lr")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("fit_terms"),
+        F.round(-slope, 6).alias("alpha"),
+        F.round(F.avg("lf") - slope * F.avg("lr"), 6).alias("intercept"),
+        F.round(F.pow(F.corr("lr", "lf"), 2), 6).alias("r2"),
+    )
+
+
+Q_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({{tokens_sql}}) AS term FROM documents
+), vocab AS (
+  SELECT term, count(*) AS cnt FROM toks GROUP BY term HAVING count(*) >= {_ZIPF_MIN_COUNT}
+), ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, term) AS DOUBLE)) AS lr,
+         ln(CAST(cnt AS DOUBLE)) AS lf
+  FROM vocab
+)
+SELECT CAST(count(*) AS BIGINT) AS fit_terms,
+       round(-(covar_pop(lr, lf) / var_pop(lr)), 6) AS alpha,
+       round(avg(lf) - (covar_pop(lr, lf) / var_pop(lr)) * avg(lr), 6) AS intercept,
+       round(corr(lr, lf) * corr(lr, lf), 6) AS r2
+FROM ranked
+"""
+
+
+def _zipf_oracle() -> str:
+    from jetstream_spark.queries.text import _TOKENS_SQL
+
+    return Q_ZIPF_ORACLE.format(tokens_sql=_TOKENS_SQL)
+
+
 QUERIES = [
+    QuerySpec("zipf_alpha", q_zipf_alpha, _zipf_oracle(), "Zipf rank-frequency power-law fit (alpha, intercept, r2) over the vocab", ("profiling", "text")),
     QuerySpec("profile_columns", q_profile_columns, Q_PROFILE_COLUMNS_ORACLE, "per-column null/distinct profile, one wide aggregate pass", ("profiling",)),
     QuerySpec("profile_numeric", q_profile_numeric, Q_PROFILE_NUMERIC_ORACLE, "numeric min/max/avg/stddev profile, unpivoted", ("profiling",)),
     QuerySpec("profile_histogram", q_profile_histogram, Q_PROFILE_HISTOGRAM_ORACLE, "equal-width histograms per numeric column (engine-identical bin formula)", ("profiling",)),

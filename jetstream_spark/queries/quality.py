@@ -563,7 +563,111 @@ FROM sc GROUP BY doc_id, lang
 """
 
 
+# --- trained quality classifier (logistic regression, full-batch GD) -----------
+_LR_ROUNDS = 3
+_LR_RATE = 1.0
+
+
+def q_quality_classifier_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: train a logistic-regression quality
+    classifier with {_LR_ROUNDS} full-batch gradient-descent rounds over
+    the heuristic feature set (capped length, stopword ratio, alnum
+    ratio), labels from the composite heuristic score (≥ 0.5). The
+    GPT-3-style 'train a cheap classifier on a gold proxy, score the
+    corpus with it' pipeline stage, here end-to-end in the engine.
+
+    Returns one row per round (weights after the update + training
+    accuracy and log-loss under those weights) so the trajectory itself
+    is asserted, like the PageRank/k-means round oracles.
+
+    Scale shape: the feature frame is map-only over documents; each round
+    is ONE distributed avg-aggregate producing a 4-float gradient (the
+    k-means partial-reduction pattern — driver traffic is 4 doubles per
+    round, never rows); scoring under the final weights is again map-only.
+    Rounds are driver-coordinated like every iterative operator here
+    (MLlib shape); features are rounded to 6 decimals first so both
+    engines fit over bit-identical inputs, and reported floats are
+    rounded so cross-engine accumulation-order ulps cannot flip the hash.
+    """
+    from jetstream_spark.queries.text import q_quality_score
+
+    q = q_quality_score(spark, sf_dir)
+    feat = q.select(
+        "doc_id",
+        F.least(F.col("n_tokens") / 50.0, F.lit(1.0)).alias("x1"),
+        F.col("stopword_ratio").alias("x2"),
+        F.col("alnum_ratio").alias("x3"),
+        (F.col("quality_score") >= 0.5).cast("double").alias("y"),
+    ).localCheckpoint()  # features reused every round — cut the re-scan
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    out_rows = []
+    for rnd in range(1, _LR_ROUNDS + 1):
+        dot = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+        g = feat.agg(
+            F.avg(F.col("y") - p).alias("g0"),
+            F.avg(F.col("x1") * (F.col("y") - p)).alias("g1"),
+            F.avg(F.col("x2") * (F.col("y") - p)).alias("g2"),
+            F.avg(F.col("x3") * (F.col("y") - p)).alias("g3"),
+        ).first()
+        w = [w[i] + _LR_RATE * g[i] for i in range(4)]
+        dot2 = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2") + F.lit(w[3]) * F.col("x3")
+        p2 = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot2))
+        m = feat.agg(
+            F.avg(((dot2 >= 0).cast("double") == F.col("y")).cast("double")).alias("acc"),
+            F.avg(-(F.col("y") * F.log(p2) + (1 - F.col("y")) * F.log(1 - p2))).alias("loss"),
+        ).first()
+        out_rows.append(
+            (rnd, round(w[0], 6), round(w[1], 6), round(w[2], 6), round(w[3], 6),
+             round(m["acc"], 6), round(m["loss"], 6))
+        )
+    return spark.createDataFrame(
+        out_rows, "round int, w_bias double, w_len double, w_stop double, w_alnum double, accuracy double, log_loss double"
+    )
+
+
+def _lr_oracle() -> str:
+    from jetstream_spark.queries.text import Q_QUALITY_ORACLE
+
+    rounds_sql = []
+    prev_w = "w0"
+    for r in range(1, _LR_ROUNDS + 1):
+        rounds_sql.append(f"""
+g{r} AS (
+  SELECT avg(y - p) AS g0, avg(x1 * (y - p)) AS g1,
+         avg(x2 * (y - p)) AS g2, avg(x3 * (y - p)) AS g3
+  FROM (SELECT f.*, 1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2 + b3 * x3))) AS p
+        FROM feat f, {prev_w})
+), w{r} AS (
+  SELECT b0 + {_LR_RATE} * g0 AS b0, b1 + {_LR_RATE} * g1 AS b1,
+         b2 + {_LR_RATE} * g2 AS b2, b3 + {_LR_RATE} * g3 AS b3
+  FROM {prev_w}, g{r}
+), m{r} AS (
+  SELECT avg(CASE WHEN (CASE WHEN d >= 0 THEN 1.0 ELSE 0.0 END) = y THEN 1.0 ELSE 0.0 END) AS acc,
+         avg(-(y * ln(1.0 / (1.0 + exp(-d))) + (1 - y) * ln(1 - 1.0 / (1.0 + exp(-d))))) AS loss
+  FROM (SELECT f.y, b0 + b1 * x1 + b2 * x2 + b3 * x3 AS d FROM feat f, w{r})
+)""")
+        prev_w = f"w{r}"
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS round, round(b0, 6) AS w_bias, round(b1, 6) AS w_len, "
+        f"round(b2, 6) AS w_stop, round(b3, 6) AS w_alnum, "
+        f"round(acc, 6) AS accuracy, round(loss, 6) AS log_loss FROM w{r}, m{r}"
+        for r in range(1, _LR_ROUNDS + 1)
+    )
+    return f"""
+WITH q AS ({Q_QUALITY_ORACLE}), feat AS (
+  SELECT doc_id, least(n_tokens / 50.0, 1.0) AS x1, stopword_ratio AS x2,
+         alnum_ratio AS x3,
+         CASE WHEN quality_score >= 0.5 THEN 1.0 ELSE 0.0 END AS y
+  FROM q
+), w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3),{",".join(rounds_sql)}
+{selects} ORDER BY round
+"""
+
+
 QUERIES = [
+    QuerySpec("quality_classifier_lr", q_quality_classifier_lr, _lr_oracle(), "trained logistic-regression quality classifier (3 GD rounds, per-round weights + metrics)", ("quality",)),
     QuerySpec("bigram_perplexity", q_bigram_perplexity, Q_BIGRAM_PPL_ORACLE, "bigram stupid-backoff LM: model-as-table join scoring", ("text", "quality")),
     QuerySpec("quality_gopher_rules", q_gopher_rules, Q_GOPHER_ORACLE, "Gopher rule-bundle verdicts per doc", ("text", "quality")),
     QuerySpec("curation_pipeline", q_curation_pipeline, Q_CURATION_ORACLE, "dedup → Gopher filter → split: composed curation pipeline", ("quality", "pipeline")),

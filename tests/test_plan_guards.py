@@ -165,3 +165,31 @@ def test_dsir_scoring_is_map_only(spark):
     plan = _plan(df)
     assert "Join" not in plan, plan[:2000]
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_lr_round_plan(spark):
+    from pyspark.sql import functions as F
+
+    from jetstream_spark.queries.text import q_quality_score
+
+    feat = q_quality_score(spark, SF_DIR).select(
+        F.least(F.col("n_tokens") / 50.0, F.lit(1.0)).alias("x1"),
+        F.col("stopword_ratio").alias("x2"),
+        F.col("alnum_ratio").alias("x3"),
+        (F.col("quality_score") >= 0.5).cast("double").alias("y"),
+    )
+    dot = F.lit(0.1) + F.lit(0.2) * F.col("x1") + F.lit(0.3) * F.col("x2") + F.lit(0.4) * F.col("x3")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+    g = feat.agg(
+        F.avg(F.col("y") - p).alias("g0"),
+        F.avg(F.col("x1") * (F.col("y") - p)).alias("g1"),
+        F.avg(F.col("x2") * (F.col("y") - p)).alias("g2"),
+        F.avg(F.col("x3") * (F.col("y") - p)).alias("g3"),
+    )
+    plan = _plan(g)
+    _assert_clean("lr_gradient_round", plan)
+    # one map-side partial + one final agg over a 4-double state; a round
+    # must never join or re-shuffle the corpus
+    assert plan.count("HashAggregate") == 2, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Exchange") <= 1, plan[:2000]
