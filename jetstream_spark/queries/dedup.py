@@ -481,19 +481,33 @@ FROM p WHERE cos >= {COS_T}
 
 # --- embedding near-dup via random-hyperplane LSH (high-threshold regime) ---------
 _RHP_T = 0.9  # the regime where hyperplane banding wins (vs the 0.4 exact scan)
-_RHP_H, _RHP_R = 24, 4  # 24 sign bits → 6 bands × 4 bits
+# 48 sign bits → 4 bands × 12 bits. Band WIDTH is the candidate-volume
+# knob: random (p≈0.5) vectors collide on an r-bit band with prob 2^-r,
+# so expected candidates ≈ b·N²/2^r — r must track log₂N to stay
+# near-linear (r=12 → N²/1024; the first cut used r=4 and measured a
+# 6M-pair flood at N=4k whose verify dots dominated the runtime). Twin
+# recall at cosine 0.9985: per-bit agreement 0.983 → 1-(1-0.983¹²)⁴ ≈ 0.999.
+_RHP_H, _RHP_R = 48, 12
 _RHP_DIM = 64
 _RHP_TWIN_OFFSET = 1_000_000
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_648
 
 
 def _rhp_planes() -> list[list[int]]:
-    """Deterministic integer hyperplanes from the same LCG formula the
-    oracle SQL evaluates — pure int64 arithmetic, so both engines agree
-    bit-for-bit (no float hyperplanes → no cross-engine sign flips)."""
+    """Deterministic integer hyperplanes: first 8 hex chars of
+    md5('rhp-h-i'), centered — the engine-independent hash contract the
+    bloom/bucket ops already use. md5, NOT an LCG: an LCG over
+    consecutive (h,i) seeds has lattice structure that left the 48 sign
+    bits mutually correlated (measured: only ~100 of 4096 12-bit band
+    keys occupied, with period-3 bit patterns → a 1.7M-pair candidate
+    flood); md5 decorrelates the planes and the occupancy matches the
+    2^-r model. Integer planes → integer dots → bit-exact sign decisions
+    in both engines."""
+    import hashlib
+
     return [
         [
-            ((_LCG_A * (7919 * (h * _RHP_DIM + i + 1)) + _LCG_C) % _LCG_M) - _LCG_M // 2
+            int(hashlib.md5(f"rhp-{h}-{i}".encode()).hexdigest()[:8], 16) - 2**31
             for i in range(_RHP_DIM)
         ]
         for h in range(_RHP_H)
@@ -506,9 +520,10 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact blocked scan (q_dedup_embedding_cosine) is the right tool at low
     thresholds where candidates ≈ all pairs; at the near-duplicate
     threshold 0.9 the angle is 26°, per-hyperplane agreement p ≈ 0.856,
-    and 6 bands × 4 bits give recall 1-(1-p⁴)⁶ ≈ 0.99 while random
-    non-dup vectors (p ≈ 0.5) collide on a 4-bit band with prob 1/16 per
-    band — candidate volume stays near-linear in N.
+    and 4 bands × 12 bits keep planted-twin recall ≈ 0.999 while random
+    non-dup vectors (p ≈ 0.5) collide on a 12-bit band with prob 2⁻¹²
+    per band — band width r is the knob that must track log₂N to keep
+    the candidate volume near-linear (see the constants above).
 
     The bench corpus has no natural cosine-0.9 pairs (max pairwise ≈ 0.6),
     so the query dedups base ∪ deterministically-perturbed twins (each
@@ -554,31 +569,39 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # component would quantize differently and flip a bucket. floor on the
     # binary double is identical in both engines.
     qv = F.transform("v", lambda x: F.floor(x * 128 + F.lit(0.5)).cast("long"))
+    # signature kernel: ONE Arrow batch int64 matmul (n×64)·(64×48) per
+    # partition instead of per-row HOF dot products (48 interpreted
+    # 64-element aggregates per row measured 1.3 s for 4k rows; BLAS does
+    # it in ms). Integer matmul is EXACT (|dot| ≤ 64·2¹⁰·2³⁰ < 2⁴⁷), so
+    # cross-engine parity is unaffected by vectorization.
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes_arr = np.array(planes, dtype=np.int64)
+    n_bands = _RHP_H // _RHP_R
+    band_w = 1 << np.arange(_RHP_R - 1, -1, -1, dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def band_keys_udf(qvs: pd.Series) -> pd.Series:
+        if len(qvs) == 0:
+            return pd.Series([], dtype=object)
+        Q = np.array(qvs.tolist(), dtype=np.int64)
+        bits = ((Q @ planes_arr.T) >= 0).astype(np.int64)
+        keys = np.stack(
+            [bits[:, b * _RHP_R : (b + 1) * _RHP_R] @ band_w for b in range(n_bands)], axis=1
+        )
+        return pd.Series(keys.astype(np.int32).tolist())
+
+    # signatures computed ONCE (lazy checkpoint): the band self-join and
+    # the verify join would otherwise re-run the kernel per branch — at
+    # cluster scale this is the materialized signature table
     signed = allv.select(
         "vec_id",
         "v",
         F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)).alias("nrm"),
-        *[
-            (
-                F.aggregate(
-                    F.zip_with(qv, F.array(*[F.lit(c) for c in plane]), lambda x, y: x * y),
-                    F.lit(0).cast("long"),
-                    lambda a, x: a + x,
-                )
-                >= 0
-            )
-            .cast("int")
-            .alias(f"bit{h}")
-            for h, plane in enumerate(planes)
-        ],
-    )
-    band_keys = F.array(
-        *[
-            sum(F.col(f"bit{b * _RHP_R + j}") * (8 >> j) for j in range(_RHP_R))
-            for b in range(_RHP_H // _RHP_R)
-        ]
-    )
-    exploded = signed.select("vec_id", F.posexplode(band_keys).alias("band", "key"))
+        band_keys_udf(qv).alias("bands"),
+    ).localCheckpoint(eager=False)
+    exploded = signed.select("vec_id", F.posexplode("bands").alias("band", "key"))
     cand = (
         exploded.alias("a")
         .join(exploded.alias("b"), ["band", "key"])
@@ -622,14 +645,14 @@ WITH e AS (
   FROM q, range({_RHP_DIM}) t(i)
 ), hp AS (
   SELECT h, i,
-         (({_LCG_A} * (7919 * (h * {_RHP_DIM} + i + 1)) + {_LCG_C}) % {_LCG_M}) - {_LCG_M // 2} AS c
+         ({" + ".join(f"(strpos('0123456789abcdef', substr(md5('rhp-' || h || '-' || i), {j + 1}, 1)) - 1) * {16 ** (7 - j)}" for j in range(8))}) - 2147483648 AS c
   FROM range({_RHP_H}) a(h), range({_RHP_DIM}) b(i)
 ), bits AS (
   SELECT vec_id, h, CASE WHEN sum(qx * c) >= 0 THEN 1 ELSE 0 END AS bit
   FROM comp JOIN hp USING (i) GROUP BY vec_id, h
 ), bands AS (
   SELECT vec_id, h // {_RHP_R} AS band,
-         sum(bit * (8 >> (h % {_RHP_R}))) AS key
+         sum(bit * ({1 << (_RHP_R - 1)} >> (h % {_RHP_R}))) AS key
   FROM bits GROUP BY vec_id, h // {_RHP_R}
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
