@@ -106,6 +106,9 @@ AUDIT = {
     "dedup_substring_spans": "map-side HOF window hashing; ONE hash exchange for df>=2 + join-back; interval merge + per-doc agg share ONE doc_id exchange",
     "ab_bootstrap_ci": "one per-user event-scale exchange; replica explode map-only with partial agg before the (b, arm) exchange; percentile fold on B rows",
     "wordpiece_encode_stats": "greedy kernel runs over the DISTINCT-WORD table only (Arrow batch, broadcast piece set); corpus joins the word->counts result, never re-segments",
+    "dedup_embedding_lsh": "r6: Arrow int64-matmul signature kernel; checkpointed signature table feeds the ONE (band, key) self-join exchange; verify joins fetch candidates only",
+    "zipf_alpha": "one vocab exchange; rank window over the count>=5 survivors only; covar/var fold in one agg",
+    "quality_classifier_lr": "per round: ONE fused gradient+metrics aggregate (2 HashAggregates, <=1 exchange, no join) over the checkpointed feature frame",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
