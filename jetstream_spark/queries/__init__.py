@@ -30,6 +30,7 @@ _PRIORITY = (
     "dedup_embedding_lsh",    # r6: random-hyperplane banding, integer sign bits
     "zipf_alpha",             # r6: rank-frequency power-law fit (corpus health)
     "quality_classifier_lr",  # r6: trained LR quality filter, unrolled-GD oracle
+    "label_propagation",      # r6: sync LPA communities, min-label tie-break
     "ann_pq_topk",            # product-quantization ANN: codes + ADC tables
     "ann_ivfpq_topk",         # IVF-PQ composition: cell-pruned probe over codes
     "multimodal_phash_dedup", # perceptual-hash image dedup (aHash over PNG round-trip)

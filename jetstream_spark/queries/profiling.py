@@ -768,6 +768,75 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(ratio, schema)
 
 
+# --- label propagation communities ---------------------------------------------
+_LPA_ROUNDS = 3
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation over the part co-purchase graph:
+    every node starts as its own label; each round adopts the most
+    frequent label among neighbors, ties broken by the smallest label —
+    fully deterministic, so {_LPA_ROUNDS} fixed rounds are oracle-exact
+    (oscillation, the classic sync-LPA hazard, doesn't affect a fixed
+    round count). The cheap community detector next to the exact
+    connected-components operator: components give reachability,
+    LPA gives densely-linked groups.
+
+    Scale shape: per round ONE node-scale label join onto the edge list
+    (threshold-chosen broadcast, like the PageRank rank frame) + ONE
+    (node, label) count exchange + ONE node argmax exchange — the argmax
+    is a struct-max aggregate (max over (count, −label) pairs), not a
+    window, so no per-group sort. Label frames are localCheckpointed per
+    round (lineage cut, the iterative-operator house rule). All-integer
+    arithmetic — no cross-engine float risk anywhere.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li).localCheckpoint(eager=False)
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(_LPA_ROUNDS):
+        counted = (
+            edges.join(labels.withColumnRenamed("node", "nbr"), F.col("t") == F.col("nbr"))
+            .groupBy("s", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = counted.groupBy("s").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m")
+        )
+        labels = best.select(
+            F.col("s").alias("node"), (-F.col("m.nl")).alias("label")
+        ).localCheckpoint(eager=False)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("csize"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("part_key"), F.col("label").alias("community"), "csize"
+    )
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    for k in range(_LPA_ROUNDS):
+        rounds.append(
+            f"l{k + 1} AS (\n"
+            f"  SELECT node, label FROM (\n"
+            f"    SELECT e.s AS node, l.label, count(*) AS c,\n"
+            f"           row_number() OVER (PARTITION BY e.s ORDER BY count(*) DESC, l.label) AS rn\n"
+            f"    FROM edges e JOIN l{k} l ON l.node = e.t\n"
+            f"    GROUP BY e.s, l.label)\n"
+            f"  WHERE rn = 1\n)"
+        )
+    return (
+        "WITH edges AS (\n"
+        "  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t\n"
+        "  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey\n"
+        "  WHERE a.l_partkey <> b.l_partkey\n"
+        "), l0 AS (SELECT DISTINCT s AS node, s AS label FROM edges),\n"
+        + ",\n".join(rounds)
+        + f"\nSELECT l.node AS part_key, l.label AS community, c.csize\n"
+        f"FROM l{_LPA_ROUNDS} l JOIN (SELECT label, CAST(count(*) AS BIGINT) AS csize FROM l{_LPA_ROUNDS} GROUP BY label) c USING (label)"
+    )
+
+
 # --- Zipf rank-frequency fit ---------------------------------------------------
 _ZIPF_MIN_COUNT = 5  # drop the count<5 tail where the log-log curve flattens
 
@@ -836,6 +905,7 @@ def _zipf_oracle() -> str:
 
 QUERIES = [
     QuerySpec("zipf_alpha", q_zipf_alpha, _zipf_oracle(), "Zipf rank-frequency power-law fit (alpha, intercept, r2) over the vocab", ("profiling", "text")),
+    QuerySpec("label_propagation", q_label_propagation, _lpa_oracle(), "3-round synchronous LPA communities over the co-purchase graph (min-label tie-break, unrolled-CTE oracle)", ("graph",)),
     QuerySpec("profile_columns", q_profile_columns, Q_PROFILE_COLUMNS_ORACLE, "per-column null/distinct profile, one wide aggregate pass", ("profiling",)),
     QuerySpec("profile_numeric", q_profile_numeric, Q_PROFILE_NUMERIC_ORACLE, "numeric min/max/avg/stddev profile, unpivoted", ("profiling",)),
     QuerySpec("profile_histogram", q_profile_histogram, Q_PROFILE_HISTOGRAM_ORACLE, "equal-width histograms per numeric column (engine-identical bin formula)", ("profiling",)),

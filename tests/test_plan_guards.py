@@ -193,3 +193,30 @@ def test_lr_round_plan(spark):
     assert plan.count("HashAggregate") == 2, plan[:2000]
     assert "Join" not in plan, plan[:2000]
     assert plan.count("Exchange") <= 1, plan[:2000]
+
+
+def test_lpa_round_plan(spark):
+    from pyspark.sql import functions as F
+
+    from jetstream_spark.queries.profiling import _copurchase_edges
+    from jetstream_spark.tables import table
+
+    edges = _copurchase_edges(table(spark, SF_DIR, "lineitem")).localCheckpoint()
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
+    counted = (
+        edges.join(labels.withColumnRenamed("node", "nbr"), F.col("t") == F.col("nbr"))
+        .groupBy("s", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    best = counted.groupBy("s").agg(
+        F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m")
+    )
+    plan = _plan(best)
+    _assert_clean("lpa_round", plan)
+    # node-scale label frame broadcasts onto the edges; the argmax is a
+    # struct-max AGGREGATE (no per-group window sort); two count/argmax
+    # exchanges, never an edge re-shuffle beyond them
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
