@@ -18,78 +18,83 @@ from jetstream_spark.queries.spec import QuerySpec
 # round under a HARD rule (pinned by tests/test_registry_priority.py):
 #   1. never-driver-checked entries ALWAYS lead the window — a new operator
 #      debuts with driver evidence in its debut round, no exceptions;
-#   2. then entries whose code changed this round;
-#   3. then the rest, oldest driver evidence first.
-# Round-6 rotation: the 7 r5 additions (zero driver evidence — VERDICT r5
-# "What's wrong" #1) plus any r6 additions lead; then the two r2-stale
-# displaced entries; then the two queries whose code changes this round
-# (bm25 single-tokenization fix, containment df ceiling); then the oldest
-# r3-evidence entries in driver order, to exactly 50.
+#   2. then entries whose code changed this round (declared in
+#      _CODE_CHANGED below so the rotation test can exempt them);
+#   3. then the rest, OLDEST driver evidence first — every in-window entry
+#      must be at least as stale as every out-of-window entry (pinned by
+#      tests/test_registry_priority.py::test_window_is_oldest_evidence_first).
+# Round-7 rotation: no never-checked entries (all 160 have evidence);
+# dedup_embedding_lsh re-enters because its band width became N-adaptive
+# this round (VERDICT r6 #3); then the 15 r3-stale entries, then the 34
+# oldest r4-stale entries — exactly 50.
+
+# Entries whose engine/oracle CODE changed this round: they re-enter the
+# window ahead of the staleness order so the change gets driver evidence
+# in the round it ships. Reset this tuple each round.
+_CODE_CHANGED = (
+    "dedup_embedding_lsh",  # r7: _RHP_R now derived from corpus count (log2 N)
+)
+
 _PRIORITY = (
-    # ---- never driver-checked (r6 additions first, then r5 additions) ----
-    "dedup_embedding_lsh",    # r6: random-hyperplane banding, integer sign bits
-    "zipf_alpha",             # r6: rank-frequency power-law fit (corpus health)
-    "quality_classifier_lr",  # r6: trained LR quality filter, unrolled-GD oracle
-    "label_propagation",      # r6: sync LPA communities, min-label tie-break
-    "ann_pq_topk",            # product-quantization ANN: codes + ADC tables
-    "ann_ivfpq_topk",         # IVF-PQ composition: cell-pruned probe over codes
-    "multimodal_phash_dedup", # perceptual-hash image dedup (aHash over PNG round-trip)
-    "dedup_substring_spans",  # ExactSubstr: cross-doc verbatim runs, interval-merged
-    "ab_bootstrap_ci",        # deterministic Poisson-bootstrap lift CI
-    "wordpiece_encode_stats", # greedy longest-match encoder (recursive-CTE oracle)
-    "training_shards",        # deterministic seeded global shuffle manifest
-    # ---- r2-only driver evidence (displaced from the r5 window) ----
-    "dedup_exact",
-    "salted_join_revenue",
-    # ---- code changed this round (r6) ----
-    "bm25_topk",          # r6: token array projected once (VERDICT r5 #2)
-    "dedup_containment",  # r6: opt-in df stop-shingle ceiling (VERDICT r5 #3)
-    # ---- r3-latest driver evidence, driver order (oldest first) ----
-    "q2_min_cost_supplier",
-    "q4_priority_checking",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_by_linestatus",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q20_excess_shippers",
-    "q13_order_count_distribution",
-    "q11_revenue_concentration",
-    "q21_sole_blame_suppliers",
-    "q22_idle_rich_customers",
-    "cms_heavy_hitters",
-    "kmeans_cluster_stats",
-    "semdedup_pairs",
-    "curation_pipeline",
-    "quality_gopher_rules",
-    "unigram_perplexity",
-    "domain_mix_weights",
-    "importance_weights_dsir",
-    "sessionization",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_lsh_indexed",
-    "ann_ivf_indexed",
-    "vocab_top_terms",
-    "text_pii_scrub",
-    "stratified_sample",
-    "dedup_components",
-    "dedup_keep_canonical",
-    "dedup_incremental",
-    "embedding_quantize_int8",
-    "tfidf_top_terms",
+    # ---- code changed this round (r7) ----
+    "dedup_embedding_lsh",
+    # ---- r3-latest driver evidence (stalest), driver order ----
     "decontaminate_splits",
     "q7_nation_volume",
     "q10_returned_items",
     "q14_promo_share",
+    "intersect_repeat_buyers",
+    "date_functions",
+    "distinct_agg",
+    "topk_brand_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "ordered_string_agg",
+    "above_nation_avg",
+    "user_journey",
+    "monthly_density",
+    "bool_aggs",
+    # ---- r4-latest driver evidence, driver order (oldest first) ----
+    "window_rank_customers",
+    "window_order_gaps",
+    "latest_order_per_customer",
+    "regexp_extract_ids",
+    "timeseries_gapfill",
+    "ewma_hourly",
+    "scd2_user_tiers",
+    "retention_cohorts",
+    "rate_anomaly",
+    "ab_test_conversion",
+    "dedup_span_scrub",
+    "dedup_containment_kmv",
+    "dedup_common_spans",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_two_tier",
+    "knn_graph",
+    "knn_graph_ivf",
+    "embedding_covariance",
+    "kmeans_train",
+    "phrase_search",
+    "bpe_pair_counts",
+    "bigram_perplexity",
+    "multimodal_resize",
+    "multimodal_video_frames",
+    "multimodal_audio_stats",
+    "negative_samples",
+    "domain_temperature_sample",
+    "split_drift_psi",
+    "cluster_aware_split",
+    "weighted_sample",
+    "decontaminate_bloom",
+    "corpus_budget_selection",
     # ================= driver window boundary (50) ==================
-    # Displaced this round (all r3-driver-green, rotate back next round):
-    # q18_large_orders, q19_disjunctive, user_journey, distinct_agg,
-    # bool_aggs, ordered_string_agg, intersect_repeat_buyers,
-    # topk_brand_revenue, above_nation_avg, monthly_density, date_functions
-    # — these and everything else follow in module order.
+    # Still r4-stale, first in line for the r8 window: profile_columns,
+    # profile_numeric, profile_histogram, profile_skew, fk_integrity,
+    # hll_distinct, fuzzy_join_names, pagerank_copurchase, triangle_count,
+    # degree_profile, quantile_norm — then the r5 block.
+    # Everything else follows in module order.
 )
 
 
