@@ -139,14 +139,31 @@ class SubscribeServer:
         # the reference's single-live-pipeline topology (server.go:187-238)
         self.hub = hub
         self.registry = Registry()
-        # server-level counters (cmd/jetstream/metrics.go names); mutated
-        # only on the event loop thread. emitted = frames entering the
-        # delivery pipeline (enqueued, pre-rate-limit); delivered = frames
-        # actually written to a subscriber
+        # server-level counters (cmd/jetstream/metrics.go names). The
+        # reference increments emitted ONCE per event entering Server.Emit,
+        # regardless of subscriber count and before per-subscriber filters
+        # (cmd/jetstream/server.go:62-80) — NOT per enqueue. In this pull
+        # topology the analogue is "once per distinct time_us advanced past
+        # the fan-out head": a monotonic gate dedups the same event observed
+        # by N subscribers, and cursor replays/backfills (time_us at or
+        # below the server-start head) never count. Per-subscriber enqueues
+        # live under the engine-specific *_enqueued_total names instead.
+        # delivered = frames actually written to a subscriber.
         self.events_delivered_total = 0
         self.bytes_delivered_total = 0
         self.events_emitted_total = 0
         self.bytes_emitted_total = 0
+        self.events_enqueued_total = 0
+        self.bytes_enqueued_total = 0
+        self._emit_lock = threading.Lock()
+        # baseline: events already persisted when the server came up are
+        # history (replay-only), mirroring a consumer that starts feeding
+        # Emit at attach time
+        self._emitted_head_us = SequencerState.load(log_dir).last_time_us
+        if hub is not None:
+            # the hub's per-tick slice is THE single fan-out point in the
+            # reference topology — count there, pre-filter, once per slice
+            hub.on_slice = self._note_slice_emitted
         # optional operators.observability.ConsumerMetrics: when the ingest
         # pipeline runs in-process (the reference's topology — one process
         # serves consumer + server families from one registry,
@@ -184,7 +201,7 @@ class SubscribeServer:
                     frame = row["value"].encode() + b"\n"
                     try:
                         queue.put_nowait(frame)
-                        self._note_emitted(frame)
+                        self._note_enqueued(frame)  # emitted noted by on_slice
                     except asyncio.QueueFull:
                         info.dropped = True
                         return
@@ -288,9 +305,35 @@ class SubscribeServer:
             data = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
         return opcode, data
 
-    def _note_emitted(self, frame: bytes) -> None:
-        self.events_emitted_total += 1
-        self.bytes_emitted_total += len(frame)
+    def _note_enqueued(self, frame: bytes, time_us: int | None = None) -> None:
+        """Per-subscriber enqueue accounting (engine-specific metric — the
+        reference has no per-enqueue counter), plus the head-gated emitted
+        note when the enqueueing path is the only fan-out observer (no hub:
+        per-subscriber polling IS the fan-out, so the first subscriber to
+        see a new event counts it and the gate dedups the rest)."""
+        self.events_enqueued_total += 1
+        self.bytes_enqueued_total += len(frame)
+        if time_us is not None and self.hub is None:
+            self._note_event_emitted(time_us, len(frame))
+
+    def _note_event_emitted(self, time_us: int, nbytes: int) -> None:
+        """Count an event entering the fan-out ONCE (server.go:62-80
+        semantics): a monotonic head gate drops duplicates observed by
+        other subscribers and anything at or below the server-start head
+        (cursor replays / backfills). Lock because the hub tick thread and
+        the event loop can both note."""
+        with self._emit_lock:
+            if time_us > self._emitted_head_us:
+                self._emitted_head_us = time_us
+                self.events_emitted_total += 1
+                self.bytes_emitted_total += nbytes
+
+    def _note_slice_emitted(self, rows: list) -> None:
+        """Hub hook: one call per tick slice, BEFORE per-subscriber filters
+        (matching the reference's pre-filter Emit increment), independent of
+        how many subscribers the slice fans out to."""
+        for row in rows:
+            self._note_event_emitted(row["time_us"], len(row["value"].encode()) + 1)
 
     def _metrics_text(self) -> str:
         """Prometheus text exposition — the scrape surface the reference
@@ -308,6 +351,12 @@ class SubscribeServer:
             f"jetstream_events_emitted_total {self.events_emitted_total}",
             "# TYPE jetstream_bytes_emitted_total counter",
             f"jetstream_bytes_emitted_total {self.bytes_emitted_total}",
+            # engine-specific (no reference analogue): per-subscriber
+            # enqueues — scales with subscriber count and includes replays
+            "# TYPE jetstream_subscriber_events_enqueued_total counter",
+            f"jetstream_subscriber_events_enqueued_total {self.events_enqueued_total}",
+            "# TYPE jetstream_subscriber_bytes_enqueued_total counter",
+            f"jetstream_subscriber_bytes_enqueued_total {self.bytes_enqueued_total}",
             "# TYPE jetstream_events_delivered_total counter",
         ]
         for ip, n in sorted(self.registry.events_by_ip.items()):
@@ -341,7 +390,11 @@ class SubscribeServer:
                 "heap, goroutine; /debug/traces?limit=N (OTEL-shape spans)",
             )
         elif url.path == "/debug/pprof/profile":
-            seconds = min(float(params.get("seconds", ["1"])[0]), 30.0)
+            try:
+                seconds = min(max(float(params.get("seconds", ["1"])[0]), 0.0), 30.0)
+            except ValueError:
+                await self._respond(writer, 400, "seconds must be a number")
+                return
             text = await asyncio.get_running_loop().run_in_executor(
                 None, tracing.cpu_profile, seconds
             )
@@ -351,7 +404,11 @@ class SubscribeServer:
         elif url.path in ("/debug/pprof/goroutine", "/debug/pprof/threads"):
             await self._respond(writer, 200, tracing.thread_dump())
         elif url.path == "/debug/traces":
-            limit = int(params.get("limit", ["100"])[0])
+            try:
+                limit = max(int(params.get("limit", ["100"])[0]), 0)
+            except ValueError:
+                await self._respond(writer, 400, "limit must be an integer")
+                return
             body = self.tracer.render_json(limit) if self.tracer is not None else '{"spans": []}'
             await self._respond(writer, 200, body)
         else:
@@ -418,7 +475,7 @@ class SubscribeServer:
                                 except asyncio.QueueFull:
                                     info.dropped = True
                                     return
-                            self._note_emitted(frame)
+                            self._note_enqueued(frame, time_us=row["time_us"])
                         sub.advance(batch[-1]["time_us"])
                         limiter.rate = self.max_sub_rate * (
                             PLAYBACK_MULT if not sub.caught_up(self._head()) else 1

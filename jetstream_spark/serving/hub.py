@@ -73,6 +73,11 @@ class LiveTailHub:
         self.batch_limit = batch_limit or _default_batch_limit()
         self._subs: dict[int, _HubSub] = {}
         self._next_id = 0
+        # optional observer called ONCE per collected slice, before the
+        # per-subscriber filter loop — the edge wires its emitted counters
+        # here (server.go:62-80: Emit increments pre-filter, per event,
+        # regardless of subscriber count)
+        self.on_slice: Callable[[list], None] | None = None
         # serializes all delivery (ticks + registration catch-up) — the
         # analogue of the reference's Subscribers RWMutex
         self._lock = threading.Lock()
@@ -137,6 +142,8 @@ class LiveTailHub:
             rows = to_wire(df).orderBy("time_us").limit(self.batch_limit).collect()
             if not rows:
                 return
+            if self.on_slice is not None:
+                self.on_slice(rows)
             slice_hi = rows[-1]["time_us"]
             for h in behind:
                 out = [

@@ -154,6 +154,11 @@ def test_metrics_per_ip_delivery_accounting(edge, spark):
     assert 'jetstream_bytes_delivered_total{ip_address="127.0.0.1"}' in body
     assert server.registry.events_by_ip.get("127.0.0.1", 0) >= total
     assert server.registry.bytes_by_ip.get("127.0.0.1", 0) > 0
-    # emitted >= delivered: every written frame was first enqueued
-    assert metrics["jetstream_events_emitted_total"] >= metrics["jetstream_events_delivered_total"]
-    assert metrics["jetstream_bytes_emitted_total"] >= metrics["jetstream_bytes_delivered_total"]
+    # enqueued >= delivered: every written frame was first enqueued
+    assert metrics["jetstream_subscriber_events_enqueued_total"] >= metrics["jetstream_events_delivered_total"]
+    assert metrics["jetstream_subscriber_bytes_enqueued_total"] >= metrics["jetstream_bytes_delivered_total"]
+    # server.go:62-80 semantics: cursor replays of pre-server history are
+    # NOT emissions — only events advancing past the fan-out head count,
+    # and every read in this module replays history ingested before start
+    assert metrics["jetstream_events_emitted_total"] == 0
+    assert metrics["jetstream_bytes_emitted_total"] == 0

@@ -59,6 +59,10 @@ def test_edge_hub_cutover_no_dup_no_gap_under_concurrent_writes(spark, tmp_path)
         assert len(got) == total, f"gap across cutover: delivered {len(got)}/{total}"
         assert times == sorted(times), "delivery must be time-ordered"
         assert len(set(times)) == total, "duplicates across replay→live cutover"
+        # server.go:62-80: emitted counts each event once at the shared
+        # fan-out point — the 3 live batches, never the cursor-replayed
+        # pre-start batch, no matter how many slices/subscribers saw them
+        assert server.events_emitted_total == 3 * n
     finally:
         import asyncio
 

@@ -101,6 +101,56 @@ def test_live_tail_receives_new_events(edge, spark):
     assert all(f["time_us"] > head_before for f in frames), "live tail must skip history"
 
 
+def test_emitted_counts_once_per_event_across_subscribers(edge, spark):
+    """server.go:62-80 semantics (ADVICE r6): emitted increments once per
+    event entering the fan-out, regardless of subscriber count; per-sub
+    enqueues live under the engine-specific subscriber_*_enqueued names."""
+    import threading
+
+    server, log_dir, normalized = edge
+    emitted_before = server.events_emitted_total
+    enqueued_before = server.events_enqueued_total
+
+    results: list[list[dict]] = [[], []]
+    ready = threading.Barrier(3, timeout=60)
+
+    head_before = eventlog.read_log(spark, log_dir).agg(F.max("time_us")).first()[0]
+
+    def tail(slot: int, expect: list[int]) -> None:
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+        conn.request("GET", "/subscribe")  # live tail
+        resp = conn.getresponse()
+        assert resp.status == 200
+        ready.wait()
+        while len(results[slot]) < expect[0]:
+            line = resp.readline()
+            if not line:
+                break
+            results[slot].append(json.loads(line))
+        conn.close()
+
+    expect = [1 << 30]  # patched once new_count is known
+    threads = [threading.Thread(target=tail, args=(i, expect)) for i in range(2)]
+    for t in threads:
+        t.start()
+    ready.wait()
+    import time as _time
+
+    deadline = _time.time() + 30
+    while len(server.registry.subscribers) != 2 and _time.time() < deadline:
+        _time.sleep(0.1)  # earlier tests' subscribers must finish deregistering
+    assert len(server.registry.subscribers) == 2
+    eventlog.ingest_batch(normalized, log_dir, wall_clock_us=head_before + 1)
+    new_count = eventlog.read_log(spark, log_dir).where(F.col("time_us") > head_before).count()
+    expect[0] = new_count
+    for t in threads:
+        t.join(timeout=120)
+    assert [len(r) for r in results] == [new_count, new_count]
+    # once per event — NOT once per subscriber-enqueue
+    assert server.events_emitted_total - emitted_before == new_count
+    assert server.events_enqueued_total - enqueued_before == 2 * new_count
+
+
 def _wait_registry_empty(server, timeout: float = 15.0) -> bool:
     import time
 
