@@ -481,23 +481,47 @@ FROM p WHERE cos >= {COS_T}
 
 # --- embedding near-dup via random-hyperplane LSH (high-threshold regime) ---------
 _RHP_T = 0.9  # the regime where hyperplane banding wins (vs the 0.4 exact scan)
-# 48 sign bits → 4 bands × 12 bits. Band WIDTH is the candidate-volume
-# knob: random (p≈0.5) vectors collide on an r-bit band with prob 2^-r,
-# so expected candidates ≈ b·N²/2^r — r must track log₂N to stay
-# near-linear (r=12 → N²/1024; the first cut used r=4 and measured a
-# 6M-pair flood at N=4k whose verify dots dominated the runtime). Twin
-# recall at cosine 0.9985: per-bit agreement 0.983 → 1-(1-0.983¹²)⁴ ≈ 0.999.
-_RHP_H, _RHP_R = 48, 12
+# Band WIDTH r is the candidate-volume knob: random (p≈0.5) vectors collide
+# on an r-bit band with prob 2^-r, so expected candidates ≈ b·N²/2^r — r
+# must track log₂N to stay near-linear, so it is DERIVED from the corpus
+# count (VERDICT r6 #3; the r6 cut pinned r=12, whose own docstring said it
+# goes quadratic at 100× corpus). The first cut used r=4 and measured a
+# 6M-pair flood at N=4k whose verify dots dominated the runtime.
+_RHP_R_FLOOR = 12
 _RHP_DIM = 64
 _RHP_TWIN_OFFSET = 1_000_000
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2_147_483_648
+# Planted-twin per-bit agreement at cosine ≈ 0.9985: p = 1 - acos(.9985)/π
+# ≈ 0.983. Twin recall = 1-(1-p^r)^b decays as r grows, so the band COUNT
+# steps up to hold the ≥0.95 recall floor: (1-p^r)^b ≤ 0.05 needs b=5 from
+# r=38 (p^38 ≈ 0.52) and b=6 from r=47. Integer thresholds precomputed
+# offline — both engines derive identical (r, b) from pure integer
+# comparisons, with no cross-libm pow/ln boundary risk.
+_RHP_B_STEPS = ((37, 4), (46, 5))
+_RHP_B_MAX = 6
 
 
-def _rhp_planes() -> list[list[int]]:
+def _rhp_params(n_vectors: int) -> tuple[int, int]:
+    """(band width r, band count b) for a corpus of n_vectors (post-twin).
+
+    r = max(12, ceil(log2 N) + 2) keeps expected random collisions per
+    band at N²/2^r ≤ N/4 (near-linear candidates); b holds the planted-twin
+    recall floor as r grows. ceil(log2) over an exact integer is safe
+    cross-engine: doubles represent log2 of non-powers-of-two far from
+    integers, and powers of two exactly.
+    """
+    import math
+
+    r = max(_RHP_R_FLOOR, math.ceil(math.log2(max(n_vectors, 2))) + 2)
+    b = next((nb for hi, nb in _RHP_B_STEPS if r <= hi), _RHP_B_MAX)
+    return r, b
+
+
+def _rhp_planes(n_planes: int) -> list[list[int]]:
     """Deterministic integer hyperplanes: first 8 hex chars of
     md5('rhp-h-i'), centered — the engine-independent hash contract the
     bloom/bucket ops already use. md5, NOT an LCG: an LCG over
-    consecutive (h,i) seeds has lattice structure that left the 48 sign
+    consecutive (h,i) seeds has lattice structure that left the sign
     bits mutually correlated (measured: only ~100 of 4096 12-bit band
     keys occupied, with period-3 bit patterns → a 1.7M-pair candidate
     flood); md5 decorrelates the planes and the occupancy matches the
@@ -510,44 +534,26 @@ def _rhp_planes() -> list[list[int]]:
             int(hashlib.md5(f"rhp-{h}-{i}".encode()).hexdigest()[:8], 16) - 2**31
             for i in range(_RHP_DIM)
         ]
-        for h in range(_RHP_H)
+        for h in range(n_planes)
     ]
 
 
-def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine ≥ 0.9) via random-hyperplane LSH
-    banding — the SUB-QUADRATIC tier of the embedding-dedup ladder. The
-    exact blocked scan (q_dedup_embedding_cosine) is the right tool at low
-    thresholds where candidates ≈ all pairs; at the near-duplicate
-    threshold 0.9 the angle is 26°, per-hyperplane agreement p ≈ 0.856,
-    and 4 bands × 12 bits keep planted-twin recall ≈ 0.999 while random
-    non-dup vectors (p ≈ 0.5) collide on a 12-bit band with prob 2⁻¹²
-    per band — band width r is the knob that must track log₂N to keep
-    the candidate volume near-linear (see the constants above).
+def _rhp_banded(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(signature table, distinct candidate pairs) for the RHP-LSH tier —
+    factored out so the two-scale candidate-volume test can measure the
+    pre-verify candidate count directly.
 
-    The bench corpus has no natural cosine-0.9 pairs (max pairwise ≈ 0.6),
-    so the query dedups base ∪ deterministically-perturbed twins (each
-    even-offset vector gets a copy with ±10% per-component multiplicative
-    noise from an integer LCG — cosine ≈ 0.9985): real near-dups with a
-    known ground truth, built identically in the oracle SQL.
-
-    Scale shape (100 TB): signatures are map-side (24 int-dot products of
-    a length-64 quantized vector against broadcast-literal planes — pure
-    whole-stage-codegen); ONE shuffle on (band, band_key); candidate pairs
-    distinct-ed; verify joins fetch only candidate vectors by vec_id. Sign
-    bits are computed over round(x·128) int8-quantized components with
-    integer hyperplanes, so the bucket assignment is exact integer
-    arithmetic in both engines — float summation order cannot flip a
-    bucket (the failure mode a float-hyperplane LSH oracle would have).
-
-    Reference parity: the reference has no vector surface; this extends
-    the mandated LLM-pipeline dedup family (SURVEY.md §2.3).
+    (r, b) derive from the post-twin corpus count: one count() over the
+    embeddings parquet (footer-cheap even at 100 TB) keys the whole layout,
+    mirrored by the oracle's params CTE so both engines band identically at
+    any scale.
     """
-    planes = _rhp_planes()
     base = table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
+    r, n_bands = _rhp_params(2 * base.count())
+    planes = _rhp_planes(r * n_bands)
 
     def perturb(x, i):
         # s0 bounded before the LCG multiply so vec_id·64 at any corpus
@@ -569,28 +575,28 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # component would quantize differently and flip a bucket. floor on the
     # binary double is identical in both engines.
     qv = F.transform("v", lambda x: F.floor(x * 128 + F.lit(0.5)).cast("long"))
-    # signature kernel: ONE Arrow batch int64 matmul (n×64)·(64×48) per
+    # signature kernel: ONE Arrow batch int64 matmul (n×64)·(64×rb) per
     # partition instead of per-row HOF dot products (48 interpreted
     # 64-element aggregates per row measured 1.3 s for 4k rows; BLAS does
     # it in ms). Integer matmul is EXACT (|dot| ≤ 64·2¹⁰·2³⁰ < 2⁴⁷), so
-    # cross-engine parity is unaffected by vectorization.
+    # cross-engine parity is unaffected by vectorization. Band keys are
+    # int64: r tracks log₂N, so keys outgrow int32 past N ≈ 2²⁸.
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     planes_arr = np.array(planes, dtype=np.int64)
-    n_bands = _RHP_H // _RHP_R
-    band_w = 1 << np.arange(_RHP_R - 1, -1, -1, dtype=np.int64)
+    band_w = 1 << np.arange(r - 1, -1, -1, dtype=np.int64)
 
-    @pandas_udf("array<int>")
+    @pandas_udf("array<long>")
     def band_keys_udf(qvs: pd.Series) -> pd.Series:
         if len(qvs) == 0:
             return pd.Series([], dtype=object)
         Q = np.array(qvs.tolist(), dtype=np.int64)
         bits = ((Q @ planes_arr.T) >= 0).astype(np.int64)
         keys = np.stack(
-            [bits[:, b * _RHP_R : (b + 1) * _RHP_R] @ band_w for b in range(n_bands)], axis=1
+            [bits[:, b * r : (b + 1) * r] @ band_w for b in range(n_bands)], axis=1
         )
-        return pd.Series(keys.astype(np.int32).tolist())
+        return pd.Series(keys.tolist())
 
     # signatures computed ONCE (lazy checkpoint): the band self-join and
     # the verify join would otherwise re-run the kernel per branch — at
@@ -609,6 +615,41 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+    return signed, cand
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.9) via random-hyperplane LSH
+    banding — the SUB-QUADRATIC tier of the embedding-dedup ladder. The
+    exact blocked scan (q_dedup_embedding_cosine) is the right tool at low
+    thresholds where candidates ≈ all pairs; at the near-duplicate
+    threshold 0.9 the angle is 26°, per-hyperplane agreement p ≈ 0.856,
+    and random non-dup vectors (p ≈ 0.5) collide on an r-bit band with
+    prob 2⁻ʳ per band. Band width r TRACKS log₂N (derived from the corpus
+    count by _rhp_params, mirrored in the oracle's params CTE) so the
+    candidate volume b·N²/2ʳ stays ≤ b·N/4 at every scale; the band count
+    b steps up with r to hold planted-twin recall ≥ 0.95 (VERDICT r6 #3
+    closed the fixed-r=12 quadratic-at-100× gap).
+
+    The bench corpus has no natural cosine-0.9 pairs (max pairwise ≈ 0.6),
+    so the query dedups base ∪ deterministically-perturbed twins (EVERY
+    base vector gets a copy with ±10% per-component multiplicative
+    noise from an integer LCG — cosine ≈ 0.9985): real near-dups with a
+    known ground truth, built identically in the oracle SQL.
+
+    Scale shape (100 TB): signatures are map-side (24 int-dot products of
+    a length-64 quantized vector against broadcast-literal planes — pure
+    whole-stage-codegen); ONE shuffle on (band, band_key); candidate pairs
+    distinct-ed; verify joins fetch only candidate vectors by vec_id. Sign
+    bits are computed over round(x·128) int8-quantized components with
+    integer hyperplanes, so the bucket assignment is exact integer
+    arithmetic in both engines — float summation order cannot flip a
+    bucket (the failure mode a float-hyperplane LSH oracle would have).
+
+    Reference parity: the reference has no vector surface; this extends
+    the mandated LLM-pipeline dedup family (SURVEY.md §2.3).
+    """
+    signed, cand = _rhp_banded(spark, sf_dir)
     vecs = signed.select("vec_id", "v", "nrm")
     pairs = (
         cand.join(vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")), "vec_a")
@@ -623,8 +664,20 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
 
 
+# params mirrors _rhp_params exactly: integer-only derivation of (r, b)
+# from the post-twin corpus count — same ceil(log2) + same precomputed
+# integer b-steps, so both engines band identically at any N.
 Q_EMB_LSH_ORACLE = f"""
-WITH e AS (
+WITH params AS (
+  SELECT greatest({_RHP_R_FLOOR}, CAST(ceil(log2(2 * count(*))) AS INT) + 2) AS r
+  FROM embeddings
+), pb AS (
+  SELECT r,
+         CASE WHEN r <= {_RHP_B_STEPS[0][0]} THEN {_RHP_B_STEPS[0][1]}
+              WHEN r <= {_RHP_B_STEPS[1][0]} THEN {_RHP_B_STEPS[1][1]}
+              ELSE {_RHP_B_MAX} END AS nb
+  FROM params
+), e AS (
   SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), pert AS (
   SELECT vec_id + {_RHP_TWIN_OFFSET} AS vec_id,
@@ -646,14 +699,15 @@ WITH e AS (
 ), hp AS (
   SELECT h, i,
          ({" + ".join(f"(strpos('0123456789abcdef', substr(md5('rhp-' || h || '-' || i), {j + 1}, 1)) - 1) * {16 ** (7 - j)}" for j in range(8))}) - 2147483648 AS c
-  FROM range({_RHP_H}) a(h), range({_RHP_DIM}) b(i)
+  FROM range({_RHP_B_MAX * 48}) a(h), range({_RHP_DIM}) b(i), pb
+  WHERE h < pb.r * pb.nb
 ), bits AS (
   SELECT vec_id, h, CASE WHEN sum(qx * c) >= 0 THEN 1 ELSE 0 END AS bit
   FROM comp JOIN hp USING (i) GROUP BY vec_id, h
 ), bands AS (
-  SELECT vec_id, h // {_RHP_R} AS band,
-         sum(bit * ({1 << (_RHP_R - 1)} >> (h % {_RHP_R}))) AS key
-  FROM bits GROUP BY vec_id, h // {_RHP_R}
+  SELECT vec_id, h // pb.r AS band,
+         sum(bit * (CAST(1 AS BIGINT) << (pb.r - 1 - (h % pb.r)))) AS key
+  FROM bits, pb GROUP BY vec_id, h // pb.r
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
