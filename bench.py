@@ -97,17 +97,15 @@ REGRESSION_FACTOR = 1.15
 REGRESSION_FLOOR_S = 0.5
 
 
-def _prev_bench_queries(current_sf) -> dict:
-    """Per-query numbers from the latest BENCH_r*.json the driver recorded —
-    the comparison point for the regression guard. 'Latest' is the highest
-    ROUND NUMBER parsed from the filename (lexicographic sort would put
-    BENCH_r10 before BENCH_r2); headline and extras timings are merged so
-    extras get a baseline too. A previous file recorded at a different SF is
-    not comparable and yields no baseline."""
+def _latest_driver_bench(current_sf, here: str | None = None) -> dict | None:
+    """The latest parseable BENCH_r*.json the driver recorded at this SF —
+    the round-over-round comparison point. 'Latest' is the highest ROUND
+    NUMBER parsed from the filename (lexicographic sort would put BENCH_r10
+    before BENCH_r2)."""
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = here or os.path.dirname(os.path.abspath(__file__))
 
     def round_no(p):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
@@ -125,48 +123,65 @@ def _prev_bench_queries(current_sf) -> dict:
             if not data.get("queries"):
                 continue  # unparsed driver wrapper
             if data.get("sf") != current_sf:
-                return {}
-            merged = {**(data.get("queries") or {}), **(data.get("extras") or {})}
-            # compact stdout lines (r5+) carry only headline timings; the
-            # full per-extra numbers live in the committed BENCH_DETAIL.json
-            try:
-                with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
-                    det = json.load(f)
-                if det.get("sf") == current_sf:
-                    for k, v in {**(det.get("queries") or {}), **(det.get("extras") or {})}.items():
-                        merged.setdefault(k, v)
-            except (OSError, ValueError):
-                pass
-            return merged
-        except (OSError, ValueError):
-            continue
-    return {}
-
-
-def _prev_calibration(current_sf) -> float | None:
-    import glob
-    import re
-
-    here = os.path.dirname(os.path.abspath(__file__))
-
-    def round_no(p):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        return int(m.group(1)) if m else -1
-
-    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), key=round_no)
-    for path in reversed(paths):
-        try:
-            with open(path) as f:
-                data = json.load(f)
-            data = data.get("parsed") or data
-            if not data.get("queries"):
-                continue  # unparsed driver wrapper (see _prev_bench_queries)
-            if data.get("sf") != current_sf:
                 return None
-            return data.get("calibration_s")
+            return data
         except (OSError, ValueError):
             continue
     return None
+
+
+def _prev_bench_queries(current_sf, here: str | None = None) -> dict:
+    """Per-query baselines for the regression guard — headline timings from
+    the latest driver BENCH_r*.json, extras from the SAME RUN's full detail.
+
+    The r6 guard miss (VERDICT r6 #2): the compact BENCH_r* line carries
+    only headline timings, and extras used to be back-filled from whatever
+    BENCH_DETAIL.json sat on disk — which can be a DIFFERENT run on a
+    DIFFERENT host (the end-of-round snapshot bench) than the BENCH_r* file
+    the host_shift calibration was computed against. pagerank's baseline
+    came from a 1.76×-slower host while the shift said 1.146×, so a genuine
+    +21%-looking drift never crossed the threshold. Extras now only merge
+    from a detail record whose (sf, calibration_s) matches the chosen
+    BENCH_r* file — i.e. provably the same run — searched first in the
+    append-only BENCH_HISTORY.jsonl (every bench run appends its detail),
+    then in BENCH_DETAIL.json. No same-run detail ⇒ extras carry no
+    baseline rather than a wrong-host one."""
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    official = _latest_driver_bench(current_sf, here)
+    if official is None:
+        return {}
+    merged = {**(official.get("queries") or {}), **(official.get("extras") or {})}
+    cal = official.get("calibration_s")
+
+    def same_run(det: dict) -> bool:
+        return det.get("sf") == current_sf and det.get("calibration_s") == cal
+
+    candidates: list[dict] = []
+    try:
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl")) as f:
+            for line in f:
+                try:
+                    candidates.append(json.loads(line))
+                except ValueError:
+                    continue
+    except OSError:
+        pass
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+            candidates.append(json.load(f))
+    except (OSError, ValueError):
+        pass
+    for det in reversed(candidates):
+        if same_run(det):
+            for k, v in {**(det.get("queries") or {}), **(det.get("extras") or {})}.items():
+                merged.setdefault(k, v)
+            break
+    return merged
+
+
+def _prev_calibration(current_sf, here: str | None = None) -> float | None:
+    official = _latest_driver_bench(current_sf, here)
+    return official.get("calibration_s") if official else None
 
 
 def bench_calibration(spark) -> float:
@@ -217,7 +232,11 @@ def host_shift_factor(timings: dict, prev: dict, cal_now: float | None, cal_prev
 
 
 def find_regressions(
-    timings: dict, current_sf, shift: float = 1.0, resamples: dict | None = None
+    timings: dict,
+    current_sf,
+    shift: float = 1.0,
+    resamples: dict | None = None,
+    here: str | None = None,
 ) -> dict:
     """Queries >1.15× slower than the previous round at the same SF after
     host-speed normalization (throughput metrics: >1.15× lower). Returns
@@ -226,7 +245,7 @@ def find_regressions(
     evidence — how many adaptive re-samples confirmed the number and what
     host normalization was applied — so a reader can tell a confirmed
     engine regression from a burst the sampler couldn't shake."""
-    prev = _prev_bench_queries(current_sf)
+    prev = _prev_bench_queries(current_sf, here)
     resamples = resamples or {}
     regressions = {}
 
@@ -704,6 +723,11 @@ def main() -> None:
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
+    # append-only run history: lets a future guard match extras baselines
+    # to the SAME RUN as the official BENCH_r* record by (sf, calibration_s)
+    # even after BENCH_DETAIL.json is overwritten by a later local run
+    with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as f:
+        f.write(json.dumps(detail, sort_keys=True) + "\n")
     print(
         json.dumps(
             {

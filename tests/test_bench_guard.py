@@ -1,0 +1,146 @@
+"""Pin the bench regression guard (VERDICT r6 #2).
+
+The r6 round shipped a +21% host-adjusted pagerank drift with an EMPTY
+regressions list because the guard's extras baseline came from whatever
+BENCH_DETAIL.json sat on disk — a different run, on a different host, than
+the BENCH_r* file the host_shift calibration was computed against. These
+tests pin the repaired contract:
+
+  1. extras baselines merge ONLY from a detail record provably from the
+     same run as the official BENCH_r* file ((sf, calibration_s) match);
+  2. a >15% host-adjusted drift on any stored-baseline query ALWAYS flags
+     (threshold pinned, both wall-time and throughput directions);
+  3. the thresholds themselves are pinned so a silent loosening fails CI.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import (  # noqa: E402
+    REGRESSION_FACTOR,
+    REGRESSION_FLOOR_S,
+    _prev_bench_queries,
+    find_regressions,
+    host_shift_factor,
+)
+
+
+def _write(dirpath, name, payload):
+    with open(os.path.join(dirpath, name), "w") as f:
+        if name.endswith(".jsonl"):
+            for row in payload:
+                f.write(json.dumps(row) + "\n")
+        else:
+            json.dump(payload, f)
+
+
+def _fixture_dir(tmp_path, *, history=None, detail=None):
+    d = str(tmp_path)
+    _write(
+        d,
+        "BENCH_r06.json",
+        {
+            "sf": 0.1,
+            "calibration_s": 0.11,
+            "queries": {"q1_pricing_summary": 1.0, "ingest_events_per_sec": 79061.0},
+        },
+    )
+    if history is not None:
+        _write(d, "BENCH_HISTORY.jsonl", history)
+    if detail is not None:
+        _write(d, "BENCH_DETAIL.json", detail)
+    return d
+
+
+SAME_RUN = {
+    "sf": 0.1,
+    "calibration_s": 0.11,
+    "queries": {"q1_pricing_summary": 1.0},
+    "extras": {"pagerank_copurchase": 3.4},
+}
+OTHER_RUN = {
+    "sf": 0.1,
+    "calibration_s": 0.169,  # r6-snapshot shape: same SF, different host/run
+    "queries": {"q1_pricing_summary": 1.4},
+    "extras": {"pagerank_copurchase": 4.6},
+}
+
+
+def test_thresholds_pinned():
+    assert REGRESSION_FACTOR == 1.15
+    assert REGRESSION_FLOOR_S == 0.5
+
+
+def test_extras_baseline_requires_same_run_detail(tmp_path):
+    """The r6 miss, reproduced: a stale BENCH_DETAIL.json from a different
+    run must NOT provide extras baselines."""
+    d = _fixture_dir(tmp_path, detail=OTHER_RUN)
+    prev = _prev_bench_queries(0.1, here=d)
+    assert "q1_pricing_summary" in prev
+    assert "pagerank_copurchase" not in prev, (
+        "extras baseline leaked from a different run than the BENCH_r* file"
+    )
+
+
+def test_extras_baseline_found_in_history(tmp_path):
+    """The same-run detail is recovered from BENCH_HISTORY.jsonl even when
+    BENCH_DETAIL.json was overwritten by a later local run."""
+    d = _fixture_dir(tmp_path, history=[SAME_RUN, OTHER_RUN], detail=OTHER_RUN)
+    prev = _prev_bench_queries(0.1, here=d)
+    assert prev.get("pagerank_copurchase") == 3.4
+
+
+def test_host_adjusted_drift_always_flags(tmp_path):
+    """now > prev * shift * 1.15 flags, at exactly the boundary + epsilon."""
+    d = _fixture_dir(tmp_path, history=[SAME_RUN])
+    shift = 1.146
+    prev = 3.4
+    boundary = prev * shift * REGRESSION_FACTOR
+    flagged = find_regressions(
+        {"pagerank_copurchase": round(boundary + 0.01, 3)}, 0.1, shift, here=d
+    )
+    assert "pagerank_copurchase" in flagged
+    assert flagged["pagerank_copurchase"]["prev"] == prev
+    assert flagged["pagerank_copurchase"]["host_shift"] == shift
+    clean = find_regressions(
+        {"pagerank_copurchase": round(boundary - 0.01, 3)}, 0.1, shift, here=d
+    )
+    assert "pagerank_copurchase" not in clean
+
+
+def test_throughput_drift_flags_downward(tmp_path):
+    d = _fixture_dir(tmp_path, history=[SAME_RUN])
+    shift = 1.1
+    prev = 79061.0
+    boundary = prev / (shift * REGRESSION_FACTOR)
+    assert "ingest_events_per_sec" in find_regressions(
+        {"ingest_events_per_sec": round(boundary - 1, 1)}, 0.1, shift, here=d
+    )
+    assert "ingest_events_per_sec" not in find_regressions(
+        {"ingest_events_per_sec": round(boundary + 1, 1)}, 0.1, shift, here=d
+    )
+
+
+def test_sub_floor_queries_never_flag(tmp_path):
+    """Queries under the 0.5 s floor are noise-dominated — exempt."""
+    d = _fixture_dir(
+        tmp_path,
+        history=[{**SAME_RUN, "extras": {"tiny_q": 0.2}}],
+    )
+    assert not find_regressions({"tiny_q": 0.9}, 0.1, 1.0, here=d)
+
+
+def test_host_shift_prefers_calibration_ratio():
+    assert host_shift_factor({}, {}, 0.22, 0.11) == 2.0
+    # <5% shifts are noise
+    assert host_shift_factor({}, {}, 0.114, 0.11) == 1.0
+
+
+def test_wrong_sf_yields_no_baseline(tmp_path):
+    d = _fixture_dir(tmp_path, history=[SAME_RUN])
+    assert _prev_bench_queries(0.01, here=d) == {}
