@@ -476,6 +476,19 @@ SF1_QUERIES = [
     # construction, not the engine; its sample_mod knob is the at-scale
     # lever and is covered by tests/test_dedup_knobs.py.
     "bpe_learn_merges",
+    # r7 (VERDICT r6 #4): the r6 iterative additions. LR is per-round ONE
+    # fused avg-aggregate over the (replica-linear) documents feature frame
+    # — expect linear; LPA is 3 rounds of label join + two keyed exchanges
+    # over the copurchase graph (nodes/edges replica-linear, per-node
+    # degree constant) — expect near-linear like pagerank.
+    "quality_classifier_lr",
+    "label_propagation",
+    # dedup_embedding_lsh gets a REAL scaling point because the replica
+    # corpus rotates+sign-flips each replica's vectors (orthogonal
+    # transform, see scale_embeddings): pair outputs stay linear instead
+    # of the 45-pairs-per-vector exact-copy blow-up, and the N-adaptive
+    # band width (r: 14 → 18 at 10×N) is exercised at two scales.
+    "dedup_embedding_lsh",
 ]
 
 
@@ -509,6 +522,7 @@ def ensure_scaled_sf1(spark, base_dir: str) -> str:
         "event_id": key_step("events", "event_id"),
         "user_id": key_step("events", "user_id"),
         "doc_id": key_step("documents", "doc_id"),
+        "vec_id": key_step("embeddings", "vec_id"),
     }
     reps = spark.range(SF1_REPLICAS).withColumnRenamed("id", "rep")
 
@@ -527,7 +541,39 @@ def ensure_scaled_sf1(spark, base_dir: str) -> str:
 
     copy("region")
     copy("nation")
-    copy("embeddings")
+
+    def scale_embeddings() -> None:
+        """Replica-scale the vector corpus with a per-replica ORTHOGONAL
+        transform (cyclic component rotation + deterministic per-(rep, i)
+        sign flips): within-replica dot products — the corpus's entire
+        pairwise geometry, including the LSH twin-planting contract — are
+        preserved exactly, while cross-replica cosines collapse to
+        ~N(0, 1/√64) noise. Exact-copy replicas would make every vector a
+        10-way cosine-1.0 dup group (45 cross pairs each — the quadratic
+        corpus-construction trap documented for dedup_minhash_lsh);
+        orthogonal replicas keep pair outputs linear in replicas, so
+        dedup_embedding_lsh gets a REAL 10× scaling datapoint."""
+        emb = table(spark, base_dir, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        df = emb.crossJoin(F.broadcast(reps))
+        shift = F.pmod(F.col("rep") * 11, F.lit(dim))
+        rotated = F.concat(
+            F.slice("embedding", shift + 1, F.lit(dim) - shift),
+            F.slice("embedding", F.lit(1), shift),
+        )
+        flipped = F.transform(
+            rotated,
+            lambda x, i: x
+            * F.when(
+                F.pmod(F.xxhash64(F.concat_ws("-", F.col("rep"), i)), 2) == 0, F.lit(1.0)
+            ).otherwise(F.lit(-1.0)),
+        )
+        df.select(
+            (F.col("vec_id") + F.col("rep") * F.lit(steps["vec_id"])).alias("vec_id"),
+            flipped.alias("embedding"),
+        ).write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+
+    scale_embeddings()
     scale("customer", {"c_custkey": "custkey"})
     scale("supplier", {"s_suppkey": "suppkey"})
     scale("part", {"p_partkey": "partkey"})
