@@ -36,6 +36,13 @@ _CODE_CHANGED = (
 )
 
 _PRIORITY = (
+    # ---- never driver-checked (new in r7) — must lead the window ----
+    "sketch_theta_setops",
+    "fingerprint_winnowing",
+    "mutual_information",
+    "skyline_parts",
+    "hybrid_search_rrf",
+    "mmr_diverse_topk",
     # ---- code changed this round (r7) ----
     "dedup_embedding_lsh",
     # ---- r3-latest driver evidence (stalest), driver order ----
@@ -83,16 +90,13 @@ _PRIORITY = (
     "multimodal_video_frames",
     "multimodal_audio_stats",
     "negative_samples",
-    "domain_temperature_sample",
-    "split_drift_psi",
-    "cluster_aware_split",
-    "weighted_sample",
-    "decontaminate_bloom",
-    "corpus_budget_selection",
     # ================= driver window boundary (50) ==================
-    # Still r4-stale, first in line for the r8 window: profile_columns,
-    # profile_numeric, profile_histogram, profile_skew, fk_integrity,
-    # hll_distinct, fuzzy_join_names, pagerank_copurchase, triangle_count,
+    # Still r4-stale, first in line for the r8 window:
+    # domain_temperature_sample, split_drift_psi,
+    # cluster_aware_split, weighted_sample, decontaminate_bloom,
+    # corpus_budget_selection, profile_columns, profile_numeric,
+    # profile_histogram, profile_skew, fk_integrity, hll_distinct,
+    # fuzzy_join_names, pagerank_copurchase, triangle_count,
     # degree_profile, quantile_norm — then the r5 block.
     # Everything else follows in module order.
 )

@@ -903,7 +903,125 @@ def _zipf_oracle() -> str:
     return Q_ZIPF_ORACLE.format(tokens_sql=_TOKENS_SQL)
 
 
+# --- mutual information between categorical columns ----------------------------------
+# Dependency profiling: MI(X;Y) in nats plus marginal entropies and the
+# normalized MI / sqrt(H(X)·H(Y)) score, for a fixed set of column pairs.
+# This is the column-dependency audit a profiler runs before choosing
+# clustering keys or denormalizations (NMI≈0 → independent, safe to model
+# separately; NMI→1 → functionally dependent, one column is redundant).
+#
+# Determinism: counts are exact integers; each log argument is a single
+# integer-ratio division written with identical association in both
+# engines ((c_xy*n)/(c_x*c_y) — products ≤ 3.6e9, safely inside int64);
+# the one float sum per statistic is rounded to 6 digits (the PSI
+# contract, split_drift_psi).
+#
+# Scale (100 TB): per pair, one groupBy(x,y) shuffle whose output is
+# bounded by the category-pair cardinality (tiny), marginals reduce from
+# the same pass's partials, and the 1-row totals frame broadcasts back.
+# Linear scans, no joins on the fact table.
+
+_MI_PAIRS = (
+    # (name, table, x expr/sql, y expr/sql)
+    ("orders_status_priority", "orders", "o_orderstatus", "o_orderpriority"),
+    ("lineitem_flag_status", "lineitem", "l_returnflag", "l_linestatus"),
+    ("events_type_hour", "events", "event_type", "hour(ts)"),
+)
+
+
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, tbl, x_expr, y_expr in _MI_PAIRS:
+        df = table(spark, sf_dir, tbl).select(
+            F.expr(x_expr).cast("string").alias("x"),
+            F.expr(y_expr).cast("string").alias("y"),
+        )
+        nrow = df.groupBy().agg(F.count(F.lit(1)).alias("n"))
+        cxy = df.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+        cx = df.groupBy("x").agg(F.count(F.lit(1)).alias("c_x"))
+        cy = df.groupBy("y").agg(F.count(F.lit(1)).alias("c_y"))
+        mi = (
+            cxy.join(cx, "x")
+            .join(cy, "y")
+            .crossJoin(F.broadcast(nrow))
+            .groupBy()
+            .agg(
+                F.round(
+                    F.sum(
+                        (F.col("c_xy") / F.col("n"))
+                        * F.log(
+                            (F.col("c_xy") * F.col("n"))
+                            / (F.col("c_x") * F.col("c_y"))
+                        )
+                    ),
+                    6,
+                ).alias("mi")
+            )
+        )
+        hx = (
+            cx.crossJoin(F.broadcast(nrow))
+            .groupBy()
+            .agg(
+                F.round(
+                    -F.sum((F.col("c_x") / F.col("n")) * F.log(F.col("c_x") / F.col("n"))),
+                    6,
+                ).alias("h_x")
+            )
+        )
+        hy = (
+            cy.crossJoin(F.broadcast(nrow))
+            .groupBy()
+            .agg(
+                F.round(
+                    -F.sum((F.col("c_y") / F.col("n")) * F.log(F.col("c_y") / F.col("n"))),
+                    6,
+                ).alias("h_y")
+            )
+        )
+        row = (
+            mi.crossJoin(hx)
+            .crossJoin(hy)
+            .select(
+                F.lit(name).alias("pair"),
+                "mi",
+                "h_x",
+                "h_y",
+                F.round(F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")), 6).alias("nmi"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _mi_oracle() -> str:
+    parts = []
+    for name, tbl, x_expr, y_expr in _MI_PAIRS:
+        parts.append(f"""
+SELECT '{name}' AS pair, mi, h_x, h_y,
+       round(mi / sqrt(h_x * h_y), 6) AS nmi
+FROM (
+  WITH src AS (
+    SELECT CAST({x_expr} AS VARCHAR) AS x, CAST({y_expr} AS VARCHAR) AS y FROM {tbl}
+  ), nrow AS (
+    SELECT count(*) AS n FROM src
+  ), cxy AS (
+    SELECT x, y, count(*) AS c_xy FROM src GROUP BY x, y
+  ), cx AS (
+    SELECT x, count(*) AS c_x FROM src GROUP BY x
+  ), cy AS (
+    SELECT y, count(*) AS c_y FROM src GROUP BY y
+  )
+  SELECT
+    (SELECT round(sum((c_xy / n) * ln((c_xy * n) / (c_x * c_y))), 6)
+     FROM cxy JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN nrow) AS mi,
+    (SELECT round(-sum((c_x / n) * ln(c_x / n)), 6) FROM cx CROSS JOIN nrow) AS h_x,
+    (SELECT round(-sum((c_y / n) * ln(c_y / n)), 6) FROM cy CROSS JOIN nrow) AS h_y
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = [
+    QuerySpec("mutual_information", q_mutual_information, _mi_oracle(), "MI + normalized-MI dependency audit over categorical column pairs", ("profiling",)),
     QuerySpec("zipf_alpha", q_zipf_alpha, _zipf_oracle(), "Zipf rank-frequency power-law fit (alpha, intercept, r2) over the vocab", ("profiling", "text")),
     QuerySpec("label_propagation", q_label_propagation, _lpa_oracle(), "3-round synchronous LPA communities over the co-purchase graph (min-label tie-break, unrolled-CTE oracle)", ("graph",)),
     QuerySpec("profile_columns", q_profile_columns, Q_PROFILE_COLUMNS_ORACLE, "per-column null/distinct profile, one wide aggregate pass", ("profiling",)),

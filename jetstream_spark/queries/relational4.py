@@ -189,7 +189,93 @@ ORDER BY c_mktsegment
 """
 
 
+# --- skyline (Pareto frontier) -----------------------------------------------
+# The classic preference query (Börzsönyi/Kossmann/Stocker, "The Skyline
+# Operator", ICDE 2001): parts that are Pareto-optimal for (MIN
+# p_retailprice, MAX p_size) — no other part is at most as expensive AND
+# at least as large with one strict improvement.
+#
+# The engine does NOT run the textbook O(N²) dominance join. Two stages,
+# both declarative:
+#   1. grid prune — bucket prices on a fixed grid (one 1-row min/max
+#      broadcast); a per-bucket max-size running maximum over STRICTLY
+#      earlier buckets is hard dominance evidence (earlier-bucket prices
+#      are strictly smaller), so any point at or below that running max
+#      is dominated and dropped map-side. Soundness does not depend on
+#      the bucket boundaries (any consistent bucketing only ever drops
+#      provably-dominated points), so no cross-engine float contract is
+#      needed for the grid. Survivors ≈ frontier + same-bucket stragglers.
+#   2. exact pass — group survivors by price (max size per price), one
+#      ordered running max over the price groups: a point is on the
+#      frontier iff it is its price-group max and strictly above every
+#      earlier group's max. The frontier is closed under stage-1 pruning
+#      (a frontier point is dominated by nobody, so it always survives),
+#      and every dominated survivor is dominated by a frontier member,
+#      so the two-stage result equals the textbook definition — which is
+#      exactly what the oracle states as a NOT EXISTS, making engine and
+#      oracle INDEPENDENT formulations of the same spec.
+#
+# Scale (100 TB): stage 1 is a linear scan + a 256-row broadcast; the
+# stage-2 ordered scan runs over grid-pruned survivors only (bounded by
+# |frontier| + O(points per boundary bucket), not N). For d>2 criteria
+# the same grid-prune feeds a block-nested-loop verify; the 2-D case
+# needs no pairwise work at all.
+
+_SKY_BUCKETS = 256
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    parts = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    rng = parts.groupBy().agg(
+        F.min("p_retailprice").alias("mn"), F.max("p_retailprice").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(_SKY_BUCKETS)
+    bucketed = parts.crossJoin(F.broadcast(rng)).select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.least(
+            F.floor((F.col("p_retailprice") - F.col("mn")) / width).cast("int"),
+            F.lit(_SKY_BUCKETS - 1),
+        ).alias("b"),
+    )
+    bmax = bucketed.groupBy("b").agg(F.max("p_size").alias("bmax"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bprev = bmax.select("b", F.max("bmax").over(wb).alias("prev_bmax"))  # ≤256 rows
+    survivors = (
+        bucketed.join(F.broadcast(bprev), "b")
+        .filter(F.col("prev_bmax").isNull() | (F.col("p_size") > F.col("prev_bmax")))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+    grp = survivors.groupBy("p_retailprice").agg(F.max("p_size").alias("grp_max"))
+    wp = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = grp.select(
+        "p_retailprice", "grp_max", F.max("grp_max").over(wp).alias("prev_max")
+    ).filter(F.col("prev_max").isNull() | (F.col("grp_max") > F.col("prev_max")))
+    return (
+        survivors.join(frontier, "p_retailprice")
+        .filter(F.col("p_size") == F.col("grp_max"))
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+Q_SKYLINE_ORACLE = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
 QUERIES = [
+    QuerySpec("skyline_parts", q_skyline_parts, Q_SKYLINE_ORACLE, "skyline / Pareto frontier (min price, max size) via grid prune + ordered exact pass", ("relational", "skyline")),
     QuerySpec("q13_order_count_distribution", q13_order_count_distribution, Q13_ORACLE, "outer join w/ ON-filter + double agg (TPC-H Q13)", ("relational", "join")),
     QuerySpec("q11_revenue_concentration", q11_revenue_concentration, Q11_ORACLE, "global scalar-subquery HAVING (TPC-H Q11)", ("relational", "subquery")),
     QuerySpec("q21_sole_blame_suppliers", q21_sole_blame_suppliers, Q21_ORACLE, "correlated EXISTS + NOT EXISTS self-join (TPC-H Q21)", ("relational", "subquery")),

@@ -1302,7 +1302,260 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# --- hybrid retrieval: reciprocal-rank fusion of sparse + dense legs --------------
+# The RAG-stack staple (Cormack/Clarke/Büttcher, SIGIR 2009): run BM25
+# (sparse) and cosine ANN (dense) retrieval, fuse by reciprocal rank —
+# rrf(d) = Σ_legs 1/(K + rank_leg(d)) over the legs where d appears.
+#
+# Determinism: fusion consumes only the legs' INTEGER ranks (each leg ranks
+# by its round-6 score with doc_id tiebreak — the existing BM25/ANN
+# contracts), and the RRF score is a fixed two-term sum of exact rational
+# doubles, so the fused ordering is bit-identical cross-engine.
+#
+# Scale (100 TB): each leg is its own proven scale shape (BM25: map-only
+# scoring + 1-row stats broadcast; dense: partition-parallel scoring with
+# partial top-k, or any indexed ANN tier as a drop-in). Fusion itself
+# touches 2·CAND rows — a full-outer join of two ≤CAND-row frames.
+
+RRF_K = 60
+HYBRID_CAND = 20  # candidates per leg (the BM25 leg's own top-k)
+HYBRID_TOP = 10
+_HYBRID_QUERY_VEC = 0  # dense-leg query: embedding of vec_id 0
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jetstream_spark.queries.text import q_bm25_topk
+
+    lex = q_bm25_topk(spark, sf_dir)  # (doc_id, dl, bm25) — ≤ HYBRID_CAND rows
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex_ranked = lex.select(
+        "doc_id", F.row_number().over(wl).alias("rank_lex")
+    ).filter(F.col("rank_lex") <= HYBRID_CAND)
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    nrm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    normed = emb.select("doc_id", "v", nrm.alias("nrm"))
+    q = normed.filter(F.col("doc_id") == _HYBRID_QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        normed.filter(F.col("doc_id") != _HYBRID_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(dot / (F.col("nrm") * F.col("qnrm")), 6).alias("cosine"),
+        )
+    )
+    wd = Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    dense_ranked = scored.select(
+        "doc_id", F.row_number().over(wd).alias("rank_dense")
+    ).filter(F.col("rank_dense") <= HYBRID_CAND)
+
+    fused = lex_ranked.join(dense_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_dense",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_dense")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(HYBRID_TOP)
+
+
+def _hybrid_oracle() -> str:
+    from jetstream_spark.queries.text import _bm25_oracle
+
+    return f"""
+WITH lex AS ({_bm25_oracle()}),
+lex_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+  FROM lex QUALIFY rank_lex <= {HYBRID_CAND}
+), e AS ({_COS_E_SQL}),
+dense AS (
+  SELECT b.vec_id AS doc_id,
+         round(list_aggregate(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * b.v[i]), 'sum')
+               / (q.nrm * b.nrm), 6) AS cosine
+  FROM e q JOIN e b ON b.vec_id <> {_HYBRID_QUERY_VEC}
+  WHERE q.vec_id = {_HYBRID_QUERY_VEC}
+), dense_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank_dense
+  FROM dense QUALIFY rank_dense <= {HYBRID_CAND}
+), fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.rank_lex, d.rank_dense,
+         round(coalesce(1.0 / ({RRF_K} + l.rank_lex), 0.0)
+               + coalesce(1.0 / ({RRF_K} + d.rank_dense), 0.0), 6) AS rrf_score
+  FROM lex_ranked l FULL OUTER JOIN dense_ranked d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, rank_lex, rank_dense, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {HYBRID_TOP}
+"""
+
+
+# --- MMR: maximal-marginal-relevance diversified top-k ---------------------------
+# Carbonell/Goldstein (SIGIR 1998): greedily re-rank a candidate pool so
+# each pick maximizes λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) — relevance
+# minus redundancy. The de-dup step every retrieval-augmented pipeline
+# runs between ANN and the context window.
+#
+# The greedy recurrence is inherently sequential in k, but each round is
+# a BOUNDED relational step over the CAND-row candidate pool (a max-agg
+# penalty join + a 1-row argmax), so the engine unrolls MMR_K rounds as
+# lazy DataFrame ops — no collect, no UDF; the oracle unrolls the same
+# rounds as chained CTEs. All scores pass through round(·, 6) BEFORE the
+# argmax in both engines, so tie-breaks (score desc, doc_id) agree.
+#
+# Scale (100 TB): the candidate pool comes from any ANN tier (top-CAND),
+# so round cost is O(CAND²) pair sims — independent of corpus size; at
+# production k the pool frame would be localCheckpoint'ed once (here it
+# is cached) and the k rounds never touch the corpus again.
+
+MMR_LAMBDA = 0.7
+MMR_K = 5
+MMR_CAND = 20
+_MMR_QUERY_VEC = 0
+
+
+def _mmr_base(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(cand, pairs): top-MMR_CAND candidates by round-6 cosine to the query
+    vector, and their pairwise round-6 cosines."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    normed = emb.select("doc_id", "v", nrm.alias("nrm"))
+    q = normed.filter(F.col("doc_id") == _MMR_QUERY_VEC).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    dot_q = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    cand = (
+        normed.filter(F.col("doc_id") != _MMR_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", "v", "nrm", F.round(dot_q / (F.col("nrm") * F.col("qnrm")), 6).alias("qsim"))
+        .orderBy(F.col("qsim").desc(), F.col("doc_id"))
+        .limit(MMR_CAND)
+        .cache()
+    )
+    a = cand.select(
+        F.col("doc_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = cand.select(
+        F.col("doc_id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", F.round(dot_ab / (F.col("na") * F.col("nb")), 6).alias("sim"))
+        .cache()
+    )
+    return cand.select("doc_id", "qsim"), pairs
+
+
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand, pairs = _mmr_base(spark, sf_dir)
+    lam, one_m = MMR_LAMBDA, 1 - MMR_LAMBDA
+    picks: list[DataFrame] = []
+    remaining = cand
+    for r in range(1, MMR_K + 1):
+        if r == 1:
+            scored = remaining.select(
+                "doc_id", F.round(F.lit(lam) * F.col("qsim"), 6).alias("mmr_score")
+            )
+        else:
+            s_ids = picks[0].select("doc_id")
+            for p in picks[1:]:
+                s_ids = s_ids.unionByName(p.select("doc_id"))
+            pen = (
+                pairs.join(s_ids, pairs["b"] == s_ids["doc_id"])
+                .groupBy("a")
+                .agg(F.max("sim").alias("mx"))
+            )
+            scored = remaining.join(pen, remaining["doc_id"] == pen["a"]).select(
+                remaining["doc_id"],
+                F.round(
+                    F.lit(lam) * F.col("qsim") - F.lit(one_m) * F.col("mx"), 6
+                ).alias("mmr_score"),
+            )
+        pick = (
+            scored.orderBy(F.col("mmr_score").desc(), F.col("doc_id"))
+            .limit(1)
+            .select(F.lit(r).alias("sel_round"), "doc_id", "mmr_score")
+        )
+        picks.append(pick)
+        remaining = remaining.join(pick.select("doc_id"), "doc_id", "left_anti")
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _mmr_oracle() -> str:
+    lam, one_m = MMR_LAMBDA, 1 - MMR_LAMBDA
+    rounds = []
+    for r in range(2, MMR_K + 1):
+        prev = f"selcum{r - 1}"
+        rounds.append(f"""sel{r} AS (
+  SELECT {r} AS sel_round, c.doc_id,
+         round({lam!r} * c.qsim - {one_m!r} * pen.mx, 6) AS mmr_score
+  FROM cand c
+  JOIN (SELECT a AS doc_id, max(sim) AS mx FROM pairs
+        WHERE b IN (SELECT doc_id FROM {prev}) GROUP BY a) pen USING (doc_id)
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM {prev})
+  ORDER BY mmr_score DESC, c.doc_id LIMIT 1
+), selcum{r} AS (
+  SELECT doc_id FROM {prev} UNION ALL SELECT doc_id FROM sel{r}
+)""")
+    sels = ",\n".join(rounds)
+    union = "\nUNION ALL\n".join(
+        f"SELECT sel_round, doc_id, mmr_score FROM sel{r}" for r in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH e AS ({_COS_E_SQL}),
+cand AS (
+  SELECT b.vec_id AS doc_id, b.v, b.nrm,
+         round(list_aggregate(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * b.v[i]), 'sum')
+               / (b.nrm * q.nrm), 6) AS qsim
+  FROM e q JOIN e b ON b.vec_id <> {_MMR_QUERY_VEC}
+  WHERE q.vec_id = {_MMR_QUERY_VEC}
+  ORDER BY qsim DESC, doc_id LIMIT {MMR_CAND}
+),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         round(list_aggregate(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]), 'sum')
+               / (a.nrm * b.nrm), 6) AS sim
+  FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+),
+sel1 AS (
+  SELECT 1 AS sel_round, doc_id, round({lam!r} * qsim, 6) AS mmr_score
+  FROM cand ORDER BY mmr_score DESC, doc_id LIMIT 1
+), selcum1 AS (
+  SELECT doc_id FROM sel1
+),
+{sels}
+{union}
+"""
+
+
 QUERIES = [
+    QuerySpec("mmr_diverse_topk", q_mmr_diverse_topk, _mmr_oracle(), "MMR diversified re-ranking of the ANN candidate pool (unrolled greedy rounds)", ("similarity", "search")),
+    QuerySpec("hybrid_search_rrf", q_hybrid_search_rrf, _hybrid_oracle(), "hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine legs", ("similarity", "search")),
     QuerySpec("knn_graph", q_knn_graph, Q_KNN_GRAPH_ORACLE, "exact top-k neighbor graph via blocked cogroup + partial top-k", ("similarity",)),
     QuerySpec("knn_graph_ivf", q_knn_graph_ivf, _knn_graph_ivf_oracle(), "approximate kNN graph restricted to IVF cells (one cell-key cogroup shuffle)", ("similarity",)),
     QuerySpec("ann_brute_force_topk", q_ann_brute_force, Q_ANN_ORACLE, "exact cosine top-k (numpy block products)", ("similarity",)),

@@ -615,7 +615,168 @@ GROUP BY m0.doc_id
 """
 
 
+# --- winnowing fingerprints (MOSS) ---------------------------------------------------
+# Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+# Fingerprinting" (SIGMOD 2003) — the MOSS plagiarism-detector core. Each
+# k-gram gets a hash; every full window of W consecutive gram hashes
+# selects its RIGHTMOST MINIMUM; the distinct selected hashes are the
+# doc's fingerprint set (expected density 2/(W+1)). Pairing is the MOSS
+# step: an inverted index over fingerprint hashes, with hashes appearing
+# in more than DF_CAP docs dropped as boilerplate (exactly MOSS's
+# common-code suppression, and the same df-ceiling bound dedup_containment
+# uses) so corpus-common spans cannot quadratically pair the corpus.
+#
+# Scale (100 TB): gram→window explode is linear (W constant, W rows per
+# gram); the winner-per-window shuffle keys on (doc_id, window) so it
+# co-partitions with the doc and AQE-coalesces; the pair join is bounded
+# by the df ceiling (≤ DF_CAP² pairs per surviving hash). No window over
+# an unbounded partition, no driver loop, no UDF.
+
+_WIN_K = 8  # gram length (chars, over the whitespace-normalized text)
+_WIN_W = 8  # winnowing window (consecutive grams)
+_WIN_DF_CAP = 10  # fingerprint df ceiling (boilerplate suppression)
+_WIN_MIN_SHARED = 3  # report pairs sharing at least this many fingerprints
+
+
+def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing: per-window rightmost-min fingerprint selection, then
+    df-capped inverted-index pairing with a winnowing-Jaccard score over the
+    capped fingerprint universe."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
+    base = docs.select("doc_id", norm.alias("norm")).select(
+        "doc_id",
+        "norm",
+        (F.length("norm") - F.lit(_WIN_K - 1)).alias("m"),  # gram count
+    )
+    grams = (
+        base.filter(F.col("m") >= _WIN_W)  # docs with at least one full window
+        .select(
+            "doc_id",
+            "m",
+            F.explode(F.sequence(F.lit(1), F.col("m"))).alias("i"),
+            "norm",
+        )
+        .select(
+            "doc_id",
+            "m",
+            "i",
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"substr(norm, i, {_WIN_K})").cast("binary")), 1, 8
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("gh"),
+        )
+    )
+    # each gram i belongs to full windows j in [max(1, i-W+1), min(i, m-W+1)]
+    lo = F.greatest(F.lit(1), F.col("i") - F.lit(_WIN_W - 1))
+    hi = F.least(F.col("i"), F.col("m") - F.lit(_WIN_W - 1))
+    member = grams.select(
+        "doc_id", "i", "gh", F.explode(F.sequence(lo, hi)).alias("j")
+    )
+    from pyspark.sql import Window
+
+    wj = Window.partitionBy("doc_id", "j").orderBy(F.col("gh").asc(), F.col("i").desc())
+    winners = (
+        member.select("doc_id", "i", "gh", "j", F.row_number().over(wj).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "gh")
+        .distinct()
+    )
+    df_ok = (
+        winners.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _WIN_DF_CAP)
+        .select("gh")
+    )
+    fps = winners.join(df_ok, "gh")
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    pairs = (
+        fps.alias("a")
+        .join(fps.alias("b"), F.col("a.gh") == F.col("b.gh"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= _WIN_MIN_SHARED)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "fp_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_fp", "fp_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fp",
+            "fp_a",
+            "fp_b",
+            F.round(
+                F.col("shared_fp")
+                / (F.col("fp_a") + F.col("fp_b") - F.col("shared_fp")),
+                4,
+            ).alias("winnow_sim"),
+        )
+    )
+
+
+Q_WINNOW_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), sized AS (
+  SELECT doc_id, norm, len(norm) - {_WIN_K - 1} AS m FROM base
+  WHERE len(norm) - {_WIN_K - 1} >= {_WIN_W}
+), grams AS (
+  SELECT doc_id, m, i,
+         (
+           (strpos('0123456789abcdef', substr(md5(substr(norm, i, {_WIN_K})), 1, 1)) - 1) * {16 ** 7}
+         + (strpos('0123456789abcdef', substr(md5(substr(norm, i, {_WIN_K})), 2, 1)) - 1) * {16 ** 6}
+         + (strpos('0123456789abcdef', substr(md5(substr(norm, i, {_WIN_K})), 3, 1)) - 1) * {16 ** 5}
+         + (strpos('0123456789abcdef', substr(md5(substr(norm, i, {_WIN_K})), 4, 1)) - 1) * {16 ** 4}
+         + (strpos('0123456789abcdef', substr(md5(substr(norm, i, {_WIN_K})), 5, 1)) - 1) * {16 ** 3}
+         + (strpos('0123456789abcdef', substr(md5(substr(norm, i, {_WIN_K})), 6, 1)) - 1) * {16 ** 2}
+         + (strpos('0123456789abcdef', substr(md5(substr(norm, i, {_WIN_K})), 7, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(substr(norm, i, {_WIN_K})), 8, 1)) - 1)
+         ) AS gh
+  FROM sized, LATERAL (SELECT unnest(generate_series(1, m)) AS i)
+), member AS (
+  SELECT doc_id, i, gh, j
+  FROM grams, LATERAL (
+    SELECT unnest(generate_series(greatest(1, i - {_WIN_W - 1}),
+                                  least(i, m - {_WIN_W - 1}))) AS j
+  )
+), winners AS (
+  SELECT DISTINCT doc_id, gh FROM (
+    SELECT doc_id, gh,
+           row_number() OVER (PARTITION BY doc_id, j ORDER BY gh ASC, i DESC) AS rn
+    FROM member
+  ) WHERE rn = 1
+), df_ok AS (
+  SELECT gh FROM winners GROUP BY gh HAVING count(*) <= {_WIN_DF_CAP}
+), fps AS (
+  SELECT w.doc_id, w.gh FROM winners w JOIN df_ok USING (gh)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fp
+  FROM fps a JOIN fps b ON a.gh = b.gh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {_WIN_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, p.shared_fp, sa.n_fp AS fp_a, sb.n_fp AS fp_b,
+       round(p.shared_fp / (sa.n_fp + sb.n_fp - p.shared_fp), 4) AS winnow_sim
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
 QUERIES = [
+    QuerySpec("fingerprint_winnowing", q_fingerprint_winnowing, Q_WINNOW_ORACLE, "MOSS winnowing fingerprints: rightmost-min window selection + df-capped pair similarity", ("text", "dedup")),
     QuerySpec("phrase_search", q_phrase_search, _phrase_oracle(), "positional-postings exact phrase search (repeated-token alignment)", ("text", "search")),
     QuerySpec("text_token_count", q_token_count, Q_TOKEN_COUNT_ORACLE, "token + subword counting", ("text",)),
     QuerySpec("bm25_topk", q_bm25_topk, _bm25_oracle(), "BM25 lexical retrieval top-k (map-only scoring, 1-row stats broadcast)", ("text",)),
