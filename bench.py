@@ -88,6 +88,12 @@ EXTRAS = [
     "dedup_embedding_lsh",   # r6: random-hyperplane banding + verify (0.9 tier)
     "zipf_alpha",            # r6: vocab rank-frequency OLS fit
     "quality_classifier_lr",  # r6: 3-round GD logistic quality filter
+    "sketch_theta_setops",   # r7: KMV/theta sketch set algebra vs exact
+    "fingerprint_winnowing",  # r7: MOSS winnowing + df-capped pairing
+    "skyline_parts",         # r7: grid-pruned Pareto frontier
+    "hybrid_search_rrf",     # r7: BM25 + dense RRF fusion
+    "mmr_diverse_topk",      # r7: 5-round MMR greedy re-rank
+    "mutual_information",    # r7: MI/NMI dependency audit (3 pairs)
 ]
 
 REGRESSION_FACTOR = 1.15

@@ -1497,6 +1497,11 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             scored.orderBy(F.col("mmr_score").desc(), F.col("doc_id"))
             .limit(1)
             .select(F.lit(r).alias("sel_round"), "doc_id", "mmr_score")
+            # lineage cut (the BPE-trainer round pattern): each pick is a
+            # 1-row frame referenced by every later round's penalty join —
+            # without the cut, round r's plan embeds rounds 1..r-1's plans
+            # recursively and stage count grows super-linearly in k
+            .localCheckpoint()
         )
         picks.append(pick)
         remaining = remaining.join(pick.select("doc_id"), "doc_id", "left_anti")
