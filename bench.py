@@ -94,6 +94,9 @@ EXTRAS = [
     "hybrid_search_rrf",     # r7: BM25 + dense RRF fusion
     "mmr_diverse_topk",      # r7: 5-round MMR greedy re-rank
     "mutual_information",    # r7: MI/NMI dependency audit (3 pairs)
+    "adamic_adar_linkpred",  # r7: query-node AA wedge scoring
+    "k_anonymity_audit",     # r7: generalization-lattice privacy audit
+    "ohlc_bars",             # r7: OHLC downsample (ordered pass + agg)
 ]
 
 REGRESSION_FACTOR = 1.15

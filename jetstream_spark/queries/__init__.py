@@ -43,6 +43,9 @@ _PRIORITY = (
     "skyline_parts",
     "hybrid_search_rrf",
     "mmr_diverse_topk",
+    "adamic_adar_linkpred",
+    "k_anonymity_audit",
+    "ohlc_bars",
     # ---- code changed this round (r7) ----
     "dedup_embedding_lsh",
     # ---- r3-latest driver evidence (stalest), driver order ----
@@ -87,11 +90,9 @@ _PRIORITY = (
     "bpe_pair_counts",
     "bigram_perplexity",
     "multimodal_resize",
-    "multimodal_video_frames",
-    "multimodal_audio_stats",
-    "negative_samples",
     # ================= driver window boundary (50) ==================
     # Still r4-stale, first in line for the r8 window:
+    # multimodal_video_frames, multimodal_audio_stats, negative_samples,
     # domain_temperature_sample, split_drift_psi,
     # cluster_aware_split, weighted_sample, decontaminate_bloom,
     # corpus_budget_selection, profile_columns, profile_numeric,

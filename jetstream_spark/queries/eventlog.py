@@ -977,7 +977,78 @@ FROM hist
 """
 
 
+# --- OHLC downsampling bars ---------------------------------------------------------
+# The financial-style time-series downsample: per (event_type, hour)
+# bar with open (first value), high, low, close (last value), event
+# count, and mean value — what a metrics store or candlestick rollup
+# materializes before charting or anomaly scoring.
+#
+# Determinism: open/close pick the (ts, event_id)-extreme rows via ONE
+# ordered window per key (row_number asc + desc computed in the same
+# pass), so ties on ts resolve identically cross-engine; values are the
+# stored doubles (bit-identical), only the float mean is rounded.
+#
+# Scale (100 TB): one (event_type, hour) shuffle; window partitions are
+# single bars (bounded by per-hour volume — the sessionization shape);
+# the agg collapses map-side. At extreme per-bar volume the window form
+# swaps for max_by/min_by structs (same columns, no ordered pass).
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_asc = Window.partitionBy("event_type", "bar_start").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", "bar_start").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = ev.select(
+        "event_type",
+        "bar_start",
+        "value",
+        F.row_number().over(w_asc).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return marked.groupBy("event_type", "bar_start").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+
+
+Q_OHLC_ORACLE = """
+WITH ev AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
+         ts, event_id, value,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bar_start,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_events,
+       round(avg(value), 6) AS mean_value
+FROM ev
+GROUP BY event_type, bar_start
+"""
+
+
 QUERIES = [
+    QuerySpec("ohlc_bars", q_ohlc_bars, Q_OHLC_ORACLE, "OHLC downsampling bars per (event_type, hour): one ordered pass + map-side agg", ("eventlog", "timeseries")),
     QuerySpec("timeseries_gapfill", q_timeseries_gapfill, Q_GAPFILL_ORACLE, "dense hourly resample: zero-filled counts + LOCF values over a generated grid", ("eventlog", "timeseries")),
     QuerySpec("ewma_hourly", q_ewma_hourly, Q_EWMA_ORACLE.format(gapfill=Q_GAPFILL_ORACLE), "normalized EWMA smoothing over the gap-filled hourly series (HOF weighted fold)", ("eventlog", "timeseries")),
     QuerySpec("scd2_user_tiers", q_scd2_user_tiers, Q_SCD2_ORACLE, "changelog -> SCD2 versioned dimension (run collapse + interval chaining)", ("eventlog", "window")),

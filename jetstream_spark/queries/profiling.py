@@ -1020,7 +1020,161 @@ FROM (
     return "\nUNION ALL\n".join(parts)
 
 
+# --- Adamic-Adar link prediction -----------------------------------------------------
+# Adamic/Adar, "Friends and neighbors on the Web" (2003): score each
+# NON-adjacent node pair by Σ_z 1/ln(deg(z)) over their common neighbors
+# — rare shared neighbors weigh more. The standard link-prediction /
+# recommendation baseline over the same co-purchase graph PageRank, LPA,
+# and triangle counting use ("parts likely to be co-purchased next").
+# Like the ANN family, the operator takes a FIXED QUERY-NODE SET (the
+# online recommendation shape: "top new co-purchase candidates for these
+# parts"); the all-pairs offline materialization is the same plan with
+# the query filter removed, at inherent Σ_z deg(z)² wedge cost (measured
+# 298M wedges / ~45 s at sf0.1 — every wedge carries score mass, so
+# unlike triangle counting degree orientation can drop nothing; its
+# scale knob is a hub ceiling: dropping neighbors with deg > D loses
+# score mass with per-term weight ≤ 1/ln(D), the df_ceiling family).
+#
+# Determinism: degrees are exact integers; each term is 1/ln(deg) of an
+# integer (identical doubles cross-engine); the per-pair SUM is
+# order-sensitive float addition → round-6 (the PSI contract). A common
+# neighbor is adjacent to both endpoints, so deg(z) ≥ 2 and ln(deg) > 0.
+#
+# Scale (100 TB): query-node wedges cost Σ_{u∈Q} Σ_{z∈N(u)} deg(z) —
+# independent of graph size for fixed Q and bounded degree. One semi
+# join to select query edges, one z-key join against the degree frame,
+# one (u,v) aggregation, one adjacency anti-join on the aggregated
+# frame, one per-u top-k window over bounded partitions.
+
+AA_QUERY_MAX = 20  # query nodes: part keys <= this present in the graph
+AA_TOP_K = 5  # recommendations per query node
+
+
+def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li).localCheckpoint()
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    qe = edges.filter(F.col("s") <= AA_QUERY_MAX).select(
+        F.col("s").alias("u"), F.col("t").alias("z")
+    )
+    wedges = (
+        qe.join(edges.select(F.col("s").alias("z"), F.col("t").alias("v")), "z")
+        .filter(F.col("v") != F.col("u"))
+        .join(deg.withColumnRenamed("s", "z"), "z")
+    )
+    scored = wedges.groupBy("u", "v").agg(
+        F.round(F.sum(F.lit(1.0) / F.log(F.col("d"))), 6).alias("aa_score"),
+        F.count(F.lit(1)).alias("common_neighbors"),
+    )
+    non_adjacent = scored.join(
+        edges.select(F.col("s").alias("u"), F.col("t").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    w = Window.partitionBy("u").orderBy(F.col("aa_score").desc(), F.col("v"))
+    return (
+        non_adjacent.select(
+            "u", "v", "aa_score", "common_neighbors", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= AA_TOP_K)
+    )
+
+
+Q_ADAMIC_ADAR_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+), deg AS (
+  SELECT s, count(*) AS d FROM edges GROUP BY s
+), scored AS (
+  SELECT e1.s AS u, e2.t AS v,
+         round(sum(CAST(1.0 AS DOUBLE) / ln(d.d)), 6) AS aa_score,
+         count(*) AS common_neighbors
+  FROM edges e1
+  JOIN edges e2 ON e1.t = e2.s
+  JOIN deg d ON d.s = e1.t
+  WHERE e1.s <= {AA_QUERY_MAX} AND e2.t <> e1.s
+  GROUP BY e1.s, e2.t
+), non_adjacent AS (
+  SELECT * FROM scored p
+  WHERE NOT EXISTS (SELECT 1 FROM edges a WHERE a.s = p.u AND a.t = p.v)
+)
+SELECT u, v, aa_score, common_neighbors, rank FROM (
+  SELECT u, v, aa_score, common_neighbors,
+         row_number() OVER (PARTITION BY u ORDER BY aa_score DESC, v) AS rank
+  FROM non_adjacent
+) WHERE rank <= {AA_TOP_K}
+"""
+
+
+# --- k-anonymity generalization-lattice audit ----------------------------------------
+# Sweeney, "k-Anonymity: a model for protecting privacy" (2002). Before a
+# table (or a training corpus's metadata) is released, audit how
+# re-identifiable its quasi-identifier (QI) combinations are: every QI
+# equivalence class smaller than K is a re-identification risk, and the
+# fix is GENERALIZATION — coarsen a QI column until every class reaches
+# K. This walks a 4-level generalization lattice over customer
+# (nation, segment, account-balance bucket) and reports, per level, the
+# achieved k (min class size), the risky class/row mass, and whether
+# K={_KANON_K} is satisfied — the exact table a release gate consumes to
+# pick the minimal sufficient generalization.
+#
+# Scale (100 TB): one groupBy per level over the QI key space (bounded by
+# QI cardinality, not rows — partial aggregation collapses map-side),
+# then a |classes|-row summary fold. No joins, no windows over rows.
+
+_KANON_K = 5
+_KANON_LEVELS = (
+    # (level name, SQL exprs for the QI tuple) — identical text feeds both
+    # engines; floor(x/step) on the stored doubles is engine-identical.
+    ("L0_bal100", ("c_nationkey", "c_mktsegment", "CAST(floor(c_acctbal / 100) AS BIGINT)")),
+    ("L1_bal1000", ("c_nationkey", "c_mktsegment", "CAST(floor(c_acctbal / 1000) AS BIGINT)")),
+    ("L2_nation_segment", ("c_nationkey", "c_mktsegment")),
+    ("L3_segment", ("c_mktsegment",)),
+)
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    out = None
+    for level, exprs in _KANON_LEVELS:
+        qi = [F.expr(e).alias(f"q{i}") for i, e in enumerate(exprs)]
+        classes = cust.select(*qi).groupBy(
+            *[f"q{i}" for i in range(len(exprs))]
+        ).agg(F.count(F.lit(1)).alias("sz"))
+        row = classes.groupBy().agg(
+            F.lit(level).alias("level"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.min("sz").alias("k_anonymity"),
+            F.sum(F.when(F.col("sz") < _KANON_K, 1).otherwise(0)).alias("risky_classes"),
+            F.sum(F.when(F.col("sz") < _KANON_K, F.col("sz")).otherwise(0)).alias("risky_rows"),
+            (F.min("sz") >= _KANON_K).alias("k_satisfied"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _kanon_oracle() -> str:
+    parts = []
+    for level, exprs in _KANON_LEVELS:
+        qi = ", ".join(exprs)
+        parts.append(f"""
+SELECT '{level}' AS level,
+       count(*) AS n_classes,
+       min(sz) AS k_anonymity,
+       CAST(sum(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS risky_classes,
+       CAST(sum(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) AS BIGINT) AS risky_rows,
+       min(sz) >= {_KANON_K} AS k_satisfied
+FROM (SELECT {qi}, count(*) AS sz FROM customer GROUP BY {qi})""")
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = [
+    QuerySpec("k_anonymity_audit", q_k_anonymity_audit, _kanon_oracle(), "k-anonymity generalization-lattice audit over customer quasi-identifiers", ("profiling", "privacy")),
+    QuerySpec("adamic_adar_linkpred", q_adamic_adar_linkpred, Q_ADAMIC_ADAR_ORACLE, "Adamic-Adar link prediction over the co-purchase graph (wedge join + anti-adjacency)", ("graph",)),
     QuerySpec("mutual_information", q_mutual_information, _mi_oracle(), "MI + normalized-MI dependency audit over categorical column pairs", ("profiling",)),
     QuerySpec("zipf_alpha", q_zipf_alpha, _zipf_oracle(), "Zipf rank-frequency power-law fit (alpha, intercept, r2) over the vocab", ("profiling", "text")),
     QuerySpec("label_propagation", q_label_propagation, _lpa_oracle(), "3-round synchronous LPA communities over the co-purchase graph (min-label tie-break, unrolled-CTE oracle)", ("graph",)),

@@ -156,6 +156,61 @@ def test_hybrid_rrf_scores_rederive_from_ranks(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_adamic_adar_recommendation_shape(spark):
+    from jetstream_spark.queries.profiling import (
+        AA_QUERY_MAX,
+        AA_TOP_K,
+        q_adamic_adar_linkpred,
+    )
+
+    got = q_adamic_adar_linkpred(spark, SF01).collect()
+    assert got
+    by_u: dict[int, list] = {}
+    for r in got:
+        assert r["u"] <= AA_QUERY_MAX
+        assert r["v"] != r["u"]
+        assert r["aa_score"] > 0 and r["common_neighbors"] >= 1
+        by_u.setdefault(r["u"], []).append(r)
+    for u, rows in by_u.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= AA_TOP_K
+        scores = [r["aa_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_k_anonymity_lattice_monotone(spark):
+    from jetstream_spark.queries.profiling import _KANON_LEVELS, q_k_anonymity_audit
+
+    rows = {r["level"]: r for r in q_k_anonymity_audit(spark, SF01).collect()}
+    order = [lvl for lvl, _ in _KANON_LEVELS]
+    assert set(rows) == set(order)
+    # generalizing (coarser QI) can only merge classes: k non-decreasing,
+    # class count non-increasing, risky mass non-increasing
+    for a, b in zip(order, order[1:]):
+        assert rows[b]["k_anonymity"] >= rows[a]["k_anonymity"]
+        assert rows[b]["n_classes"] <= rows[a]["n_classes"]
+        assert rows[b]["risky_rows"] <= rows[a]["risky_rows"]
+    for r in rows.values():
+        assert r["k_satisfied"] == (r["k_anonymity"] >= 5)
+
+
+def test_ohlc_bars_invariants(spark):
+    from jetstream_spark.queries.eventlog import q_ohlc_bars
+
+    got = q_ohlc_bars(spark, SF01).collect()
+    assert got
+    total = 0
+    for r in got:
+        assert r["low"] <= min(r["open"], r["close"])
+        assert r["high"] >= max(r["open"], r["close"])
+        assert r["low"] <= r["mean_value"] <= r["high"]
+        assert r["n_events"] >= 1
+        total += r["n_events"]
+    events = pd.read_parquet(f"{SF01}/events.parquet")
+    assert total == len(events)  # bars partition the stream
+
+
 def test_mutual_information_bounds(spark):
     from jetstream_spark.queries.profiling import _MI_PAIRS, q_mutual_information
 
