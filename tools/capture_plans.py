@@ -109,6 +109,15 @@ AUDIT = {
     "dedup_embedding_lsh": "r6: Arrow int64-matmul signature kernel; checkpointed signature table feeds the ONE (band, key) self-join exchange; verify joins fetch candidates only",
     "zipf_alpha": "one vocab exchange; rank window over the count>=5 survivors only; covar/var fold in one agg",
     "quality_classifier_lr": "per round: ONE fused gradient+metrics aggregate (2 HashAggregates, <=1 exchange, no join) over the checkpointed feature frame",
+    "sketch_theta_setops": "r7: map-side distinct collapse before the ONE per-set bottom-k window exchange; set algebra on <=2K-row frames with 1-row broadcast thetas",
+    "fingerprint_winnowing": "r7: ONE doc-partitioned frame window (no gram->window explode); df-capped inverted-index pair join on the fingerprint frame",
+    "mutual_information": "r7: per pair one bounded (x,y) agg exchange; marginals from the same pass's partials; 1-row totals broadcast",
+    "skyline_parts": "r7: linear scan + 256-row bucket broadcast prune; ordered exact pass over grid survivors only",
+    "hybrid_search_rrf": "r7: BM25 leg map-only + 1-row stats broadcast; dense leg broadcast 1-row query; fusion = full-outer of two <=CAND-row frames",
+    "mmr_diverse_topk": "r7: cached <=CAND candidate pool; per round a penalty max-join + 1-row argmax, each pick localCheckpoint'ed (no recursive round plans)",
+    "adamic_adar_linkpred": "r7: query-edge semi-filtered wedge join + degree join; adjacency anti-join on the AGGREGATED pair frame; per-u top-k window over bounded partitions",
+    "k_anonymity_audit": "r7: one bounded QI groupBy per lattice level (map-side partial collapse); |classes|-row summary fold, no joins",
+    "ohlc_bars": "r7: ONE (type, hour) exchange shared by both ordered row_number passes and the bar aggregate",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
