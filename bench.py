@@ -538,6 +538,25 @@ SF1_QUERIES = [
     # of the 45-pairs-per-vector exact-copy blow-up, and the N-adaptive
     # band width (r: 14 → 18 at 10×N) is exercised at two scales.
     "dedup_embedding_lsh",
+    # r7: the replica-safe new operators — user/event/part key domains
+    # offset per replica, so these are genuine 10×-row linear probes:
+    # theta sketches over 10× the user-days, OHLC over 10× events (same
+    # bars), skyline over 10× parts (frontier work ∝ survivors), hybrid
+    # retrieval over 10× docs+vectors (both legs map-only/linear), MI
+    # over 10× rows into the same category key space.
+    # fingerprint_winnowing EXCLUDED for the dedup_minhash_lsh reason:
+    # replicas make every fingerprint a 10-doc cross-replica duplicate,
+    # so pair output inflates by construction (and the df≤10 ceiling sits
+    # exactly at the replica count — the measurement would benchmark the
+    # cap boundary, not the engine). adamic_adar_linkpred EXCLUDED: key
+    # offsetting makes the sf1 graph 10 DISJOINT copies and the fixed
+    # query nodes live only in replica 0, so its work is flat by
+    # construction, not a scaling signal.
+    "sketch_theta_setops",
+    "ohlc_bars",
+    "skyline_parts",
+    "hybrid_search_rrf",
+    "mutual_information",
 ]
 
 
