@@ -97,6 +97,8 @@ EXTRAS = [
     "adamic_adar_linkpred",  # r7: query-node AA wedge scoring
     "k_anonymity_audit",     # r7: generalization-lattice privacy audit
     "ohlc_bars",             # r7: OHLC downsample (ordered pass + agg)
+    "textrank_keywords",     # r7: co-occurrence graph + 3 weighted PR rounds
+    "attribution_last_touch",  # r7: one per-user ordered attribution pass
 ]
 
 REGRESSION_FACTOR = 1.15

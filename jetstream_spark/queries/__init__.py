@@ -46,6 +46,8 @@ _PRIORITY = (
     "adamic_adar_linkpred",
     "k_anonymity_audit",
     "ohlc_bars",
+    "textrank_keywords",
+    "attribution_last_touch",
     # ---- code changed this round (r7) ----
     "dedup_embedding_lsh",
     # ---- r3-latest driver evidence (stalest), driver order ----
@@ -88,10 +90,9 @@ _PRIORITY = (
     "kmeans_train",
     "phrase_search",
     "bpe_pair_counts",
-    "bigram_perplexity",
-    "multimodal_resize",
     # ================= driver window boundary (50) ==================
-    # Still r4-stale, first in line for the r8 window:
+    # Still r4-stale, first in line for the r8 window: bigram_perplexity,
+    # multimodal_resize,
     # multimodal_video_frames, multimodal_audio_stats, negative_samples,
     # domain_temperature_sample, split_drift_psi,
     # cluster_aware_split, weighted_sample, decontaminate_bloom,

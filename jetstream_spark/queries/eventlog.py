@@ -1047,7 +1047,121 @@ GROUP BY event_type, bar_start
 """
 
 
+# --- last-touch conversion attribution ------------------------------------------------
+# Marketing-analytics staple: credit each purchase to the LAST preceding
+# marketing touch (click/view) by the same user within the attribution
+# window, else 'direct'; report conversions, credited revenue, and share
+# per channel. The sessionization/funnel family's missing member.
+#
+# Determinism: the "latest preceding touch" is selected by max() over a
+# SORTABLE ENCODED STRING lpad(epoch_us)|lpad(event_id)|channel inside
+# one per-user ordered window (frame: unbounded preceding .. 1 preceding)
+# — string max is total-ordered identically in both engines, so ts ties
+# resolve by event_id with no engine-specific struct-comparison
+# semantics. Only the final revenue sum and share are floats (round-6).
+#
+# Scale (100 TB): ONE user_id shuffle shared by the ordered window; the
+# channel rollup collapses map-side to |channels| rows. No self-join of
+# the event log against itself (the naive formulation), no correlated
+# per-purchase probe.
+
+ATTR_WINDOW_US = 7 * 86400 * 1_000_000  # 7 days
+_ATTR_TOUCH = ("click", "view")
+_ATTR_CONV = "purchase"
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    mk = F.when(
+        F.col("event_type").isin(*_ATTR_TOUCH),
+        F.concat_ws(
+            "|",
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            F.col("event_type"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    conv = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            "value",
+            F.max(mk).over(w).alias("last_mk"),
+        )
+        .filter(F.col("event_type") == _ATTR_CONV)
+        .select(
+            "value",
+            F.when(
+                F.col("last_mk").isNotNull()
+                & (
+                    F.unix_micros("ts")
+                    - F.split("last_mk", "\\|")[0].cast("long")
+                    <= ATTR_WINDOW_US
+                ),
+                F.split("last_mk", "\\|")[2],
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+        )
+    )
+    total = conv.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    return (
+        conv.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("value"), 6).alias("credited_value"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            "n_conversions",
+            "credited_value",
+            F.round(F.col("n_conversions") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+Q_ATTRIBUTION_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id, value,
+         max(CASE WHEN event_type IN ('click', 'view')
+             THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|' ||
+                  lpad(CAST(event_id AS VARCHAR), 12, '0') || '|' || event_type
+             END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_mk
+  FROM events
+), conv AS (
+  SELECT value,
+         CASE WHEN last_mk IS NOT NULL
+                   AND epoch_us(ts) - CAST(string_split(last_mk, '|')[1] AS BIGINT)
+                       <= {ATTR_WINDOW_US}
+              THEN string_split(last_mk, '|')[3]
+              ELSE 'direct' END AS channel
+  FROM marked WHERE event_type = '{_ATTR_CONV}'
+), total AS (
+  SELECT count(*) AS total FROM conv
+)
+SELECT channel, count(*) AS n_conversions,
+       round(sum(value), 6) AS credited_value,
+       round(count(*) / (SELECT total FROM total), 6) AS share
+FROM conv GROUP BY channel
+"""
+
+
 QUERIES = [
+    QuerySpec("attribution_last_touch", q_attribution_last_touch, Q_ATTRIBUTION_ORACLE, "last-touch conversion attribution within a 7-day window: one per-user ordered pass", ("eventlog", "experiment")),
     QuerySpec("ohlc_bars", q_ohlc_bars, Q_OHLC_ORACLE, "OHLC downsampling bars per (event_type, hour): one ordered pass + map-side agg", ("eventlog", "timeseries")),
     QuerySpec("timeseries_gapfill", q_timeseries_gapfill, Q_GAPFILL_ORACLE, "dense hourly resample: zero-filled counts + LOCF values over a generated grid", ("eventlog", "timeseries")),
     QuerySpec("ewma_hourly", q_ewma_hourly, Q_EWMA_ORACLE.format(gapfill=Q_GAPFILL_ORACLE), "normalized EWMA smoothing over the gap-filled hourly series (HOF weighted fold)", ("eventlog", "timeseries")),

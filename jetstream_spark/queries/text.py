@@ -782,7 +782,137 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
 """
 
 
+# --- TextRank keyword extraction -----------------------------------------------------
+# Mihalcea/Tarau, "TextRank: Bringing Order into Text" (EMNLP 2004):
+# build the word co-occurrence graph (adjacent-token edges) and rank
+# words with weighted PageRank; top-ranked words are the corpus
+# keywords. The graph-over-text composition: the token pipeline feeds
+# the same iterative rank shape pagerank_copurchase pins.
+#
+# Determinism: edge weights are exact co-occurrence counts; each round's
+# rank sums are float (identical-value, different-order — pagerank
+# precedent: final round rounds to 9); vocabulary bounded by length ≥ 4
+# + corpus count ≥ TR_MIN_COUNT, tie-breaks on the word.
+#
+# Scale (100 TB): adjacent pairs are generated MAP-SIDE from each doc's
+# token array (HOF transform over sequence — no posexplode self-join),
+# collapse to the vocabulary-pair key space in one shuffle (Heaps-law
+# sublinear); each rank round is the pagerank shape — broadcast
+# node-scale rank frame + one groupBy(dst) shuffle over the word graph.
+
+TR_MIN_COUNT = 5
+TR_MIN_LEN = 4
+TR_DAMP = 0.85
+TR_ROUNDS = 3
+TR_TOP_N = 20
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(_tokens().alias("toks"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(toks)), i -> struct(toks[i-2] AS w1, toks[i-1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    vocab = (
+        toks.select(F.explode("toks").alias("w"))
+        .filter(F.length("w") >= TR_MIN_LEN)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= TR_MIN_COUNT)
+        .select("w")
+    )
+    # undirected: keep both orientations of each kept pair
+    kept = (
+        pairs.join(vocab.withColumnRenamed("w", "w1"), "w1")
+        .join(vocab.withColumnRenamed("w", "w2"), "w2")
+        .filter(F.col("w1") != F.col("w2"))
+    )
+    edges = (
+        kept.select(F.col("w1").alias("s"), F.col("w2").alias("t"))
+        .unionAll(kept.select(F.col("w2").alias("s"), F.col("w1").alias("t")))
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("wt"))
+        .localCheckpoint()
+    )
+    outw = edges.groupBy("s").agg(F.sum("wt").alias("outw"))
+    nodes = edges.select(F.col("s").alias("node")).distinct()
+    n_nodes = nodes.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    rank = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(TR_ROUNDS):
+        contrib = (
+            edges.join(rank.withColumnRenamed("node", "s"), "s")
+            .join(outw, "s")
+            .select(F.col("t").alias("node"), (F.col("wt") / F.col("outw") * F.col("rank")).alias("c"))
+        )
+        rank = (
+            contrib.groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(TR_DAMP)) / F.col("n")
+                    + F.lit(TR_DAMP) * F.col("inflow")
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        rank.select(F.col("node").alias("word"), F.round("rank", 9).alias("textrank"))
+        .orderBy(F.col("textrank").desc(), "word")
+        .limit(TR_TOP_N)
+    )
+
+
+def _textrank_oracle() -> str:
+    rounds = []
+    for k in range(TR_ROUNDS):
+        rounds.append(
+            f"r{k + 1} AS (\n"
+            f"  SELECT e.t AS node,\n"
+            f"         (CAST(1 AS DOUBLE) - CAST({TR_DAMP} AS DOUBLE)) / (SELECT n FROM nn)\n"
+            f"         + CAST({TR_DAMP} AS DOUBLE) * sum(e.wt / o.outw * r.rank) AS rank\n"
+            f"  FROM edges e JOIN r{k} r ON r.node = e.s JOIN outw o ON o.s = e.s\n"
+            f"  GROUP BY e.t\n)"
+        )
+    return (
+        f"WITH toks AS (\n"
+        f"  SELECT {_TOKENS_SQL} AS toks FROM documents\n"
+        f"), pairs AS (\n"
+        f"  SELECT p.w1, p.w2 FROM toks, LATERAL (\n"
+        f"    SELECT unnest(list_transform(generate_series(2, len(toks)),\n"
+        f"                  i -> struct_pack(w1 := toks[i-1], w2 := toks[i]))) AS p\n"
+        f"  )\n"
+        f"), vocab AS (\n"
+        f"  SELECT w FROM (SELECT unnest(toks) AS w FROM toks)\n"
+        f"  WHERE len(w) >= {TR_MIN_LEN} GROUP BY w HAVING count(*) >= {TR_MIN_COUNT}\n"
+        f"), kept AS (\n"
+        f"  SELECT p.w1, p.w2 FROM pairs p\n"
+        f"  JOIN vocab v1 ON v1.w = p.w1 JOIN vocab v2 ON v2.w = p.w2\n"
+        f"  WHERE p.w1 <> p.w2\n"
+        f"), edges AS (\n"
+        f"  SELECT s, t, count(*) AS wt FROM (\n"
+        f"    SELECT w1 AS s, w2 AS t FROM kept UNION ALL SELECT w2, w1 FROM kept\n"
+        f"  ) GROUP BY s, t\n"
+        f"), outw AS (\n"
+        f"  SELECT s, sum(wt) AS outw FROM edges GROUP BY s\n"
+        f"), nodes AS (SELECT DISTINCT s AS node FROM edges\n"
+        f"), nn AS (SELECT count(*) AS n FROM nodes\n"
+        f"), r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),\n"
+        + ",\n".join(rounds)
+        + f"\nSELECT node AS word, round(rank, 9) AS textrank FROM r{TR_ROUNDS}\n"
+        f"ORDER BY textrank DESC, word LIMIT {TR_TOP_N}"
+    )
+
+
 QUERIES = [
+    QuerySpec("textrank_keywords", q_textrank_keywords, _textrank_oracle(), "TextRank corpus keywords: co-occurrence graph + weighted PageRank (unrolled oracle)", ("text", "graph")),
     QuerySpec("fingerprint_winnowing", q_fingerprint_winnowing, Q_WINNOW_ORACLE, "MOSS winnowing fingerprints: rightmost-min window selection + df-capped pair similarity", ("text", "dedup")),
     QuerySpec("phrase_search", q_phrase_search, _phrase_oracle(), "positional-postings exact phrase search (repeated-token alignment)", ("text", "search")),
     QuerySpec("text_token_count", q_token_count, Q_TOKEN_COUNT_ORACLE, "token + subword counting", ("text",)),

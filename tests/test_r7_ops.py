@@ -211,6 +211,37 @@ def test_ohlc_bars_invariants(spark):
     assert total == len(events)  # bars partition the stream
 
 
+def test_textrank_rank_mass_and_vocab(spark):
+    from jetstream_spark.queries.text import (
+        TR_MIN_LEN,
+        TR_TOP_N,
+        q_textrank_keywords,
+    )
+
+    got = q_textrank_keywords(spark, SF01).collect()
+    assert len(got) == TR_TOP_N
+    for r in got:
+        assert len(r["word"]) >= TR_MIN_LEN
+        assert r["textrank"] > 0
+    ranks = [r["textrank"] for r in got]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_attribution_conserves_conversions(spark):
+    from jetstream_spark.queries.eventlog import (
+        _ATTR_TOUCH,
+        q_attribution_last_touch,
+    )
+
+    got = q_attribution_last_touch(spark, SF01).collect()
+    channels = {r["channel"] for r in got}
+    assert channels <= set(_ATTR_TOUCH) | {"direct"}
+    events = pd.read_parquet(f"{SF01}/events.parquet")
+    n_purch = int((events["event_type"] == "purchase").sum())
+    assert sum(r["n_conversions"] for r in got) == n_purch  # every purchase credited once
+    assert abs(sum(r["share"] for r in got) - 1.0) < 1e-4
+
+
 def test_mutual_information_bounds(spark):
     from jetstream_spark.queries.profiling import _MI_PAIRS, q_mutual_information
 

@@ -118,6 +118,8 @@ AUDIT = {
     "adamic_adar_linkpred": "r7: query-edge semi-filtered wedge join + degree join; adjacency anti-join on the AGGREGATED pair frame; per-u top-k window over bounded partitions",
     "k_anonymity_audit": "r7: one bounded QI groupBy per lattice level (map-side partial collapse); |classes|-row summary fold, no joins",
     "ohlc_bars": "r7: ONE (type, hour) exchange shared by both ordered row_number passes and the bar aggregate",
+    "textrank_keywords": "r7: map-side adjacent-pair transform (no posexplode self-join); vocab-bounded edge collapse; per round the pagerank shape (broadcast rank + one dst exchange)",
+    "attribution_last_touch": "r7: ONE user_id exchange for the ordered window; channel rollup collapses map-side to |channels| rows; no event-log self-join",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
