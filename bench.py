@@ -559,6 +559,13 @@ SF1_QUERIES = [
     "skyline_parts",
     "hybrid_search_rrf",
     "mutual_information",
+    # textrank: replica docs repeat the same text, so the co-occurrence
+    # VOCABULARY and edge set are replica-invariant (Heaps-law like BPE) —
+    # expect sub-linear (pair counts scale, the graph/rounds do not).
+    # attribution: per-user ordered pass, users replica-linear — expect
+    # linear like scd2.
+    "textrank_keywords",
+    "attribution_last_touch",
 ]
 
 
