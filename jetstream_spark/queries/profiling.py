@@ -783,12 +783,17 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     LPA gives densely-linked groups.
 
     Scale shape: per round ONE node-scale label join onto the edge list
-    (threshold-chosen broadcast, like the PageRank rank frame) + ONE
+    (EXPLICIT broadcast, like the PageRank rank frame — relying on AQE to
+    convert the checkpoint-lineage-cut SMJ was measured 90 s vs 16 s for
+    the 3 rounds at sf1/24M edges, because the ExistingRDD build side
+    only converts after a full edge sort has been scheduled) + ONE
     (node, label) count exchange + ONE node argmax exchange — the argmax
     is a struct-max aggregate (max over (count, −label) pairs), not a
     window, so no per-group sort. Label frames are localCheckpointed per
     round (lineage cut, the iterative-operator house rule). All-integer
-    arithmetic — no cross-engine float risk anywhere.
+    arithmetic — no cross-engine float risk anywhere. At 1e9+ nodes the
+    label frame outgrows a broadcast; the fallback is pre-partitioning
+    edges by t once and reusing that partitioning across rounds.
     """
     li = table(spark, sf_dir, "lineitem")
     edges = _copurchase_edges(li).localCheckpoint(eager=False)
@@ -797,7 +802,10 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_LPA_ROUNDS):
         counted = (
-            edges.join(labels.withColumnRenamed("node", "nbr"), F.col("t") == F.col("nbr"))
+            edges.join(
+                F.broadcast(labels.withColumnRenamed("node", "nbr")),
+                F.col("t") == F.col("nbr"),
+            )
             .groupBy("s", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )

@@ -204,7 +204,10 @@ def test_lpa_round_plan(spark):
     edges = _copurchase_edges(table(spark, SF_DIR, "lineitem")).localCheckpoint()
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     counted = (
-        edges.join(labels.withColumnRenamed("node", "nbr"), F.col("t") == F.col("nbr"))
+        edges.join(
+            F.broadcast(labels.withColumnRenamed("node", "nbr")),
+            F.col("t") == F.col("nbr"),
+        )
         .groupBy("s", "label")
         .agg(F.count(F.lit(1)).alias("c"))
     )
