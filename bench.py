@@ -99,6 +99,10 @@ EXTRAS = [
     "ohlc_bars",             # r7: OHLC downsample (ordered pass + agg)
     "textrank_keywords",     # r7: co-occurrence graph + 3 weighted PR rounds
     "attribution_last_touch",  # r7: one per-user ordered attribution pass
+    "kcenter_coreset",       # r7: greedy farthest-point rounds (map-only)
+    "naive_bayes_domain",    # r7: NB train + corpus scoring (integer scores)
+    "seasonal_anomaly",      # r7: STL-lite decomposition + 3σ flags
+    "label_propagation",     # r7: LPA rounds (broadcast-label fix evidence)
 ]
 
 REGRESSION_FACTOR = 1.15
@@ -566,6 +570,16 @@ SF1_QUERIES = [
     # linear like scd2.
     "textrank_keywords",
     "attribution_last_touch",
+    # r7 fourth batch: all three are replica-safe — kcenter scans 10× the
+    # (orthogonally-transformed) vectors with the same K map-only rounds
+    # (expect linear); NB's model size is vocab-bound (replica-invariant,
+    # Heaps-law like BPE) while token counts scale 10× (expect linear in
+    # the scoring join); seasonal_anomaly keeps the same (type, hour)
+    # bucket grid with 10× the counts per bucket (expect flat-to-linear,
+    # dominated by the events scan).
+    "kcenter_coreset",
+    "naive_bayes_domain",
+    "seasonal_anomaly",
 ]
 
 

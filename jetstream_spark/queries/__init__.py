@@ -33,10 +33,14 @@ from jetstream_spark.queries.spec import QuerySpec
 # in the round it ships. Reset this tuple each round.
 _CODE_CHANGED = (
     "dedup_embedding_lsh",  # r7: _RHP_R now derived from corpus count (log2 N)
+    "label_propagation",  # r7: per-round label join now explicitly broadcast
 )
 
 _PRIORITY = (
     # ---- never driver-checked (new in r7) — must lead the window ----
+    "kcenter_coreset",
+    "naive_bayes_domain",
+    "seasonal_anomaly",
     "sketch_theta_setops",
     "fingerprint_winnowing",
     "mutual_information",
@@ -50,6 +54,7 @@ _PRIORITY = (
     "attribution_last_touch",
     # ---- code changed this round (r7) ----
     "dedup_embedding_lsh",
+    "label_propagation",
     # ---- r3-latest driver evidence (stalest), driver order ----
     "decontaminate_splits",
     "q7_nation_volume",
@@ -86,12 +91,10 @@ _PRIORITY = (
     "dedup_two_tier",
     "knn_graph",
     "knn_graph_ivf",
-    "embedding_covariance",
-    "kmeans_train",
-    "phrase_search",
-    "bpe_pair_counts",
     # ================= driver window boundary (50) ==================
-    # Still r4-stale, first in line for the r8 window: bigram_perplexity,
+    # Still r4-stale, first in line for the r8 window:
+    # embedding_covariance, kmeans_train, phrase_search, bpe_pair_counts,
+    # bigram_perplexity,
     # multimodal_resize,
     # multimodal_video_frames, multimodal_audio_stats, negative_samples,
     # domain_temperature_sample, split_drift_psi,

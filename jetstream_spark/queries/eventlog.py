@@ -1160,7 +1160,90 @@ FROM conv GROUP BY channel
 """
 
 
+# --- STL-lite seasonal decomposition + anomaly flags ----------------------------
+SEAS_W = 12  # ±12-hour centered moving-average trend window
+SEAS_Z = 3.0
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of the hourly event-rate series per type:
+    trend = ±{SEAS_W}h centered moving average, seasonal = mean detrended
+    value per (type, hour-of-day), residual = observed − trend − seasonal;
+    buckets whose |residual| ≥ {SEAS_Z}·σ(residual) for their type are
+    flagged. The seasonality-aware upgrade of `rate_anomaly`: a 9am
+    traffic spike that recurs every day is SEASONAL there and anomalous
+    here only if it breaks its own daily pattern — the shape every
+    ops/data-quality monitor wants once a corpus has diurnal structure.
+
+    Cross-engine determinism: trend is an avg of integer counts (exact
+    sums) rounded to 6dp; the seasonal mean runs over residuals quantized
+    to integer micro-counts (exact BIGINT sums — accumulation order
+    can't move it); only the final σ uses float aggregation, following
+    the rate_anomaly precedent (flag flips would need a residual within
+    ulps of the 3σ boundary).
+
+    Scale shape: one (type, hour) count exchange (map-side partial, key
+    cardinality types × hours); both windows partition by type (+hod) —
+    one node-scale sort each, no corpus re-scan; the flag is map-only.
+    At 100 TB the hourly frame is ~types × hours rows — trivially small
+    relative to the event scan that produces it."""
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hb")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("event_type").orderBy("hb").rowsBetween(-SEAS_W, SEAS_W)
+    t = per.withColumn("trend", F.round(F.avg("n").over(wt), 6))
+    t = t.withColumn(
+        "dt_i", F.round((F.col("n") - F.col("trend")) * 1e6).cast("long")
+    ).withColumn("hod", F.hour("hb"))
+    ws = Window.partitionBy("event_type", "hod")
+    t = t.withColumn("seasonal", F.round(F.avg("dt_i").over(ws) / 1e6, 6))
+    t = t.withColumn("residual", F.round(F.col("n") - F.col("trend") - F.col("seasonal"), 6))
+    wz = Window.partitionBy("event_type")
+    t = t.withColumn("sd", F.stddev_pop("residual").over(wz))
+    return t.select(
+        "event_type",
+        F.date_format("hb", "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+        "n",
+        "trend",
+        "seasonal",
+        "residual",
+        ((F.col("sd") > 0) & (F.abs(F.col("residual")) >= F.lit(SEAS_Z) * F.col("sd"))).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+Q_SEASONAL_ANOMALY_ORACLE = f"""
+WITH per AS (
+  SELECT event_type, date_trunc('hour', ts) AS hb, count(*) AS n
+  FROM events GROUP BY 1, 2
+), tr AS (
+  SELECT event_type, hb, n,
+         round(avg(n) OVER (PARTITION BY event_type ORDER BY hb
+                            ROWS BETWEEN {SEAS_W} PRECEDING AND {SEAS_W} FOLLOWING), 6) AS trend
+  FROM per
+), se AS (
+  SELECT *, CAST(round((n - trend) * 1e6) AS BIGINT) AS dt_i,
+         extract(hour FROM hb) AS hod
+  FROM tr
+), se2 AS (
+  SELECT *, round(avg(dt_i) OVER (PARTITION BY event_type, hod) / 1e6, 6) AS seasonal
+  FROM se
+), re AS (
+  SELECT *, round(n - trend - seasonal, 6) AS residual FROM se2
+), fin AS (
+  SELECT *, stddev_pop(residual) OVER (PARTITION BY event_type) AS sd FROM re
+)
+SELECT event_type, strftime(hb, '%Y-%m-%d %H:%M:%S') AS hour_bucket, n,
+       trend, seasonal, residual,
+       (sd > 0 AND abs(residual) >= {SEAS_Z} * sd) AS is_anomaly
+FROM fin
+"""
+
+
 QUERIES = [
+    QuerySpec("seasonal_anomaly", q_seasonal_anomaly, Q_SEASONAL_ANOMALY_ORACLE, "STL-lite trend/seasonal/residual decomposition with 3-sigma anomaly flags", ("eventlog", "monitoring")),
     QuerySpec("attribution_last_touch", q_attribution_last_touch, Q_ATTRIBUTION_ORACLE, "last-touch conversion attribution within a 7-day window: one per-user ordered pass", ("eventlog", "experiment")),
     QuerySpec("ohlc_bars", q_ohlc_bars, Q_OHLC_ORACLE, "OHLC downsampling bars per (event_type, hour): one ordered pass + map-side agg", ("eventlog", "timeseries")),
     QuerySpec("timeseries_gapfill", q_timeseries_gapfill, Q_GAPFILL_ORACLE, "dense hourly resample: zero-filled counts + LOCF values over a generated grid", ("eventlog", "timeseries")),

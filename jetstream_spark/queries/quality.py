@@ -670,7 +670,125 @@ WITH q AS ({Q_QUALITY_ORACLE}), feat AS (
 """
 
 
+# --- multinomial Naive Bayes domain classifier ----------------------------------
+# The closed-form sibling of the GD-trained LR classifier above: train a
+# multinomial NB model (Laplace-smoothed per-class token likelihoods +
+# class priors) on the documents' source labels and score the corpus
+# with it, reporting the confusion matrix — the fastText-style "cheap
+# supervised domain/provenance classifier" a curation pipeline trains to
+# route or re-label crawl shards. Training is pure aggregation (no
+# rounds), so unlike LR there is zero driver coordination.
+#
+# Cross-engine determinism: per-(token, class) log-likelihoods and class
+# priors are quantized to integer micro-nats (round(ln·1e6) → BIGINT)
+# BEFORE scoring, so per-doc class scores are exact integer sums —
+# accumulation order cannot flip an argmax tie anywhere (the
+# dedup_embedding_lsh integer-dot pattern). Ties break on the smaller
+# source string via a struct-min argmax, no window.
+#
+# Scale shape (100 TB): one corpus-token exchange for the (token, class)
+# count table; the smoothed model is vocab × |classes| rows (Heaps-law
+# bounded, partition-pruned by token on the scoring join); scoring joins
+# pre-aggregated (doc, token, cnt) rows against the model on token (ONE
+# corpus-token-scale exchange, fan-out |classes| rows per distinct
+# doc-token AFTER the join's map side) and reduces per (doc, class); the
+# argmax is a struct-min aggregate. Priors/vocab-size/class frames are
+# 1-to-|classes|-row broadcasts. Zero-token docs drop out of scoring in
+# both engines (absence of evidence — the curation pipeline routes them
+# to the length filter, not the classifier).
+
+def q_naive_bayes_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(_tokens("text")).alias("token"))
+    dt = tok.groupBy("doc_id", "source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    classes = docs.select(F.col("source").alias("csrc")).distinct()
+    vocab = tok.select("token").distinct().agg(F.count(F.lit(1)).alias("v"))
+    tot = tok.groupBy(F.col("source").alias("csrc")).agg(F.count(F.lit(1)).alias("t"))
+    tc = tok.groupBy("token", F.col("source").alias("csrc")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    model = (
+        tok.select("token")
+        .distinct()
+        .crossJoin(F.broadcast(classes))
+        .join(F.broadcast(tot), "csrc")
+        .join(tc, ["token", "csrc"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "token",
+            "csrc",
+            F.round(
+                F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0)) / (F.col("t") + F.col("v")))
+                * 1e6
+            )
+            .cast("long")
+            .alias("ll"),
+        )
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    prior = (
+        docs.groupBy(F.col("source").alias("csrc"))
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "csrc",
+            F.round(F.log(F.col("dc") / F.col("nd")) * 1e6).cast("long").alias("pr"),
+        )
+    )
+    sc = (
+        dt.join(model, "token")
+        .groupBy("doc_id", F.col("source").alias("true_source"), "csrc")
+        .agg(F.sum(F.col("cnt") * F.col("ll")).alias("s"))
+        .join(F.broadcast(prior), "csrc")
+        .select("doc_id", "true_source", "csrc", (F.col("s") + F.col("pr")).alias("score"))
+    )
+    pred = sc.groupBy("doc_id", "true_source").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("csrc").alias("ps"))).alias("m")
+    )
+    return pred.groupBy(
+        "true_source", F.col("m.ps").alias("pred_source")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+Q_NAIVE_BAYES_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_TOKENS_SQL}) AS token FROM documents
+), dt AS (
+  SELECT doc_id, source, token, count(*) AS cnt FROM tok GROUP BY 1, 2, 3
+), vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+tot AS (SELECT source AS csrc, count(*) AS t FROM tok GROUP BY 1),
+tc AS (SELECT token, source AS csrc, count(*) AS c FROM tok GROUP BY 1, 2),
+model AS (
+  SELECT td.token, cl.csrc,
+         CAST(round(ln((coalesce(tc.c, 0) + 1.0) / (tot.t + vocab.v)) * 1e6) AS BIGINT) AS ll
+  FROM (SELECT DISTINCT token FROM tok) td
+  CROSS JOIN (SELECT DISTINCT source AS csrc FROM documents) cl
+  JOIN tot USING (csrc)
+  LEFT JOIN tc ON tc.token = td.token AND tc.csrc = cl.csrc, vocab
+),
+prior AS (
+  SELECT source AS csrc,
+         CAST(round(ln(count(*) * 1.0 / (SELECT count(*) FROM documents)) * 1e6) AS BIGINT) AS pr
+  FROM documents GROUP BY 1
+),
+sc AS (
+  SELECT dt.doc_id, dt.source AS true_source, m.csrc,
+         sum(dt.cnt * m.ll) + any_value(p.pr) AS score
+  FROM dt JOIN model m ON m.token = dt.token JOIN prior p ON p.csrc = m.csrc
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT doc_id, true_source, csrc AS pred_source,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, csrc) AS rn
+  FROM sc
+)
+SELECT true_source, pred_source, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
 QUERIES = [
+    QuerySpec("naive_bayes_domain", q_naive_bayes_domain, Q_NAIVE_BAYES_ORACLE, "multinomial Naive Bayes domain classifier (integer micro-nat scores, confusion matrix)", ("quality",)),
     QuerySpec("quality_classifier_lr", q_quality_classifier_lr, _lr_oracle(), "trained logistic-regression quality classifier (3 GD rounds, per-round weights + metrics)", ("quality",)),
     QuerySpec("bigram_perplexity", q_bigram_perplexity, Q_BIGRAM_PPL_ORACLE, "bigram stupid-backoff LM: model-as-table join scoring", ("text", "quality")),
     QuerySpec("quality_gopher_rules", q_gopher_rules, Q_GOPHER_ORACLE, "Gopher rule-bundle verdicts per doc", ("text", "quality")),

@@ -1558,7 +1558,118 @@ sel1 AS (
 """
 
 
+# --- greedy k-center coreset selection ------------------------------------------
+# Gonzalez (1985) farthest-point traversal: start from a seed, repeatedly
+# add the point FARTHEST from the selected set (distance = min over
+# selected centers). The classic 2-approximation for k-center, and the
+# geometric-diversity data-selection pass a training pipeline runs when
+# it wants a small subset COVERING the embedding space (active-learning
+# seed sets, eval-panel selection) — complements MMR (query-relative
+# diversity) and corpus_budget_selection (quality/budget greedy) with a
+# corpus-global geometric criterion.
+#
+# Engine shape: the selected set lives as ONE 1-row frame holding the
+# center vectors as an array (grows by one vector per round); each round
+# is ONE map-only pass over the checkpointed corpus (broadcast
+# nested-loop join against the 1-row centers frame, array_min over the
+# per-center cosine distances) + a 1-row TakeOrdered argmax — ZERO
+# shuffles per round, driver traffic one row per round. At 100 TB this
+# is K linear scans of a cached normalized corpus; the broadcast state
+# is K·dim doubles. The oracle unrolls the same rounds as chained CTEs
+# using least(prev_mind, dist_new) — equivalent because per-distance
+# round(·, 6) happens BEFORE the min in both engines and min is
+# associative, so tie-breaks (mind desc, vec_id) agree bit-for-bit.
+
+KC_K = 6  # selected coreset size (seed + 5 greedy rounds)
+
+
+def _kc_dot(v, cv):
+    return F.aggregate(F.zip_with(v, cv, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    # the corpus frame is re-scanned every round — checkpoint once
+    pts = emb.select("vec_id", "v", nrm.alias("nrm")).localCheckpoint(eager=False)
+    seed = pts.orderBy("vec_id").limit(1).localCheckpoint(eager=False)
+    picks = [
+        seed.select(
+            F.lit(1).alias("sel_round"), "vec_id", F.lit(0.0).alias("radius")
+        )
+    ]
+    cent = seed.select(
+        F.array(F.col("v")).alias("cvs"), F.array(F.col("nrm")).alias("cns")
+    ).localCheckpoint(eager=False)
+    for r in range(2, KC_K + 1):
+        mind = F.array_min(
+            F.zip_with(
+                "cvs",
+                "cns",
+                lambda cv, cn: F.round(
+                    F.lit(1.0) - _kc_dot(F.col("v"), cv) / (F.col("nrm") * cn), 6
+                ),
+            )
+        )
+        pick = (
+            pts.crossJoin(F.broadcast(cent))
+            .select("vec_id", "v", "nrm", mind.alias("mind"))
+            .orderBy(F.col("mind").desc(), "vec_id")
+            .limit(1)
+            # 1-row lineage cut per round (the MMR/BPE pattern)
+            .localCheckpoint(eager=False)
+        )
+        picks.append(
+            pick.select(F.lit(r).alias("sel_round"), "vec_id", F.col("mind").alias("radius"))
+        )
+        cent = (
+            cent.crossJoin(pick)
+            .select(
+                F.concat("cvs", F.array(F.col("v"))).alias("cvs"),
+                F.concat("cns", F.array(F.col("nrm"))).alias("cns"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _kcenter_oracle() -> str:
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, len(p.v)), i -> p.v[i] * c.v[i]), 'sum')"
+    )
+    parts = [
+        f"c1 AS (SELECT vec_id, v, nrm FROM e ORDER BY vec_id LIMIT 1),",
+        "s1 AS (SELECT 1 AS sel_round, vec_id, 0.0 AS radius FROM c1),",
+        f"m1 AS (SELECT p.vec_id, p.v, p.nrm,\n"
+        f"  round(1.0 - {dot} / (p.nrm * c.nrm), 6) AS mind\n"
+        f"  FROM e p, c1 c),",
+    ]
+    for r in range(2, KC_K + 1):
+        prev = f"m{r - 1}"
+        parts.append(
+            f"p{r} AS (SELECT vec_id, v, nrm, mind FROM {prev} ORDER BY mind DESC, vec_id LIMIT 1),\n"
+            f"s{r} AS (SELECT {r} AS sel_round, vec_id, mind AS radius FROM p{r}),\n"
+            f"m{r} AS (SELECT p.vec_id, p.v, p.nrm,\n"
+            f"  least(p.mind, round(1.0 - {dot} / (p.nrm * c.nrm), 6)) AS mind\n"
+            f"  FROM {prev} p, p{r} c),"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT sel_round, vec_id, radius FROM s{r}" for r in range(1, KC_K + 1)
+    )
+    body = "\n".join(parts).rstrip(",")
+    return f"WITH e AS ({_COS_E_SQL}),\n{body}\n{union}"
+
+
 QUERIES = [
+    QuerySpec("kcenter_coreset", q_kcenter_coreset, _kcenter_oracle(), "greedy k-center (farthest-point) coreset selection over embeddings (unrolled rounds, zero shuffles per round)", ("similarity", "sampling")),
     QuerySpec("mmr_diverse_topk", q_mmr_diverse_topk, _mmr_oracle(), "MMR diversified re-ranking of the ANN candidate pool (unrolled greedy rounds)", ("similarity", "search")),
     QuerySpec("hybrid_search_rrf", q_hybrid_search_rrf, _hybrid_oracle(), "hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine legs", ("similarity", "search")),
     QuerySpec("knn_graph", q_knn_graph, Q_KNN_GRAPH_ORACLE, "exact top-k neighbor graph via blocked cogroup + partial top-k", ("similarity",)),

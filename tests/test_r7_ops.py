@@ -252,3 +252,105 @@ def test_mutual_information_bounds(spark):
         # MI <= min(H(X), H(Y)) with round-6 slack
         assert -1e-6 <= r["mi"] <= min(r["h_x"], r["h_y"]) + 1e-6, r
         assert -1e-6 <= r["nmi"] <= 1 + 1e-6
+
+
+def test_kcenter_greedy_matches_numpy(spark):
+    """Exact farthest-point-traversal equivalence, recomputed independently
+    in numpy over the same round-6 distance quantization."""
+    import numpy as np
+
+    from jetstream_spark.queries.similarity import KC_K, q_kcenter_coreset
+
+    got = sorted(q_kcenter_coreset(spark, SF01).collect(), key=lambda r: r["sel_round"])
+    assert [r["sel_round"] for r in got] == list(range(1, KC_K + 1))
+    emb = pd.read_parquet(f"{SF01}/embeddings.parquet").sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.sqrt((V * V).sum(axis=1))
+    sel = [int(ids[0])]  # seed = smallest vec_id
+    mind = None
+    radii = [0.0]
+    for _ in range(2, KC_K + 1):
+        c = V[list(ids).index(sel[-1])]
+        cn = nrm[list(ids).index(sel[-1])]
+        d = np.round(1.0 - (V @ c) / (nrm * cn), 6)
+        mind = d if mind is None else np.minimum(mind, d)
+        # argmax with (mind desc, vec_id asc) tie-break
+        best = max(range(len(ids)), key=lambda i: (mind[i], -ids[i]))
+        sel.append(int(ids[best]))
+        radii.append(float(mind[best]))
+    assert [r["vec_id"] for r in got] == sel
+    for r, rad in zip(got, radii):
+        assert abs(r["radius"] - rad) < 2e-6, (r, rad)
+    # coverage radii never increase after the seed round
+    rs = [r["radius"] for r in got[1:]]
+    assert all(a >= b for a, b in zip(rs, rs[1:]))
+
+
+def test_naive_bayes_confusion_matches_numpy(spark):
+    """Full model + scoring recomputed independently in pandas; the
+    confusion matrix must agree cell-for-cell, and train accuracy must
+    beat the 20-class chance floor by 3x."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from jetstream_spark.queries.quality import q_naive_bayes_domain
+
+    got = {(r["true_source"], r["pred_source"]): r["n_docs"]
+           for r in q_naive_bayes_domain(spark, SF01).collect()}
+    docs = pd.read_parquet(f"{SF01}/documents.parquet")
+    toks = {
+        row.doc_id: [t for t in re.split(r"[^a-z0-9]+", row.text.lower()) if t]
+        for row in docs.itertuples()
+    }
+    src = dict(zip(docs["doc_id"], docs["source"]))
+    classes = sorted(set(src.values()))
+    cnt = defaultdict(Counter)  # class -> token counts
+    tot = Counter()
+    for d, ts in toks.items():
+        cnt[src[d]].update(ts)
+        tot[src[d]] += len(ts)
+    vocab = {t for ts in toks.values() for t in ts}
+    V = len(vocab)
+    prior = {c: round(math.log((docs["source"] == c).sum() / len(docs)) * 1e6) for c in classes}
+    ll = {
+        (t, c): round(math.log((cnt[c][t] + 1.0) / (tot[c] + V)) * 1e6)
+        for t in vocab
+        for c in classes
+    }
+    conf = Counter()
+    for d, ts in toks.items():
+        if not ts:
+            continue  # zero-token docs drop out of scoring
+        scores = {c: prior[c] + sum(ll[(t, c)] for t in ts) for c in classes}
+        pred = min(classes, key=lambda c: (-scores[c], c))
+        conf[(src[d], pred)] += 1
+    assert got == dict(conf)
+    n_right = sum(n for (t, p), n in got.items() if t == p)
+    n_all = sum(got.values())
+    assert n_all == sum(1 for ts in toks.values() if ts)
+    assert n_right / n_all >= 3.0 / len(classes)
+
+
+def test_seasonal_anomaly_decomposition(spark):
+    """The decomposition must reassemble (n == trend + seasonal + residual
+    up to round-6), per-(type,hod) seasonal terms must be constant, and
+    the 3-sigma flags must be rare."""
+    from jetstream_spark.queries.eventlog import SEAS_Z, q_seasonal_anomaly
+
+    rows = q_seasonal_anomaly(spark, SF01).collect()
+    assert rows
+    # decomposition identity (all components rounded to 6dp)
+    for r in rows:
+        assert abs((r["trend"] + r["seasonal"] + r["residual"]) - r["n"]) < 3e-6, r
+    # the seasonal term is a per-(type, hour-of-day) constant
+    seas = {}
+    for r in rows:
+        key = (r["event_type"], r["hour_bucket"][11:13])
+        assert seas.setdefault(key, r["seasonal"]) == r["seasonal"], (key, r)
+    # buckets are unique per (type, hour) and flags are tail events
+    keys = {(r["event_type"], r["hour_bucket"]) for r in rows}
+    assert len(keys) == len(rows)
+    n_anom = sum(1 for r in rows if r["is_anomaly"])
+    assert 0 < n_anom < 0.05 * len(rows), n_anom
