@@ -103,6 +103,9 @@ EXTRAS = [
     "naive_bayes_domain",    # r7: NB train + corpus scoring (integer scores)
     "seasonal_anomaly",      # r7: STL-lite decomposition + 3σ flags
     "label_propagation",     # r7: LPA rounds (broadcast-label fix evidence)
+    "dp_noisy_counts",       # r7: DP Laplace release (agg + codegen)
+    "kcore_decomposition",   # r7: 3-round k-core peel (shrinking edges)
+    "cusum_changepoint",     # r7: two-sided CUSUM drift windows
 ]
 
 REGRESSION_FACTOR = 1.15
@@ -580,6 +583,13 @@ SF1_QUERIES = [
     "kcenter_coreset",
     "naive_bayes_domain",
     "seasonal_anomaly",
+    # kcore: replica key-offsetting makes 10 disjoint graph copies with the
+    # SAME degree profile, so K is unchanged and the peel runs identically
+    # per copy — a clean linear probe of the per-round degree exchange +
+    # broadcast semijoins. cusum: same (type, day) grid, 10× counts —
+    # flat-to-linear like seasonal_anomaly.
+    "kcore_decomposition",
+    "cusum_changepoint",
 ]
 
 

@@ -41,6 +41,9 @@ _PRIORITY = (
     "kcenter_coreset",
     "naive_bayes_domain",
     "seasonal_anomaly",
+    "dp_noisy_counts",
+    "kcore_decomposition",
+    "cusum_changepoint",
     "sketch_theta_setops",
     "fingerprint_winnowing",
     "mutual_information",
@@ -88,11 +91,9 @@ _PRIORITY = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_two_tier",
-    "knn_graph",
-    "knn_graph_ivf",
     # ================= driver window boundary (50) ==================
-    # Still r4-stale, first in line for the r8 window:
+    # Still r4-stale, first in line for the r8 window: dedup_two_tier,
+    # knn_graph, knn_graph_ivf,
     # embedding_covariance, kmeans_train, phrase_search, bpe_pair_counts,
     # bigram_perplexity,
     # multimodal_resize,

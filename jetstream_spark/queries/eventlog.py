@@ -1242,7 +1242,114 @@ FROM fin
 """
 
 
+# --- CUSUM changepoint / drift detection -----------------------------------------
+CUSUM_REF_DAYS = 7  # baseline window: the first week per type
+CUSUM_SLACK = 0.5  # slack k, in baseline sigmas
+CUSUM_H = 5.0  # decision threshold h, in baseline sigmas
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detector over daily event counts per type:
+    baseline (μ, σ) from each type's first {CUSUM_REF_DAYS} days, then
+    S⁺_t = max(0, S⁺_(t-1) + (x_t − μ − kσ)) and the mirrored S⁻ track
+    slow level shifts; a day with either statistic above hσ is flagged.
+    Completes the monitoring ladder: rate_anomaly catches single-bucket
+    spikes, seasonal_anomaly catches pattern breaks, CUSUM catches the
+    SLOW drift both miss (a source quietly decaying 5%/day) — the Page
+    (1954) sequential test every data-freshness monitor reimplements.
+
+    The max(0, ·) recursion is not a window sum, but it factors into
+    one: S_t = P_t − min(0, min_(j≤t) P_j) with P the running sum of
+    the drift terms — so each side is TWO ordered-window passes over
+    the (type, day) frame, no recursion, no UDF. Both engines
+    accumulate the running sum in frame order over round-6 terms, so
+    the statistic is deterministic cross-engine (σ follows the
+    rate_anomaly stddev precedent).
+
+    Scale shape: one (type, day) count exchange (map-side partial, key
+    cardinality types × days); baseline stats broadcast back; the two
+    window passes sort |types × days| rows — trivial next to the event
+    scan. Map-only flags."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    first = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    ref = daily.join(F.broadcast(first), "event_type").where(
+        F.col("day") < F.col("d0") + F.expr(f"INTERVAL {CUSUM_REF_DAYS} DAYS")
+    )
+    stats = ref.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sd")
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    yp = F.round(F.col("n") - F.col("mu") - F.lit(CUSUM_SLACK) * F.col("sd"), 6)
+    ym = F.round(F.col("mu") - F.col("n") - F.lit(CUSUM_SLACK) * F.col("sd"), 6)
+    j = j.select("event_type", "day", "n", "sd", yp.alias("yp"), ym.alias("ym"))
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = j.withColumn("pp", F.sum("yp").over(wrun)).withColumn(
+        "pm", F.sum("ym").over(wrun)
+    )
+    j = j.withColumn("mp", F.min("pp").over(wrun)).withColumn(
+        "mm", F.min("pm").over(wrun)
+    )
+    cp = F.round(F.col("pp") - F.least(F.col("mp"), F.lit(0.0)), 6)
+    cm = F.round(F.col("pm") - F.least(F.col("mm"), F.lit(0.0)), 6)
+    return j.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        cp.alias("cusum_pos"),
+        cm.alias("cusum_neg"),
+        (
+            (F.col("sd") > 0)
+            & ((cp > F.lit(CUSUM_H) * F.col("sd")) | (cm > F.lit(CUSUM_H) * F.col("sd")))
+        ).alias("is_change"),
+    )
+
+
+Q_CUSUM_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), ref AS (
+  SELECT d.* FROM daily d
+  JOIN (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1) f USING (event_type)
+  WHERE d.day < f.d0 + INTERVAL {CUSUM_REF_DAYS} DAY
+), stats AS (
+  SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd FROM ref GROUP BY 1
+), y AS (
+  SELECT d.event_type, d.day, d.n, s.sd,
+         round(d.n - s.mu - {CUSUM_SLACK} * s.sd, 6) AS yp,
+         round(s.mu - d.n - {CUSUM_SLACK} * s.sd, 6) AS ym
+  FROM daily d JOIN stats s USING (event_type)
+), p0 AS (
+  SELECT *,
+         sum(yp) OVER w AS pp, sum(ym) OVER w AS pm
+  FROM y
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), p AS (
+  SELECT *,
+         min(pp) OVER w AS mp, min(pm) OVER w AS mm
+  FROM p0
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       round(pp - least(mp, 0.0), 6) AS cusum_pos,
+       round(pm - least(mm, 0.0), 6) AS cusum_neg,
+       (sd > 0 AND (round(pp - least(mp, 0.0), 6) > {CUSUM_H} * sd
+                    OR round(pm - least(mm, 0.0), 6) > {CUSUM_H} * sd)) AS is_change
+FROM p
+"""
+
+
 QUERIES = [
+    QuerySpec("cusum_changepoint", q_cusum_changepoint, Q_CUSUM_ORACLE, "two-sided CUSUM drift detector over daily event rates (prefix-sum/running-min form)", ("eventlog", "monitoring")),
     QuerySpec("seasonal_anomaly", q_seasonal_anomaly, Q_SEASONAL_ANOMALY_ORACLE, "STL-lite trend/seasonal/residual decomposition with 3-sigma anomaly flags", ("eventlog", "monitoring")),
     QuerySpec("attribution_last_touch", q_attribution_last_touch, Q_ATTRIBUTION_ORACLE, "last-touch conversion attribution within a 7-day window: one per-user ordered pass", ("eventlog", "experiment")),
     QuerySpec("ohlc_bars", q_ohlc_bars, Q_OHLC_ORACLE, "OHLC downsampling bars per (event_type, hour): one ordered pass + map-side agg", ("eventlog", "timeseries")),

@@ -1180,7 +1180,157 @@ FROM (SELECT {qi}, count(*) AS sz FROM customer GROUP BY {qi})""")
     return "\nUNION ALL\n".join(parts)
 
 
+# --- differentially-private histogram release -----------------------------------
+# The release arm of the privacy family: k_anonymity_audit decides
+# WHETHER a table of quasi-identifier classes is safe to publish;
+# dp_noisy_counts publishes the (nation, segment) histogram WITH
+# epsilon-calibrated Laplace noise and reports the realized utility
+# error — the calibration audit a data owner runs before fixing a
+# release budget. Noise is DERIVED (inverse-CDF over an md5-uniform of
+# the cell key — the sampling family's engine-independent hash fold),
+# so the release is reproducible and the oracle computes bit-identical
+# noise: this audits the mechanism's error profile; a production release
+# would swap the hash for a secret-seeded RNG, changing nothing else.
+#
+# Scale shape: one (nation, segment) count exchange (map-side partial,
+# |cells| = nations × segments), a broadcast nation join, then map-only
+# noise arithmetic — the whole release is agg + codegen.
+
+_DP_EPS = 1.0  # epsilon budget; count sensitivity = 1 ⇒ Laplace(1/eps)
+
+
+def _dp_uniform(key: F.Column) -> F.Column:
+    """Deterministic uniform in (0,1) from the md5 of the cell key:
+    first 6 hex chars → int in [0, 16^6) → mod 1e6 → (m + 0.5)/1e6.
+    Never exactly 0.5, so the Laplace inverse-CDF is finite."""
+    m = F.conv(F.substring(F.md5(key.cast("binary")), 1, 6), 16, 10).cast("long") % 1000000
+    return (m + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    cells = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    u = _dp_uniform(F.concat_ws("|", F.col("nation"), F.col("segment")))
+    noise = (
+        -F.lit(1.0 / _DP_EPS)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return cells.select(
+        "nation",
+        "segment",
+        "true_n",
+        F.round(F.col("true_n") + noise, 6).alias("noisy_n"),
+        F.round(F.abs(noise), 6).alias("abs_err"),
+        F.lit(float(_DP_EPS)).alias("eps"),
+    )
+
+
+def _dp_oracle() -> str:
+    # same md5 fold as the sampling family's _BUCKET_SQL, over 6 hex chars
+    key = "nation || '|' || segment"
+    fold = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({key}), {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"""
+WITH cells AS (
+  SELECT n.n_name AS nation, c.c_mktsegment AS segment, count(*) AS true_n
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), nz AS (
+  SELECT *, ((({fold}) % 1000000) + 0.5) / 1000000.0 AS u FROM cells
+)
+SELECT nation, segment, true_n,
+       round(true_n + (-1.0 / {_DP_EPS}) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noisy_n,
+       round(abs((-1.0 / {_DP_EPS}) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS abs_err,
+       {_DP_EPS} AS eps
+FROM nz
+"""
+
+
+# --- k-core decomposition (fixed peel rounds) ------------------------------------
+_KCORE_ROUNDS = 3
+_KCORE_FRAC = 0.75  # K = ceil(frac * mean degree): peels ~25% at the fixture's degree profile
+
+
+def q_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_ROUNDS} fixed peel rounds toward the K-core of the part
+    co-purchase graph, K = ceil({_KCORE_FRAC} × mean degree) (data-adaptive, so the
+    operator peels meaningfully at every SF instead of pinning a
+    constant that goes stale at 10× density). Each round drops nodes
+    whose CURRENT degree is below K and restricts the edge list to
+    survivors; the output is the post-round-{_KCORE_ROUNDS} survivor
+    degrees — the dense engagement core that graph-sampling /
+    curriculum pipelines keep, next to LPA (communities) and PageRank
+    (centrality) on the same edge list. Fixed rounds, like LPA: the
+    full decomposition iterates to a fixpoint; three rounds of the
+    identical body are oracle-exact.
+
+    Scale shape: per round ONE degree exchange over the (shrinking)
+    edge list + TWO explicit-broadcast survivor semijoins (node-scale,
+    the LPA broadcast rule — AQE cannot size checkpointed sides) —
+    never an edge-edge join. Edges are localCheckpointed per round.
+    All-integer arithmetic throughout."""
+    li = table(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li).localCheckpoint(eager=False)
+    deg0 = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    kk = deg0.agg(
+        F.ceil(F.avg("d") * F.lit(_KCORE_FRAC)).cast("long").alias("k")
+    ).localCheckpoint(eager=False)
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+        keep = (
+            deg.crossJoin(F.broadcast(kk))
+            .where(F.col("d") >= F.col("k"))
+            .select("s")
+            .localCheckpoint(eager=False)
+        )
+        edges = (
+            edges.join(F.broadcast(keep), "s")
+            .join(
+                F.broadcast(keep.withColumnRenamed("s", "t")),
+                "t",
+            )
+            .select("s", "t")
+            .localCheckpoint(eager=False)
+        )
+    out = edges.groupBy("s").agg(F.count(F.lit(1)).alias("core_degree"))
+    return out.crossJoin(F.broadcast(kk)).select(
+        F.col("s").alias("part_key"), "core_degree", F.col("k").alias("k_used")
+    )
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"d{r} AS (SELECT s, count(*) AS d FROM e{r - 1} GROUP BY 1),\n"
+            f"k{r} AS (SELECT s FROM d{r}, kk WHERE d >= k),\n"
+            f"e{r} AS (SELECT e.s, e.t FROM e{r - 1} e JOIN k{r} a ON e.s = a.s "
+            f"JOIN k{r} b ON e.t = b.s)"
+        )
+    return (
+        "WITH e0 AS (\n"
+        "  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t\n"
+        "  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey\n"
+        "  WHERE a.l_partkey <> b.l_partkey\n"
+        "), d0 AS (SELECT s, count(*) AS d FROM e0 GROUP BY 1),\n"
+        f"kk AS (SELECT CAST(ceil(avg(d) * {_KCORE_FRAC}) AS BIGINT) AS k FROM d0),\n"
+        + ",\n".join(rounds)
+        + f"\nSELECT e.s AS part_key, count(*) AS core_degree, any_value(kk.k) AS k_used\n"
+        f"FROM e{_KCORE_ROUNDS} e, kk GROUP BY e.s"
+    )
+
+
 QUERIES = [
+    QuerySpec("dp_noisy_counts", q_dp_noisy_counts, _dp_oracle(), "epsilon-calibrated Laplace DP histogram release with realized-error audit (derived noise)", ("profiling", "privacy")),
+    QuerySpec("kcore_decomposition", q_kcore_decomposition, _kcore_oracle(), "3-round k-core peel (K = ceil(0.75 x mean degree)) over the co-purchase graph", ("graph",)),
     QuerySpec("k_anonymity_audit", q_k_anonymity_audit, _kanon_oracle(), "k-anonymity generalization-lattice audit over customer quasi-identifiers", ("profiling", "privacy")),
     QuerySpec("adamic_adar_linkpred", q_adamic_adar_linkpred, Q_ADAMIC_ADAR_ORACLE, "Adamic-Adar link prediction over the co-purchase graph (wedge join + anti-adjacency)", ("graph",)),
     QuerySpec("mutual_information", q_mutual_information, _mi_oracle(), "MI + normalized-MI dependency audit over categorical column pairs", ("profiling",)),

@@ -354,3 +354,83 @@ def test_seasonal_anomaly_decomposition(spark):
     assert len(keys) == len(rows)
     n_anom = sum(1 for r in rows if r["is_anomaly"])
     assert 0 < n_anom < 0.05 * len(rows), n_anom
+
+
+def test_dp_noise_is_laplace_calibrated(spark):
+    from jetstream_spark.queries.profiling import _DP_EPS, q_dp_noisy_counts
+
+    rows = q_dp_noisy_counts(spark, SF01).collect()
+    assert rows
+    cust = pd.read_parquet(f"{SF01}/customer.parquet")
+    assert sum(r["true_n"] for r in rows) == len(cust)  # release covers everyone
+    errs = [r["abs_err"] for r in rows]
+    # Laplace(b=1/eps): E|noise| = b. Hash-derived noise over >=100 cells
+    # must land near it (generous 3x band — this is a mechanism pin, not
+    # a statistical test).
+    b = 1.0 / _DP_EPS
+    assert b / 3 <= sum(errs) / len(errs) <= 3 * b
+    for r in rows:
+        assert r["eps"] == _DP_EPS
+        assert abs(abs(r["noisy_n"] - r["true_n"]) - r["abs_err"]) < 2e-6
+
+
+def test_kcore_matches_pandas_peel(spark):
+    from jetstream_spark.queries.profiling import (
+        _KCORE_FRAC,
+        _KCORE_ROUNDS,
+        q_kcore_decomposition,
+    )
+
+    got = {r["part_key"]: (r["core_degree"], r["k_used"]) for r in
+           q_kcore_decomposition(spark, SF01).collect()}
+    li = pd.read_parquet(f"{SF01}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    m = li.merge(li, on="l_orderkey")
+    e = m[m["l_partkey_x"] != m["l_partkey_y"]][["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+    import math
+
+    k = math.ceil(e.groupby("l_partkey_x").size().mean() * _KCORE_FRAC)
+    for _ in range(_KCORE_ROUNDS):
+        deg = e.groupby("l_partkey_x").size()
+        keep = set(deg[deg >= k].index)
+        e = e[e["l_partkey_x"].isin(keep) & e["l_partkey_y"].isin(keep)]
+    want = e.groupby("l_partkey_x").size().to_dict()
+    assert got == {n: (d, k) for n, d in want.items()}
+
+
+def test_cusum_matches_direct_recursion(spark):
+    """The engine computes CUSUM via the prefix-sum/running-min
+    factorization; re-derive it here with the textbook max(0, ·)
+    recursion — the two must agree everywhere."""
+    from collections import defaultdict
+
+    from jetstream_spark.queries.eventlog import q_cusum_changepoint
+
+    rows = sorted(
+        q_cusum_changepoint(spark, SF01).collect(),
+        key=lambda r: (r["event_type"], r["day"]),
+    )
+    assert rows
+    ev = pd.read_parquet(f"{SF01}/events.parquet")
+    ev["day"] = ev["ts"].dt.floor("D")
+    daily = ev.groupby(["event_type", "day"]).size().rename("n").reset_index()
+    flags = 0
+    for et, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day")
+        ref = grp.head(0)
+        d0 = grp["day"].min()
+        ref = grp[grp["day"] < d0 + pd.Timedelta(days=7)]
+        mu, sd = ref["n"].mean(), ref["n"].std(ddof=0)
+        sp = sm = 0.0
+        mine = [r for r in rows if r["event_type"] == et]
+        assert len(mine) == len(grp)
+        for r, (_, row) in zip(mine, grp.iterrows()):
+            sp = max(0.0, sp + round(row["n"] - mu - 0.5 * sd, 6))
+            sm = max(0.0, sm + round(mu - row["n"] - 0.5 * sd, 6))
+            assert r["day"] == row["day"].strftime("%Y-%m-%d")
+            assert abs(r["cusum_pos"] - sp) < 5e-6, (et, r, sp)
+            assert abs(r["cusum_neg"] - sm) < 5e-6, (et, r, sm)
+            flags += bool(r["is_change"])
+    # CUSUM latches: once drift trips h·sigma the statistic stays elevated
+    # until an (out-of-scope) reset, so flags form contiguous late episodes
+    # — present in this drifting fixture, but never the majority of days.
+    assert 0 < flags < 0.5 * len(rows)
