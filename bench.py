@@ -106,6 +106,9 @@ EXTRAS = [
     "dp_noisy_counts",       # r7: DP Laplace release (agg + codegen)
     "kcore_decomposition",   # r7: 3-round k-core peel (shrinking edges)
     "cusum_changepoint",     # r7: two-sided CUSUM drift windows
+    "sketch_quantile_bottomk",  # r7: bottom-k quantile sketch vs exact
+    "markov_transitions",    # r7: per-user lag pass + |types|^2 matrix
+    "embedding_drift_mmd",   # r7: linear-time MMD over vector quads
 ]
 
 REGRESSION_FACTOR = 1.15
@@ -590,6 +593,12 @@ SF1_QUERIES = [
     # flat-to-linear like seasonal_anomaly.
     "kcore_decomposition",
     "cusum_changepoint",
+    # markov: pair volume is events-linear, matrix fixed — expect linear.
+    # mmd: quad volume is vectors-linear, kernel per quad constant —
+    # expect linear (the orthogonal replica transform changes the
+    # cross-replica geometry but X/Y stay same-distributed within quads).
+    "markov_transitions",
+    "embedding_drift_mmd",
 ]
 
 

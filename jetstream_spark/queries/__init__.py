@@ -44,6 +44,9 @@ _PRIORITY = (
     "dp_noisy_counts",
     "kcore_decomposition",
     "cusum_changepoint",
+    "sketch_quantile_bottomk",
+    "markov_transitions",
+    "embedding_drift_mmd",
     "sketch_theta_setops",
     "fingerprint_winnowing",
     "mutual_information",
@@ -88,11 +91,9 @@ _PRIORITY = (
     "dedup_span_scrub",
     "dedup_containment_kmv",
     "dedup_common_spans",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     # ================= driver window boundary (50) ==================
-    # Still r4-stale, first in line for the r8 window: dedup_two_tier,
+    # Still r4-stale, first in line for the r8 window: dedup_ngram_jaccard,
+    # dedup_minhash_lsh, dedup_simhash, dedup_two_tier,
     # knn_graph, knn_graph_ivf,
     # embedding_covariance, kmeans_train, phrase_search, bpe_pair_counts,
     # bigram_perplexity,

@@ -1348,7 +1348,72 @@ FROM p
 """
 
 
+# --- first-order Markov transition model -----------------------------------------
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain over per-user event sequences: transition
+    counts and probabilities P(next | prev) plus each state's outgoing
+    entropy — the behavioral model behind next-action prediction,
+    session simulation, and funnel-leak diagnosis (a high-entropy state
+    is where journeys scatter). Complements user_journey (raw ordered
+    paths) and conversion_funnel (one fixed path) with the full
+    transition matrix.
+
+    Scale shape: ONE per-user ordered window pass produces (prev, next)
+    pairs (the sessionization/scd2 shape — partitions by user, total
+    order (ts, event_id) within); the matrix is a |types|² aggregate
+    (map-side partial, tiny key space); row totals and entropies
+    broadcast back. Entropy sums ≤ |types| rounded doubles — round-6
+    output per repo float contract."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    trans = pairs.groupBy(
+        F.col("prev").alias("prev_type"), F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n_trans"))
+    tot = trans.groupBy("prev_type").agg(F.sum("n_trans").alias("tot"))
+    j = trans.join(F.broadcast(tot), "prev_type")
+    p = F.col("n_trans") / F.col("tot")
+    ent = j.groupBy("prev_type").agg(
+        F.round(-F.sum(p * F.log(p)), 6).alias("state_entropy")
+    )
+    return (
+        j.join(F.broadcast(ent), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            F.round(p, 6).alias("p_trans"),
+            "state_entropy",
+        )
+    )
+
+
+Q_MARKOV_ORACLE = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         event_type AS next
+  FROM events
+), trans AS (
+  SELECT prev AS prev_type, next AS next_type, count(*) AS n_trans
+  FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT prev_type, sum(n_trans) AS tot FROM trans GROUP BY 1
+), j AS (
+  SELECT t.prev_type, t.next_type, t.n_trans,
+         CAST(t.n_trans AS DOUBLE) / CAST(o.tot AS DOUBLE) AS p
+  FROM trans t JOIN tot o USING (prev_type)
+), ent AS (
+  SELECT prev_type, round(-sum(p * ln(p)), 6) AS state_entropy FROM j GROUP BY 1
+)
+SELECT j.prev_type, j.next_type, j.n_trans, round(j.p, 6) AS p_trans, e.state_entropy
+FROM j JOIN ent e USING (prev_type)
+"""
+
+
 QUERIES = [
+    QuerySpec("markov_transitions", q_markov_transitions, Q_MARKOV_ORACLE, "first-order Markov transition matrix + per-state entropy over user event sequences", ("eventlog",)),
     QuerySpec("cusum_changepoint", q_cusum_changepoint, Q_CUSUM_ORACLE, "two-sided CUSUM drift detector over daily event rates (prefix-sum/running-min form)", ("eventlog", "monitoring")),
     QuerySpec("seasonal_anomaly", q_seasonal_anomaly, Q_SEASONAL_ANOMALY_ORACLE, "STL-lite trend/seasonal/residual decomposition with 3-sigma anomaly flags", ("eventlog", "monitoring")),
     QuerySpec("attribution_last_touch", q_attribution_last_touch, Q_ATTRIBUTION_ORACLE, "last-touch conversion attribution within a 7-day window: one per-user ordered pass", ("eventlog", "experiment")),

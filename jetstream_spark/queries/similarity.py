@@ -1668,7 +1668,123 @@ def _kcenter_oracle() -> str:
     return f"WITH e AS ({_COS_E_SQL}),\n{body}\n{union}"
 
 
+# --- linear-time MMD two-sample drift test ---------------------------------------
+# Gretton et al. (JMLR 2012) MMD_l: the O(n) unbiased estimator of
+# squared maximum mean discrepancy between two embedding populations —
+# h_j = k(x1,x2) + k(y1,y2) − k(x1,y2) − k(x2,y1) averaged over disjoint
+# sample quads. THE kernel two-sample test an embedding pipeline runs to
+# detect distribution drift between crawl snapshots / encoder versions;
+# complements split_drift_psi (binned scalar features) with a test over
+# the raw vector geometry.
+#
+# Quad formation is MAP-SIDE: with dense vec_ids the j-th quad is the
+# four vectors with vec_id in [4j, 4j+4) — x = even positions, y = odd —
+# so the whole test is one groupBy(j)-equivalent 4-way node-scale join +
+# one scalar aggregate; no pairwise blow-up, no sort (a production run
+# with sparse ids would zipWithIndex once first). RBF kernel with fixed
+# bandwidth scales gamma = g/dim for g in MMD_GAMMAS (the fixed-grid
+# alternative to the median heuristic, which is cross-engine-fragile).
+# Per-quad h is quantized to integer micro-units before the mean, so
+# accumulation order cannot move the estimate (the NB/LSH pattern).
+
+MMD_GAMMAS = (0.5, 1.0, 2.0)  # × 1/dim
+
+
+def _sqdist(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_embedding_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    quad = emb.select(
+        F.floor(F.col("vec_id") / 4).alias("j"),
+        F.pmod(F.col("vec_id"), F.lit(4)).alias("pos"),
+        "v",
+    )
+
+    def leg(pos: int, name: str) -> DataFrame:
+        return quad.where(F.col("pos") == pos).select("j", F.col("v").alias(name))
+
+    q4 = (
+        leg(0, "x1")
+        .join(leg(2, "x2"), "j")
+        .join(leg(1, "y1"), "j")
+        .join(leg(3, "y2"), "j")
+    )
+    dim = F.size("x1")
+    out = None
+    aggs = []
+    for i, g in enumerate(MMD_GAMMAS):
+        gam = F.lit(g) / dim
+        h = (
+            F.exp(-gam * _sqdist("x1", "x2"))
+            + F.exp(-gam * _sqdist("y1", "y2"))
+            - F.exp(-gam * _sqdist("x1", "y2"))
+            - F.exp(-gam * _sqdist("x2", "y1"))
+        )
+        aggs.append(F.sum(F.round(h * 1e6).cast("long")).alias(f"s{i}"))
+    sums = q4.agg(F.count(F.lit(1)).alias("n_quads"), *aggs)
+    for i, g in enumerate(MMD_GAMMAS):
+        r = sums.select(
+            F.lit(float(g)).alias("gamma_scale"),
+            "n_quads",
+            F.round(F.col(f"s{i}") / 1e6 / F.col("n_quads"), 6).alias("mmd2_lin"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _mmd_oracle() -> str:
+    def sq(a: str, b: str) -> str:
+        return (
+            f"list_aggregate(list_transform(generate_series(1, len({a})), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+        )
+
+    hs = [
+        (
+            f"exp(-(CAST({g} AS DOUBLE) / len(x1)) * {sq('x1', 'x2')})"
+            f" + exp(-(CAST({g} AS DOUBLE) / len(x1)) * {sq('y1', 'y2')})"
+            f" - exp(-(CAST({g} AS DOUBLE) / len(x1)) * {sq('x1', 'y2')})"
+            f" - exp(-(CAST({g} AS DOUBLE) / len(x1)) * {sq('x2', 'y1')})"
+        )
+        for g in MMD_GAMMAS
+    ]
+    sums = ", ".join(
+        f"sum(CAST(round(({h}) * 1e6) AS BIGINT)) AS s{i}" for i, h in enumerate(hs)
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({g} AS DOUBLE) AS gamma_scale, n_quads,"
+        f" round(s{i} / 1e6 / n_quads, 6) AS mmd2_lin FROM sums"
+        for i, g in enumerate(MMD_GAMMAS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), quad AS (
+  SELECT vec_id // 4 AS j, vec_id % 4 AS pos, v FROM e
+), q4 AS (
+  SELECT a.j, a.v AS x1, b.v AS x2, c.v AS y1, d.v AS y2
+  FROM quad a JOIN quad b ON a.j = b.j AND b.pos = 2
+              JOIN quad c ON a.j = c.j AND c.pos = 1
+              JOIN quad d ON a.j = d.j AND d.pos = 3
+  WHERE a.pos = 0
+), sums AS (
+  SELECT count(*) AS n_quads, {sums} FROM q4
+)
+{union}
+"""
+
+
 QUERIES = [
+    QuerySpec("embedding_drift_mmd", q_embedding_drift_mmd, _mmd_oracle(), "linear-time MMD two-sample drift test over embedding quads (3 RBF bandwidths)", ("similarity", "monitoring")),
     QuerySpec("kcenter_coreset", q_kcenter_coreset, _kcenter_oracle(), "greedy k-center (farthest-point) coreset selection over embeddings (unrolled rounds, zero shuffles per round)", ("similarity", "sampling")),
     QuerySpec("mmr_diverse_topk", q_mmr_diverse_topk, _mmr_oracle(), "MMR diversified re-ranking of the ANN candidate pool (unrolled greedy rounds)", ("similarity", "search")),
     QuerySpec("hybrid_search_rrf", q_hybrid_search_rrf, _hybrid_oracle(), "hybrid retrieval: reciprocal-rank fusion of BM25 + dense cosine legs", ("similarity", "search")),

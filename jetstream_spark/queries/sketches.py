@@ -386,7 +386,106 @@ FROM unioned
 """
 
 
+# --- mergeable bottom-k quantile sketch ------------------------------------------
+# The quantile member of the sketch suite (CMS = frequencies, HLL/KMV =
+# distincts, this = distribution shape): keep the K rows whose md5 rank
+# is smallest — a deterministic uniform sample that is EXACTLY mergeable
+# (bottom-k of a union == bottom-k of the concatenated per-split
+# bottom-k's, proven in tests the way theta_stream proves its merge) —
+# and read quantiles off the sample. The engine-side selection is a
+# TakeOrdered(K) (no global sort); the exact column is the audit tier a
+# production run samples or drops. Estimator error follows the order-
+# statistics bound: rank error ~ sqrt(p(1-p)/K), pinned in tests.
+
+QSK_K = 512
+QSK_PS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _qsk_rank(key: F.Column) -> F.Column:
+    """64-bit-ish md5 rank: first 8 hex chars → int in [0, 16^8)."""
+    h = F.md5(key.cast("string").cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+_QSK_RANK_SQL_KEY = "CAST(k AS VARCHAR)"
+_QSK_RANK_SQL = (
+    "("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({_QSK_RANK_SQL_KEY}), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    + ")"
+)
+
+
+def bottomk_sample(df: DataFrame, key: str, k: int = QSK_K) -> DataFrame:
+    """The sketch itself: the k rows with the smallest (md5-rank, key).
+    Mergeable by construction; exposed for the merge-equality test."""
+    return df.withColumn("h", _qsk_rank(F.col(key))).orderBy("h", key).limit(k)
+
+
+def q_sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    samp = bottomk_sample(li, "k")
+    est = samp.agg(
+        *[
+            F.round(F.expr(f"percentile(x, {p})"), 4).alias(f"e{i}")
+            for i, p in enumerate(QSK_PS)
+        ]
+    )
+    exact = li.agg(
+        *[
+            F.round(F.expr(f"percentile(x, {p})"), 4).alias(f"x{i}")
+            for i, p in enumerate(QSK_PS)
+        ]
+    )
+    j = est.crossJoin(exact)
+    out = None
+    for i, p in enumerate(QSK_PS):
+        r = j.select(
+            F.lit(float(p)).alias("p"),
+            F.col(f"e{i}").alias("est"),
+            F.col(f"x{i}").alias("exact"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.select(
+        "p",
+        "est",
+        "exact",
+        F.round(F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6).alias("rel_err"),
+    )
+
+
+def _qsk_oracle() -> str:
+    est_cols = ", ".join(
+        f"round(quantile_cont(x, {p}), 4) AS e{i}" for i, p in enumerate(QSK_PS)
+    )
+    ex_cols = ", ".join(
+        f"round(quantile_cont(x, {p}), 4) AS x{i}" for i, p in enumerate(QSK_PS)
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({p} AS DOUBLE) AS p, e{i} AS est, x{i} AS exact,"
+        f" round(abs(e{i} - x{i}) / x{i}, 6) AS rel_err FROM est, ex"
+        for i, p in enumerate(QSK_PS)
+    )
+    return f"""
+WITH s AS (
+  SELECT l_extendedprice AS x, l_orderkey * 10 + l_linenumber AS k FROM lineitem
+), ranked AS (
+  SELECT x, k, {_QSK_RANK_SQL} AS h FROM s
+), samp AS (
+  SELECT x FROM ranked ORDER BY h, k LIMIT {QSK_K}
+), est AS (SELECT {est_cols} FROM samp),
+ex AS (SELECT {ex_cols} FROM s)
+{union}
+"""
+
+
 QUERIES = [
+    QuerySpec("sketch_quantile_bottomk", q_sketch_quantile_bottomk, _qsk_oracle(), "mergeable bottom-k (md5-rank) quantile sketch vs exact percentiles", ("sketch",)),
     QuerySpec("cms_heavy_hitters", q_cms_heavy_hitters, Q_CMS_ORACLE, "deterministic count-min sketch vs exact heavy hitters", ("sketch", "text")),
     QuerySpec("sketch_theta_setops", q_sketch_theta_setops, Q_THETA_ORACLE, "theta/KMV sketch set algebra: union/intersect/difference distinct estimates vs exact", ("sketch", "eventlog")),
 ]

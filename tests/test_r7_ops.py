@@ -434,3 +434,102 @@ def test_cusum_matches_direct_recursion(spark):
     # until an (out-of-scope) reset, so flags form contiguous late episodes
     # — present in this drifting fixture, but never the majority of days.
     assert 0 < flags < 0.5 * len(rows)
+
+
+def test_quantile_sketch_merge_and_rank_error(spark):
+    """Mergeability is EXACT for a bottom-k-by-hash sample: sketch(A ∪ B)
+    == sketch(merge(sketch(A), sketch(B))). And the estimator's rank
+    error obeys the order-statistics bound."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from jetstream_spark.queries.sketches import (
+        QSK_K,
+        QSK_PS,
+        bottomk_sample,
+        q_sketch_quantile_bottomk,
+    )
+    from jetstream_spark.tables import table
+
+    li = table(spark, SF01, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    full = {r["k"] for r in bottomk_sample(li, "k").collect()}
+    a = bottomk_sample(li.where(F.col("k") % 2 == 0), "k").select("k", "x", "h")
+    b = bottomk_sample(li.where(F.col("k") % 2 == 1), "k").select("k", "x", "h")
+    merged = {
+        r["k"]
+        for r in a.unionByName(b).orderBy("h", "k").limit(QSK_K).collect()
+    }
+    assert merged == full
+    # rank-error bound: F_full(est) within p ± 5·sqrt(p(1-p)/K)
+    rows = {r["p"]: r for r in q_sketch_quantile_bottomk(spark, SF01).collect()}
+    xs = sorted(r["x"] for r in li.select("x").collect())
+    import bisect
+
+    n = len(xs)
+    for p in QSK_PS:
+        est = rows[p]["est"]
+        f_est = bisect.bisect_right(xs, est) / n
+        tol = 5 * math.sqrt(p * (1 - p) / QSK_K)
+        assert abs(f_est - p) <= tol, (p, f_est, tol)
+        assert rows[p]["exact"] > 0 and rows[p]["rel_err"] >= 0
+
+
+def test_markov_rows_are_a_stochastic_matrix(spark):
+    import math
+    from collections import defaultdict
+
+    from jetstream_spark.queries.eventlog import q_markov_transitions
+
+    rows = q_markov_transitions(spark, SF01).collect()
+    by_prev = defaultdict(list)
+    for r in rows:
+        by_prev[r["prev_type"]].append(r)
+    ev = pd.read_parquet(f"{SF01}/events.parquet")
+    n_pairs = len(ev) - ev["user_id"].nunique()
+    assert sum(r["n_trans"] for r in rows) == n_pairs  # every adjacency counted once
+    for prev, grp in by_prev.items():
+        assert abs(sum(r["p_trans"] for r in grp) - 1.0) < 1e-4  # row-stochastic
+        ent = grp[0]["state_entropy"]
+        assert all(r["state_entropy"] == ent for r in grp)
+        # entropy bounded by log of the support size
+        assert -1e-6 <= ent <= math.log(len(grp)) + 1e-6
+
+
+def test_mmd_matches_numpy_and_is_null_under_same_distribution(spark):
+    import math
+
+    import numpy as np
+
+    from jetstream_spark.queries.similarity import MMD_GAMMAS, q_embedding_drift_mmd
+
+    got = {r["gamma_scale"]: r for r in q_embedding_drift_mmd(spark, SF01).collect()}
+    emb = pd.read_parquet(f"{SF01}/embeddings.parquet").sort_values("vec_id")
+    V = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    dim = len(next(iter(V.values())))
+    n_j = 0
+    sums = {g: 0 for g in MMD_GAMMAS}
+    j = 0
+    while True:
+        ids = [4 * j, 4 * j + 1, 4 * j + 2, 4 * j + 3]
+        if not all(i in V for i in ids):
+            break
+        x1, y1, x2, y2 = (V[i] for i in ids)
+        for g in MMD_GAMMAS:
+            gam = g / dim
+            k = lambda a, b: math.exp(-gam * float(((a - b) ** 2).sum()))
+            h = k(x1, x2) + k(y1, y2) - k(x1, y2) - k(x2, y1)
+            sums[g] += round(h * 1e6)
+        n_j += 1
+        j += 1
+    for g in MMD_GAMMAS:
+        r = got[g]
+        assert r["n_quads"] == n_j
+        want = round(sums[g] / 1e6 / n_j, 6)
+        assert abs(r["mmd2_lin"] - want) < 2e-6, (g, r["mmd2_lin"], want)
+        # X and Y come from the SAME synthetic distribution: the unbiased
+        # estimator must sit near 0 (null regime), inside 5/sqrt(n).
+        assert abs(r["mmd2_lin"]) <= 5.0 / math.sqrt(n_j), r
