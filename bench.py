@@ -109,6 +109,9 @@ EXTRAS = [
     "sketch_quantile_bottomk",  # r7: bottom-k quantile sketch vs exact
     "markov_transitions",    # r7: per-user lag pass + |types|^2 matrix
     "embedding_drift_mmd",   # r7: linear-time MMD over vector quads
+    "ann_hamming_topk",      # r7: XOR+popcount binary-signature ANN
+    "hbos_outliers",         # r7: histogram outlier score (2 aggs + map)
+    "kneser_ney_perplexity",  # r7: KN bigram scoring (model-table joins)
 ]
 
 REGRESSION_FACTOR = 1.15
@@ -599,6 +602,12 @@ SF1_QUERIES = [
     # cross-replica geometry but X/Y stay same-distributed within quads).
     "markov_transitions",
     "embedding_drift_mmd",
+    # hamming ANN: signature build + scoring are vectors-linear with 10
+    # broadcast queries — expect linear. KN: model tables are
+    # bigram-type-bound (Heaps-law, replica-invariant like BPE) while the
+    # eval stream scales 10× — expect linear in the scoring join.
+    "ann_hamming_topk",
+    "kneser_ney_perplexity",
 ]
 
 

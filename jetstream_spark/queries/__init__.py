@@ -47,6 +47,9 @@ _PRIORITY = (
     "sketch_quantile_bottomk",
     "markov_transitions",
     "embedding_drift_mmd",
+    "ann_hamming_topk",
+    "hbos_outliers",
+    "kneser_ney_perplexity",
     "sketch_theta_setops",
     "fingerprint_winnowing",
     "mutual_information",
@@ -88,11 +91,9 @@ _PRIORITY = (
     "retention_cohorts",
     "rate_anomaly",
     "ab_test_conversion",
-    "dedup_span_scrub",
-    "dedup_containment_kmv",
-    "dedup_common_spans",
     # ================= driver window boundary (50) ==================
-    # Still r4-stale, first in line for the r8 window: dedup_ngram_jaccard,
+    # Still r4-stale, first in line for the r8 window: dedup_span_scrub,
+    # dedup_containment_kmv, dedup_common_spans, dedup_ngram_jaccard,
     # dedup_minhash_lsh, dedup_simhash, dedup_two_tier,
     # knn_graph, knn_graph_ivf,
     # embedding_covariance, kmeans_train, phrase_search, bpe_pair_counts,

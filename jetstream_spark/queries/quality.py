@@ -787,7 +787,227 @@ FROM pred WHERE rn = 1 GROUP BY 1, 2
 """
 
 
+# --- HBOS histogram-based outlier score ------------------------------------------
+# Goldstein & Dengel (2012): per-feature equal-width histograms, outlier
+# score = Σ_f ln(1/density_f(x)) — the linear-time unsupervised outlier
+# detector for tabular features, here over the document quality-feature
+# space (token count, stopword ratio, alnum ratio). The corpus-triage
+# complement of the Mahalanobis operator (embedding_outliers): HBOS
+# assumes feature independence and needs no matrix inverse, so it is
+# the first pass a curation pipeline runs on BILLIONS of docs; docs it
+# surfaces are empty-ish shells, symbol soup, or stopword floods.
+#
+# Scale shape: one min/max stats aggregate (1 row, broadcast back), one
+# (feature, bin) count aggregate (3·B rows, broadcast back as three
+# ≤B-row joins), map-only scoring, TakeOrdered(top-N). Bin formula is
+# the engine-identical profile_histogram arithmetic; score is a fixed
+# 3-term expression over exact count/N rationals — no accumulation
+# order anywhere.
+
+HBOS_BINS = 10
+HBOS_TOP = 20
+
+
+def q_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jetstream_spark.queries.text import q_quality_score
+
+    q = q_quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_tokens").cast("double").alias("f1"),
+        F.col("stopword_ratio").alias("f2"),
+        F.col("alnum_ratio").alias("f3"),
+    )
+    stats = q.agg(
+        F.count(F.lit(1)).alias("nn"),
+        *[m(f"f{i}").alias(f"{n}{i}") for i in (1, 2, 3) for n, m in (("lo", F.min), ("hi", F.max))],
+    )
+    binned = q.crossJoin(F.broadcast(stats))
+    bins = {}
+    for i in (1, 2, 3):
+        lo, hi = F.col(f"lo{i}"), F.col(f"hi{i}")
+        raw = F.floor((F.col(f"f{i}") - lo) / (hi - lo) * HBOS_BINS)
+        bins[i] = F.when(hi > lo, F.least(F.lit(HBOS_BINS - 1), raw)).otherwise(F.lit(0)).cast("long")
+    binned = binned.select(
+        "doc_id", "nn", *[bins[i].alias(f"b{i}") for i in (1, 2, 3)]
+    )
+    score = None
+    out = binned
+    for i in (1, 2, 3):
+        bc = binned.groupBy(f"b{i}").agg(F.count(F.lit(1)).alias(f"c{i}"))
+        out = out.join(F.broadcast(bc), f"b{i}")
+        term = -F.log(F.col(f"c{i}") / F.col("nn"))
+        score = term if score is None else score + term
+    return (
+        out.select("doc_id", "b1", "b2", "b3", F.round(score, 6).alias("hbos_score"))
+        .orderBy(F.col("hbos_score").desc(), "doc_id")
+        .limit(HBOS_TOP)
+    )
+
+
+def _hbos_oracle() -> str:
+    from jetstream_spark.queries.text import Q_QUALITY_ORACLE
+
+    def bin_expr(i: int) -> str:
+        return (
+            f"CASE WHEN hi{i} > lo{i} THEN least({HBOS_BINS - 1}, "
+            f"CAST(floor((f{i} - lo{i}) / (hi{i} - lo{i}) * {HBOS_BINS}) AS BIGINT)) "
+            f"ELSE 0 END AS b{i}"
+        )
+
+    return f"""
+WITH qual AS ({Q_QUALITY_ORACLE}),
+q AS (
+  SELECT doc_id, CAST(n_tokens AS DOUBLE) AS f1, stopword_ratio AS f2,
+         alnum_ratio AS f3
+  FROM qual
+), stats AS (
+  SELECT count(*) AS nn,
+         min(f1) AS lo1, max(f1) AS hi1, min(f2) AS lo2, max(f2) AS hi2,
+         min(f3) AS lo3, max(f3) AS hi3
+  FROM q
+), binned AS (
+  SELECT doc_id, nn, {bin_expr(1)}, {bin_expr(2)}, {bin_expr(3)}
+  FROM q, stats
+), c1 AS (SELECT b1, count(*) AS c1 FROM binned GROUP BY 1),
+c2 AS (SELECT b2, count(*) AS c2 FROM binned GROUP BY 1),
+c3 AS (SELECT b3, count(*) AS c3 FROM binned GROUP BY 1)
+SELECT doc_id, b1, b2, b3,
+       round(-ln(CAST(c1 AS DOUBLE) / nn) - ln(CAST(c2 AS DOUBLE) / nn)
+             - ln(CAST(c3 AS DOUBLE) / nn), 6) AS hbos_score
+FROM binned JOIN c1 USING (b1) JOIN c2 USING (b2) JOIN c3 USING (b3)
+ORDER BY hbos_score DESC, doc_id LIMIT {HBOS_TOP}
+"""
+
+
+# --- Kneser-Ney bigram LM ----------------------------------------------------------
+KN_D = 0.75  # absolute discount
+
+
+def q_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the LM ladder's serious
+    smoother next to add-1 (unigram op) and stupid backoff (bigram op):
+    p(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·) + (D·N₁₊(w₁·)/c(w₁·))·p_cont(w₂),
+    with the CONTINUATION distribution p_cont(w₂) = (N₁₊(·w₂)+1)/(B+V)
+    (+1-smoothed so held-out novel words stay finite) and unseen
+    predecessors falling back to p_cont directly. Same md5 train/eval
+    membership as its siblings; per-doc avg NLL and perplexity.
+
+    Scale shape: identical to bigram_perplexity — the bigram model
+    tables join the exploded eval stream ON THE BIGRAM/PREDECESSOR KEYS
+    (never broadcast at corpus scale; AQE threshold-picks at bench SF);
+    the continuation table is vocab-sized; the two scalars broadcast.
+    Per-doc avg over ≤doc-length round-trip-rounded doubles, round-6
+    output (the bigram-op float contract)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", _bucket_expr()
+    )
+    train = docs.filter(F.col("bucket") < TRAIN_PCT)
+    ev = docs.filter(F.col("bucket") >= TRAIN_PCT)
+
+    def bigrams(frame: DataFrame, keep_doc: bool) -> DataFrame:
+        toks = _tokens()
+        pairs = F.transform(
+            F.sequence(F.lit(2), F.size("toks")),
+            lambda i: F.struct(
+                F.element_at("toks", i - 1).alias("w1"),
+                F.element_at("toks", i).alias("w2"),
+            ),
+        )
+        base = frame.select("doc_id", "lang", toks.alias("toks")).where(
+            F.size("toks") >= 2
+        )
+        cols = ["doc_id", "lang"] if keep_doc else []
+        return base.select(*cols, F.explode(pairs).alias("p")).select(
+            *cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+
+    bc = bigrams(train, keep_doc=False).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    pred = bc.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n2")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("nc"))
+    vocab = train.select(F.explode(_tokens()).alias("term")).select("term").distinct()
+    totals = bc.agg(F.count(F.lit(1)).alias("b_types")).crossJoin(
+        vocab.agg(F.count(F.lit(1)).alias("v_size"))
+    )
+    scored = (
+        bigrams(ev, keep_doc=True)
+        .join(bc, ["w1", "w2"], "left")
+        .join(pred, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_cont = (F.coalesce("nc", F.lit(0)) + 1) / (F.col("b_types") + F.col("v_size"))
+    p_kn = F.when(
+        F.col("c1").isNotNull(),
+        F.greatest(F.coalesce("c2", F.lit(0)) - F.lit(KN_D), F.lit(0.0)) / F.col("c1")
+        + (F.lit(KN_D) * F.col("n2") / F.col("c1")) * p_cont,
+    ).otherwise(p_cont)
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            (-F.log(p_kn)).alias("nll"),
+            F.col("c2").isNotNull().cast("int").alias("seen"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg("nll")), 6).alias("ppl"),
+            F.round(F.avg("seen"), 6).alias("seen_rate"),
+        )
+    )
+
+
+Q_KN_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lang, {_TOKENS_SQL} AS toks, {_BUCKET_SQL} AS bucket FROM documents
+), trb AS (
+  SELECT toks[i - 1] AS w1, toks[i] AS w2
+  FROM b, unnest(generate_series(2, len(toks))) AS u(i)
+  WHERE bucket < {TRAIN_PCT} AND len(toks) >= 2
+), bc AS (
+  SELECT w1, w2, count(*) AS c2 FROM trb GROUP BY w1, w2
+), pred AS (
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n2 FROM bc GROUP BY w1
+), cont AS (
+  SELECT w2, count(*) AS nc FROM bc GROUP BY w2
+), tot AS (
+  SELECT (SELECT count(*) FROM bc) AS b_types,
+         (SELECT count(DISTINCT term)
+          FROM (SELECT unnest(toks) AS term FROM b WHERE bucket < {TRAIN_PCT})) AS v_size
+), evb AS (
+  SELECT doc_id, lang, toks[i - 1] AS w1, toks[i] AS w2
+  FROM b, unnest(generate_series(2, len(toks))) AS u(i)
+  WHERE bucket >= {TRAIN_PCT} AND len(toks) >= 2
+), s AS (
+  SELECT e.doc_id, e.lang,
+         CASE WHEN p.c1 IS NOT NULL THEN
+           greatest(coalesce(m.c2, 0) - CAST({KN_D} AS DOUBLE), CAST(0 AS DOUBLE)) / p.c1
+           + (CAST({KN_D} AS DOUBLE) * p.n2 / p.c1)
+             * (CAST(coalesce(c.nc, 0) + 1 AS DOUBLE) / (t.b_types + t.v_size))
+         ELSE CAST(coalesce(c.nc, 0) + 1 AS DOUBLE) / (t.b_types + t.v_size) END AS p_kn,
+         CASE WHEN m.c2 IS NOT NULL THEN 1 ELSE 0 END AS seen
+  FROM evb e
+  LEFT JOIN bc m ON m.w1 = e.w1 AND m.w2 = e.w2
+  LEFT JOIN pred p ON p.w1 = e.w1
+  LEFT JOIN cont c ON c.w2 = e.w2
+  CROSS JOIN tot t
+)
+SELECT doc_id, lang, count(*) AS n_bigrams,
+       round(avg(-ln(p_kn)), 6) AS avg_nll,
+       round(exp(avg(-ln(p_kn))), 6) AS ppl,
+       round(avg(CAST(seen AS DOUBLE)), 6) AS seen_rate
+FROM s GROUP BY doc_id, lang
+"""
+
+
 QUERIES = [
+    QuerySpec("hbos_outliers", q_hbos_outliers, _hbos_oracle(), "HBOS histogram-based outlier docs over quality features (top-20)", ("quality", "monitoring")),
+    QuerySpec("kneser_ney_perplexity", q_kneser_ney_perplexity, Q_KN_ORACLE, "interpolated Kneser-Ney bigram LM scoring (continuation-smoothed, held-out)", ("text", "quality")),
     QuerySpec("naive_bayes_domain", q_naive_bayes_domain, Q_NAIVE_BAYES_ORACLE, "multinomial Naive Bayes domain classifier (integer micro-nat scores, confusion matrix)", ("quality",)),
     QuerySpec("quality_classifier_lr", q_quality_classifier_lr, _lr_oracle(), "trained logistic-regression quality classifier (3 GD rounds, per-round weights + metrics)", ("quality",)),
     QuerySpec("bigram_perplexity", q_bigram_perplexity, Q_BIGRAM_PPL_ORACLE, "bigram stupid-backoff LM: model-as-table join scoring", ("text", "quality")),

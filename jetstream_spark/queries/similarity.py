@@ -1668,6 +1668,92 @@ def _kcenter_oracle() -> str:
     return f"WITH e AS ({_COS_E_SQL}),\n{body}\n{union}"
 
 
+# --- binary sign-signature Hamming ANN -------------------------------------------
+# The 1-bit-per-dimension memory tier BELOW product quantization: sign
+# binarization keeps cos(x, q) ≈ cos(π·hamming/d) (the SimHash/LSH
+# identity), stores a 64-dim vector in 8 BYTES, and scores with XOR +
+# popcount — the cheapest rerank-ready first pass a vector store runs
+# (binary embeddings as shipped by every major embedding API). The
+# signature packs into TWO int64 halves (32 bits each) rather than one,
+# keeping every intermediate inside signed-64 range in BOTH engines
+# (DuckDB promotes a 1<<63 sum to HUGEINT — a silent type fork).
+# Scale shape: signature build is map-only; the 10 query signatures
+# broadcast; scoring is codegen XOR/popcount per row + the partial
+# top-k window the ANN family already uses. Recall vs the exact cosine
+# top-k is pinned in tests.
+
+_HAM_SIG_LO = (
+    "aggregate(transform(slice(v, 1, 32), (x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)),"
+    " 0L, (a, b) -> a + b)"
+)
+_HAM_SIG_HI = (
+    "aggregate(transform(slice(v, 33, 32), (x, i) -> IF(x > 0D, shiftleft(1L, i), 0L)),"
+    " 0L, (a, b) -> a + b)"
+)
+
+
+def _hamming_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    return emb.select(
+        "vec_id",
+        F.expr(_HAM_SIG_LO).alias("lo"),
+        F.expr(_HAM_SIG_HI).alias("hi"),
+    )
+
+
+def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _hamming_sigs(spark, sf_dir)
+    q = sigs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    ham = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    ).cast("int")
+    scored = (
+        sigs.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ham.alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "hamming", "rank")
+    )
+
+
+def _hamming_oracle() -> str:
+    def sig(lo: int) -> str:
+        return (
+            f"CAST(list_aggregate(list_transform(generate_series({lo}, {lo + 31}), "
+            f"i -> CASE WHEN v[i] > 0 THEN (CAST(1 AS BIGINT) << (i - {lo})) "
+            f"ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT)"
+        )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sig AS (
+  SELECT vec_id, {sig(1)} AS lo, {sig(33)} AS hi FROM e
+), scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id,
+         CAST(bit_count(xor(q.lo, b.lo)) + bit_count(xor(q.hi, b.hi)) AS INTEGER) AS hamming
+  FROM sig q JOIN sig b ON b.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, hamming, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 # --- linear-time MMD two-sample drift test ---------------------------------------
 # Gretton et al. (JMLR 2012) MMD_l: the O(n) unbiased estimator of
 # squared maximum mean discrepancy between two embedding populations —
@@ -1784,6 +1870,7 @@ WITH e AS (
 
 
 QUERIES = [
+    QuerySpec("ann_hamming_topk", q_ann_hamming_topk, _hamming_oracle(), "binary sign-signature Hamming ANN (XOR+popcount over packed int64 halves)", ("similarity",)),
     QuerySpec("embedding_drift_mmd", q_embedding_drift_mmd, _mmd_oracle(), "linear-time MMD two-sample drift test over embedding quads (3 RBF bandwidths)", ("similarity", "monitoring")),
     QuerySpec("kcenter_coreset", q_kcenter_coreset, _kcenter_oracle(), "greedy k-center (farthest-point) coreset selection over embeddings (unrolled rounds, zero shuffles per round)", ("similarity", "sampling")),
     QuerySpec("mmr_diverse_topk", q_mmr_diverse_topk, _mmr_oracle(), "MMR diversified re-ranking of the ANN candidate pool (unrolled greedy rounds)", ("similarity", "search")),
