@@ -1274,6 +1274,13 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    return flag_cusum_drift(daily)
+
+
+def flag_cusum_drift(daily: DataFrame) -> DataFrame:
+    """The CUSUM flagging core over an (event_type, day, n) daily-count
+    frame — shared by the batch query above and the standing streaming
+    monitor (streaming/cusum_stream.py), so both flag identically."""
     first = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
     ref = daily.join(F.broadcast(first), "event_type").where(
         F.col("day") < F.col("d0") + F.expr(f"INTERVAL {CUSUM_REF_DAYS} DAYS")
