@@ -112,6 +112,8 @@ EXTRAS = [
     "ann_hamming_topk",      # r7: XOR+popcount binary-signature ANN
     "hbos_outliers",         # r7: histogram outlier score (2 aggs + map)
     "kneser_ney_perplexity",  # r7: KN bigram scoring (model-table joins)
+    "weak_label_analysis",   # r7: LF diagnostics (one wide aggregate)
+    "zorder_layout",         # r7: Morton-key layout audit (bit codegen)
 ]
 
 REGRESSION_FACTOR = 1.15
@@ -608,6 +610,12 @@ SF1_QUERIES = [
     # eval stream scales 10× — expect linear in the scoring join.
     "ann_hamming_topk",
     "kneser_ney_perplexity",
+    # weak-label: one map pass + one wide agg over 10x docs — linear.
+    # zorder: map-only key arithmetic + a 32-key agg over 10x orders —
+    # linear, and the scan-fraction table itself must stay IDENTICAL
+    # (replica values repeat, so min/max zone maps per bucket are fixed).
+    "weak_label_analysis",
+    "zorder_layout",
 ]
 
 

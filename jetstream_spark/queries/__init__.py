@@ -50,6 +50,8 @@ _PRIORITY = (
     "ann_hamming_topk",
     "hbos_outliers",
     "kneser_ney_perplexity",
+    "weak_label_analysis",
+    "zorder_layout",
     "sketch_theta_setops",
     "fingerprint_winnowing",
     "mutual_information",
@@ -89,10 +91,9 @@ _PRIORITY = (
     "ewma_hourly",
     "scd2_user_tiers",
     "retention_cohorts",
-    "rate_anomaly",
-    "ab_test_conversion",
     # ================= driver window boundary (50) ==================
-    # Still r4-stale, first in line for the r8 window: dedup_span_scrub,
+    # Still r4-stale, first in line for the r8 window: rate_anomaly,
+    # ab_test_conversion, dedup_span_scrub,
     # dedup_containment_kmv, dedup_common_spans, dedup_ngram_jaccard,
     # dedup_minhash_lsh, dedup_simhash, dedup_two_tier,
     # knn_graph, knn_graph_ivf,

@@ -1328,7 +1328,130 @@ def _kcore_oracle() -> str:
     )
 
 
+# --- Z-order layout audit ---------------------------------------------------------
+# The physical-layout question behind Delta/Iceberg OPTIMIZE ZORDER:
+# linear clustering on ONE column gives perfect pruning on that column
+# and ZERO pruning on any other; Morton (Z-order) interleaving trades a
+# little single-column locality for multi-column pruning. This operator
+# MEASURES that on real data: bucket orders 32 ways under both layouts
+# (top 5 bits of the linear key vs of the interleaved key — pure bit
+# arithmetic, bit-identical in both engines), then report what fraction
+# of buckets a mid-range band predicate on EACH dimension would have to
+# scan given per-bucket min/max zone maps (exactly how file skipping
+# works). The number a table owner reads before choosing a layout.
+#
+# Scale shape: one min/max stats aggregate broadcast back, map-only key
+# arithmetic (shift/mask codegen), ONE bucket aggregate per layout over
+# a 32-key space, and a ≤32-row audit reduction. All-integer until the
+# final fractions.
+
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 2 * _Z_BITS - 5  # top 5 bits of the 32-bit Morton key
+_L_BUCKET_SHIFT = _Z_BITS - 5  # top 5 bits of the 16-bit linear key
+_Z_BAND_LO = 7 * 4096  # the probe band: the middle eighth of each dim
+_Z_BAND_HI = 8 * 4096 - 1
+
+_Z_INTERLEAVE = (
+    "aggregate(sequence(0, 15), 0L, (acc, b) -> acc"
+    " + shiftleft(shiftright(xi, b) & 1, 2 * b)"
+    " + shiftleft(shiftright(yi, b) & 1, 2 * b + 1))"
+)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("y"),
+    )
+    stats = o.agg(
+        F.min("x").alias("xlo"), F.max("x").alias("xhi"),
+        F.min("y").alias("ylo"), F.max("y").alias("yhi"),
+    )
+    scale = 1 << _Z_BITS
+    keyed = o.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(scale - 1),
+            F.floor((F.col("x") - F.col("xlo")) / (F.col("xhi") - F.col("xlo")) * scale),
+        ).cast("long").alias("xi"),
+        F.least(
+            F.lit(scale - 1),
+            F.floor(
+                (F.col("y") - F.col("ylo")) / (F.col("yhi") - F.col("ylo")).cast("double") * scale
+            ),
+        ).cast("long").alias("yi"),
+    )
+    keyed = keyed.select(
+        "xi",
+        "yi",
+        F.expr(_Z_INTERLEAVE).alias("z"),
+    )
+
+    def audit(bucket: F.Column, layout: str) -> DataFrame:
+        per = keyed.groupBy(bucket.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("xi").alias("x0"), F.max("xi").alias("x1"),
+            F.min("yi").alias("y0"), F.max("yi").alias("y1"),
+        )
+        hit_x = (F.col("x1") >= _Z_BAND_LO) & (F.col("x0") <= _Z_BAND_HI)
+        hit_y = (F.col("y1") >= _Z_BAND_LO) & (F.col("y0") <= _Z_BAND_HI)
+        area = (F.col("x1") - F.col("x0") + 1) * (F.col("y1") - F.col("y0") + 1)
+        return per.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.round(F.sum(hit_x.cast("long")) / F.count(F.lit(1)), 6).alias("x_band_scan_frac"),
+            F.round(F.sum(hit_y.cast("long")) / F.count(F.lit(1)), 6).alias("y_band_scan_frac"),
+            F.round(F.sum(area) / (F.count(F.lit(1)) * float(scale) * scale), 6).alias("avg_bbox_area"),
+        )
+
+    return audit(F.shiftright("z", _Z_BUCKET_SHIFT), "zorder").unionByName(
+        audit(F.shiftright("xi", _L_BUCKET_SHIFT), "linear")
+    )
+
+
+def _zorder_oracle() -> str:
+    scale = 1 << _Z_BITS
+    inter = (
+        "list_aggregate(list_transform(generate_series(0, 15), b -> "
+        "(((xi >> b) & 1) << (2 * b)) + (((yi >> b) & 1) << (2 * b + 1))), 'sum')"
+    )
+    audits = []
+    for layout, bucket in (
+        ("zorder", f"z >> {_Z_BUCKET_SHIFT}"),
+        ("linear", f"xi >> {_L_BUCKET_SHIFT}"),
+    ):
+        audits.append(f"""
+SELECT '{layout}' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+       round(CAST(sum(CASE WHEN x1 >= {_Z_BAND_LO} AND x0 <= {_Z_BAND_HI} THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS x_band_scan_frac,
+       round(CAST(sum(CASE WHEN y1 >= {_Z_BAND_LO} AND y0 <= {_Z_BAND_HI} THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS y_band_scan_frac,
+       round(CAST(sum((x1 - x0 + 1) * (y1 - y0 + 1)) AS DOUBLE) / (count(*) * {float(scale)} * {scale}), 6) AS avg_bbox_area
+FROM (
+  SELECT {bucket} AS bucket, count(*) AS n,
+         min(xi) AS x0, max(xi) AS x1, min(yi) AS y0, max(yi) AS y1
+  FROM keyed GROUP BY 1
+)""")
+    body = "\nUNION ALL\n".join(audits)
+    return f"""
+WITH o AS (
+  SELECT o_totalprice AS x,
+         CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+  FROM orders
+), stats AS (
+  SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi FROM o
+), norm AS (
+  SELECT least({scale - 1}, CAST(floor((x - xlo) / (xhi - xlo) * {scale}) AS BIGINT)) AS xi,
+         least({scale - 1}, CAST(floor((y - ylo) / CAST(yhi - ylo AS DOUBLE) * {scale}) AS BIGINT)) AS yi
+  FROM o, stats
+), keyed AS (
+  SELECT xi, yi, CAST({inter} AS BIGINT) AS z FROM norm
+)
+{body}
+"""
+
+
 QUERIES = [
+    QuerySpec("zorder_layout", q_zorder_layout, _zorder_oracle(), "Z-order vs linear layout audit: zone-map scan fractions under band predicates", ("profiling", "layout")),
     QuerySpec("dp_noisy_counts", q_dp_noisy_counts, _dp_oracle(), "epsilon-calibrated Laplace DP histogram release with realized-error audit (derived noise)", ("profiling", "privacy")),
     QuerySpec("kcore_decomposition", q_kcore_decomposition, _kcore_oracle(), "3-round k-core peel (K = ceil(0.75 x mean degree)) over the co-purchase graph", ("graph",)),
     QuerySpec("k_anonymity_audit", q_k_anonymity_audit, _kanon_oracle(), "k-anonymity generalization-lattice audit over customer quasi-identifiers", ("profiling", "privacy")),

@@ -1005,7 +1005,112 @@ FROM s GROUP BY doc_id, lang
 """
 
 
+# --- weak-supervision labeling-function analysis ----------------------------------
+# The Snorkel-style LF diagnostic table (Ratner et al., VLDB 2018): three
+# deterministic labeling functions vote {1, 0, abstain} on every doc;
+# per LF the table reports coverage (voted), overlaps (voted alongside
+# another LF), conflicts (voted AGAINST another LF), and empirical
+# accuracy vs the heuristic gold (quality_score >= 0.5, the LR/NB label
+# convention) — the sheet a weak-supervision pipeline reads before
+# fitting a label model. One map-only vote pass + ONE wide aggregate;
+# the 3-row output unpivots from the 1-row aggregate (the k-anonymity
+# lattice pattern). All ratios are integer-count rationals rounded at 6.
+
+_WL_LFS = ("lf_wordcount", "lf_stopword", "lf_alnum")
+
+
+def _wl_votes():
+    """Per-doc votes per LF: 1 / 0 / -1 (abstain) — thresholds chosen so
+    each LF covers a different slice and abstains elsewhere."""
+    n, stop, aln = F.col("n_tokens"), F.col("stopword_ratio"), F.col("alnum_ratio")
+    return {
+        "lf_wordcount": F.when((n >= 20) & (n <= 200), 1).when(n < 5, 0).otherwise(-1),
+        "lf_stopword": F.when((stop >= 0.1) & (stop <= 0.6), 1).when(stop > 0.8, 0).otherwise(-1),
+        "lf_alnum": F.when(aln >= 0.6, 1).when(aln < 0.3, 0).otherwise(-1),
+    }
+
+
+def q_weak_label_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jetstream_spark.queries.text import q_quality_score
+
+    q = q_quality_score(spark, sf_dir)
+    votes = _wl_votes()
+    voted = q.select(
+        (F.col("quality_score") >= 0.5).cast("int").alias("gold"),
+        *[v.alias(name) for name, v in votes.items()],
+    )
+    n_docs = F.count(F.lit(1))
+    aggs = [n_docs.alias("n_docs")]
+    for name in _WL_LFS:
+        others = [o for o in _WL_LFS if o != name]
+        v = F.col(name)
+        active = v != -1
+        any_other = None
+        conflict = None
+        for o in others:
+            ov = F.col(o)
+            oa = ov != -1
+            any_other = oa if any_other is None else (any_other | oa)
+            c = oa & (ov != v)
+            conflict = c if conflict is None else (conflict | c)
+        aggs += [
+            F.sum(active.cast("long")).alias(f"{name}_votes"),
+            F.sum((active & any_other).cast("long")).alias(f"{name}_overlap"),
+            F.sum((active & conflict).cast("long")).alias(f"{name}_conflict"),
+            F.sum((active & (v == F.col("gold"))).cast("long")).alias(f"{name}_correct"),
+        ]
+    wide = voted.agg(*aggs)
+    out = None
+    for name in _WL_LFS:
+        r = wide.select(
+            F.lit(name).alias("lf"),
+            F.col(f"{name}_votes").alias("n_votes"),
+            F.round(F.col(f"{name}_votes") / F.col("n_docs"), 6).alias("coverage"),
+            F.round(F.col(f"{name}_overlap") / F.col("n_docs"), 6).alias("overlaps"),
+            F.round(F.col(f"{name}_conflict") / F.col("n_docs"), 6).alias("conflicts"),
+            F.round(F.col(f"{name}_correct") / F.col(f"{name}_votes"), 6).alias("accuracy"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _wl_oracle() -> str:
+    from jetstream_spark.queries.text import Q_QUALITY_ORACLE
+
+    votes_sql = {
+        "lf_wordcount": "CASE WHEN n_tokens >= 20 AND n_tokens <= 200 THEN 1 WHEN n_tokens < 5 THEN 0 ELSE -1 END",
+        "lf_stopword": "CASE WHEN stopword_ratio >= 0.1 AND stopword_ratio <= 0.6 THEN 1 WHEN stopword_ratio > 0.8 THEN 0 ELSE -1 END",
+        "lf_alnum": "CASE WHEN alnum_ratio >= 0.6 THEN 1 WHEN alnum_ratio < 0.3 THEN 0 ELSE -1 END",
+    }
+    vote_cols = ",\n         ".join(f"{sql} AS {n}" for n, sql in votes_sql.items())
+    selects = []
+    for name in _WL_LFS:
+        others = [o for o in _WL_LFS if o != name]
+        any_other = " OR ".join(f"{o} <> -1" for o in others)
+        conflict = " OR ".join(f"({o} <> -1 AND {o} <> {name})" for o in others)
+        selects.append(f"""
+SELECT '{name}' AS lf,
+       CAST(sum(CASE WHEN {name} <> -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_votes,
+       round(CAST(sum(CASE WHEN {name} <> -1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage,
+       round(CAST(sum(CASE WHEN {name} <> -1 AND ({any_other}) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS overlaps,
+       round(CAST(sum(CASE WHEN {name} <> -1 AND ({conflict}) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS conflicts,
+       round(CAST(sum(CASE WHEN {name} <> -1 AND {name} = gold THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN {name} <> -1 THEN 1 ELSE 0 END), 6) AS accuracy
+FROM voted""")
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH qual AS ({Q_QUALITY_ORACLE}),
+voted AS (
+  SELECT CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END AS gold,
+         {vote_cols}
+  FROM qual
+)
+{body}
+"""
+
+
 QUERIES = [
+    QuerySpec("weak_label_analysis", q_weak_label_analysis, _wl_oracle(), "Snorkel-style labeling-function diagnostics (coverage/overlap/conflict/accuracy)", ("quality",)),
     QuerySpec("hbos_outliers", q_hbos_outliers, _hbos_oracle(), "HBOS histogram-based outlier docs over quality features (top-20)", ("quality", "monitoring")),
     QuerySpec("kneser_ney_perplexity", q_kneser_ney_perplexity, Q_KN_ORACLE, "interpolated Kneser-Ney bigram LM scoring (continuation-smoothed, held-out)", ("text", "quality")),
     QuerySpec("naive_bayes_domain", q_naive_bayes_domain, Q_NAIVE_BAYES_ORACLE, "multinomial Naive Bayes domain classifier (integer micro-nat scores, confusion matrix)", ("quality",)),

@@ -654,3 +654,63 @@ def test_kneser_ney_is_a_distribution_and_beats_backoff_on_seen(spark):
         p_kn = max(c - KN_D, 0) / c1a + lam * p_c
         assert abs(p_kn - (p_mle - KN_D / c1a + lam * p_c)) < 1e-12
         assert p_kn >= lam * p_c - 1e-12
+
+
+def test_weak_label_table_rederives_from_pandas(spark):
+    """Full LF table recomputed from the quality features in pandas —
+    cell-for-cell equality, plus the Snorkel sanity: conflicts ⊆ overlaps
+    ⊆ coverage."""
+    from jetstream_spark.queries.quality import _WL_LFS, q_weak_label_analysis
+    from jetstream_spark.queries.text import q_quality_score
+
+    got = {r["lf"]: r for r in q_weak_label_analysis(spark, SF01).collect()}
+    assert set(got) == set(_WL_LFS)
+    q = q_quality_score(spark, SF01).toPandas()
+
+    def vote(row, lf):
+        if lf == "lf_wordcount":
+            return 1 if 20 <= row.n_tokens <= 200 else (0 if row.n_tokens < 5 else -1)
+        if lf == "lf_stopword":
+            return 1 if 0.1 <= row.stopword_ratio <= 0.6 else (0 if row.stopword_ratio > 0.8 else -1)
+        return 1 if row.alnum_ratio >= 0.6 else (0 if row.alnum_ratio < 0.3 else -1)
+
+    n = len(q)
+    for lf in _WL_LFS:
+        others = [o for o in _WL_LFS if o != lf]
+        votes = overlaps = conflicts = correct = 0
+        for row in q.itertuples():
+            v = vote(row, lf)
+            if v == -1:
+                continue
+            votes += 1
+            ov = [vote(row, o) for o in others]
+            if any(x != -1 for x in ov):
+                overlaps += 1
+            if any(x != -1 and x != v for x in ov):
+                conflicts += 1
+            if v == (1 if row.quality_score >= 0.5 else 0):
+                correct += 1
+        r = got[lf]
+        assert r["n_votes"] == votes
+        assert abs(r["coverage"] - round(votes / n, 6)) < 1e-9
+        assert abs(r["overlaps"] - round(overlaps / n, 6)) < 1e-9
+        assert abs(r["conflicts"] - round(conflicts / n, 6)) < 1e-9
+        assert abs(r["accuracy"] - round(correct / votes, 6)) < 1e-9
+        assert r["conflicts"] <= r["overlaps"] <= r["coverage"]
+
+
+def test_zorder_beats_linear_on_the_unclustered_dimension(spark):
+    """The point of the operator: linear layout cannot prune the second
+    dimension (scan fraction 1.0), Z-order prunes BOTH; and Z-order's
+    single-column penalty stays bounded."""
+    from jetstream_spark.queries.profiling import q_zorder_layout
+
+    rows = {r["layout"]: r for r in q_zorder_layout(spark, SF01).collect()}
+    lin, z = rows["linear"], rows["zorder"]
+    assert lin["n_buckets"] == z["n_buckets"] == 32
+    assert lin["y_band_scan_frac"] == 1.0  # zone maps useless off-key
+    assert z["y_band_scan_frac"] <= 0.5  # Morton buckets prune the band
+    assert z["x_band_scan_frac"] <= 0.5  # and keep x pruning useful
+    assert lin["x_band_scan_frac"] <= z["x_band_scan_frac"]  # linear is optimal on-key
+    for r in rows.values():
+        assert 0 < r["avg_bbox_area"] <= 1.0
