@@ -223,3 +223,68 @@ def test_lpa_round_plan(spark):
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+
+
+def test_kcenter_round_plan(spark):
+    from pyspark.sql import functions as F
+
+    from jetstream_spark.queries.similarity import _kc_dot
+    from jetstream_spark.tables import table
+
+    emb = table(spark, SF_DIR, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    nrm = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    pts = emb.select("vec_id", "v", nrm.alias("nrm")).localCheckpoint()
+    cent = pts.orderBy("vec_id").limit(1).select(
+        F.array(F.col("v")).alias("cvs"), F.array(F.col("nrm")).alias("cns")
+    ).localCheckpoint()
+    mind = F.array_min(
+        F.zip_with(
+            "cvs", "cns",
+            lambda cv, cn: F.round(F.lit(1.0) - _kc_dot(F.col("v"), cv) / (F.col("nrm") * cn), 6),
+        )
+    )
+    pick = (
+        pts.crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "nrm", mind.alias("mind"))
+        .orderBy(F.col("mind").desc(), "vec_id")
+        .limit(1)
+    )
+    plan = _plan(pick)
+    _assert_clean("kcenter_round", plan)
+    # the whole greedy round is ONE map pass over the checkpointed corpus
+    # + a 1-row TakeOrdered: a broadcast of the 1-row centers frame is the
+    # only join, and there is NO shuffle exchange anywhere
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_kcore_round_plan(spark):
+    from pyspark.sql import functions as F
+
+    from jetstream_spark.queries.profiling import _copurchase_edges
+    from jetstream_spark.tables import table
+
+    edges = _copurchase_edges(table(spark, SF_DIR, "lineitem")).localCheckpoint()
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    kk = deg.agg(F.ceil(F.avg("d") * 0.75).cast("long").alias("k")).localCheckpoint()
+    keep = (
+        deg.crossJoin(F.broadcast(kk)).where(F.col("d") >= F.col("k")).select("s").localCheckpoint()
+    )
+    nxt = (
+        edges.join(F.broadcast(keep), "s")
+        .join(F.broadcast(keep.withColumnRenamed("s", "t")), "t")
+        .select("s", "t")
+    )
+    plan = _plan(nxt)
+    _assert_clean("kcore_round", plan)
+    # survivor semijoins are EXPLICIT broadcasts (the LPA rule — AQE can't
+    # size a checkpointed build side); the edge list itself never shuffles
+    # for the filter step
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
