@@ -120,6 +120,20 @@ AUDIT = {
     "ohlc_bars": "r7: ONE (type, hour) exchange shared by both ordered row_number passes and the bar aggregate",
     "textrank_keywords": "r7: map-side adjacent-pair transform (no posexplode self-join); vocab-bounded edge collapse; per round the pagerank shape (broadcast rank + one dst exchange)",
     "attribution_last_touch": "r7: ONE user_id exchange for the ordered window; channel rollup collapses map-side to |channels| rows; no event-log self-join",
+    "kcenter_coreset": "r7: per greedy round ONE BroadcastNestedLoopJoin of the 1-row array-typed centers frame over the checkpointed corpus + TakeOrdered(1) — zero shuffles per round",
+    "naive_bayes_domain": "r7: one corpus-token count exchange; vocab x classes model joins pre-aggregated doc-tokens ON TOKEN; struct-min argmax (no window); priors/vocab 1-to-|classes|-row broadcasts",
+    "seasonal_anomaly": "r7: one (type, hour) count exchange; both decomposition windows partition by type(+hod) — node-scale sorts only; flags map-only",
+    "dp_noisy_counts": "r7: one bounded (nation, segment) agg + broadcast nation join + map-only inverse-CDF noise arithmetic",
+    "kcore_decomposition": "r7: per peel round ONE degree exchange over the SHRINKING edge list + two explicit-broadcast survivor semijoins; never an edge-edge join",
+    "cusum_changepoint": "r7: one (type, day) count exchange; baseline stats broadcast; two ordered window passes (prefix sum + running min) over |types x days| rows",
+    "sketch_quantile_bottomk": "r7: TakeOrdered(K) bottom-k selection (no global sort); sample + exact percentile aggs; 1x1 crossJoin of two 1-row frames",
+    "markov_transitions": "r7: ONE per-user ordered window pass; |types|^2 matrix agg map-side collapsed; totals/entropy broadcast back",
+    "embedding_drift_mmd": "r7: map-side quad keys from dense vec_ids; 4-way node-scale equi-join on j; ONE scalar aggregate (integer micro-unit h sums)",
+    "ann_hamming_topk": "r7: map-only signature packing; 10-row broadcast query join; XOR+popcount codegen + the ANN family's partial top-k window",
+    "hbos_outliers": "r7: one 1-row min/max agg broadcast; one (feature,bin) count agg broadcast back as <=B-row joins; map-only scoring; TakeOrdered(top-N)",
+    "kneser_ney_perplexity": "r7: model tables join exploded eval stream on bigram/predecessor keys (threshold-chosen, never forced broadcast); continuation table vocab-sized; scalars broadcast",
+    "weak_label_analysis": "r7: one map-only vote pass + ONE wide aggregate; 3-row unpivot of the 1-row result",
+    "zorder_layout": "r7: 1-row stats broadcast; map-only shift/mask Morton keys; one 32-key agg per layout + <=32-row audit fold",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
