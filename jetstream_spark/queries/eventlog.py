@@ -1197,8 +1197,13 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dt_i", F.round((F.col("n") - F.col("trend")) * 1e6).cast("long")
     ).withColumn("hod", F.hour("hb"))
     ws = Window.partitionBy("event_type", "hod")
-    t = t.withColumn("seasonal", F.round(F.avg("dt_i").over(ws) / 1e6, 6))
-    t = t.withColumn("residual", F.round(F.col("n") - F.col("trend") - F.col("seasonal"), 6))
+    # + 0.0 normalizes IEEE negative zero: Spark's round keeps -0.0 where
+    # DuckDB emits 0.0, and the driver's value hash is bit-strict (the
+    # sf0.001 grid, where exact-zero residuals are common, caught this)
+    t = t.withColumn("seasonal", F.round(F.avg("dt_i").over(ws) / 1e6, 6) + F.lit(0.0))
+    t = t.withColumn(
+        "residual", F.round(F.col("n") - F.col("trend") - F.col("seasonal"), 6) + F.lit(0.0)
+    )
     wz = Window.partitionBy("event_type")
     t = t.withColumn("sd", F.stddev_pop("residual").over(wz))
     return t.select(
@@ -1228,10 +1233,10 @@ WITH per AS (
          extract(hour FROM hb) AS hod
   FROM tr
 ), se2 AS (
-  SELECT *, round(avg(dt_i) OVER (PARTITION BY event_type, hod) / 1e6, 6) AS seasonal
+  SELECT *, round(avg(dt_i) OVER (PARTITION BY event_type, hod) / 1e6, 6) + 0.0 AS seasonal
   FROM se
 ), re AS (
-  SELECT *, round(n - trend - seasonal, 6) AS residual FROM se2
+  SELECT *, round(n - trend - seasonal, 6) + 0.0 AS residual FROM se2
 ), fin AS (
   SELECT *, stddev_pop(residual) OVER (PARTITION BY event_type) AS sd FROM re
 )
@@ -1303,8 +1308,9 @@ def flag_cusum_drift(daily: DataFrame) -> DataFrame:
     j = j.withColumn("mp", F.min("pp").over(wrun)).withColumn(
         "mm", F.min("pm").over(wrun)
     )
-    cp = F.round(F.col("pp") - F.least(F.col("mp"), F.lit(0.0)), 6)
-    cm = F.round(F.col("pm") - F.least(F.col("mm"), F.lit(0.0)), 6)
+    # + 0.0 normalizes IEEE negative zero (the seasonal_anomaly lesson)
+    cp = F.round(F.col("pp") - F.least(F.col("mp"), F.lit(0.0)), 6) + F.lit(0.0)
+    cm = F.round(F.col("pm") - F.least(F.col("mm"), F.lit(0.0)), 6) + F.lit(0.0)
     return j.select(
         "event_type",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -1347,8 +1353,8 @@ WITH daily AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
-       round(pp - least(mp, 0.0), 6) AS cusum_pos,
-       round(pm - least(mm, 0.0), 6) AS cusum_neg,
+       round(pp - least(mp, 0.0), 6) + 0.0 AS cusum_pos,
+       round(pm - least(mm, 0.0), 6) + 0.0 AS cusum_neg,
        (sd > 0 AND (round(pp - least(mp, 0.0), 6) > {CUSUM_H} * sd
                     OR round(pm - least(mm, 0.0), 6) > {CUSUM_H} * sd)) AS is_change
 FROM p
