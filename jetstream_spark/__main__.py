@@ -257,6 +257,20 @@ def cmd_anomaly_stream(args) -> int:
                 print(
                     f"{r['event_type']} {r['hour_bucket']} n={r['n']} z={r['zscore']}"
                 )
+            if getattr(args, "cusum", False):
+                # the drift monitor reads the SAME hourly state, one level up
+                from jetstream_spark.streaming.cusum_stream import detect_drift
+
+                for r in (
+                    detect_drift(spark, args.state_dir)
+                    .orderBy("event_type", "day")
+                    .collect()
+                ):
+                    flag = " DRIFT" if r["is_change"] else ""
+                    print(
+                        f"cusum {r['event_type']} {r['day']} n={r['n']} "
+                        f"s+={r['cusum_pos']} s-={r['cusum_neg']}{flag}"
+                    )
         else:
             q.awaitTermination()
     except KeyboardInterrupt:
@@ -425,6 +439,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--state-dir", default="./anomaly_state", help="hourly-count parts + marker root")
     p.add_argument("--drain", action="store_true", help="process available input then exit (batch mode)")
     p.add_argument("--compact-state", action="store_true", help="fold per-batch state parts into one, then exit")
+    p.add_argument("--cusum", action="store_true", help="with --drain: also print the CUSUM drift table (same state, day rollup)")
     p.set_defaults(fn=cmd_anomaly_stream)
 
     p = sub.add_parser("query", help="run a declared registry query by name")

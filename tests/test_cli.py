@@ -196,9 +196,15 @@ def test_cli_anomaly_stream_drain(tmp_path):
         for r in rows:
             f.write(json.dumps(r) + "\n")
     state = str(tmp_path / "state")
-    out = _run("anomaly-stream", "--events-dir", str(events_dir), "--state-dir", state, "--drain")
+    out = _run(
+        "anomaly-stream", "--events-dir", str(events_dir), "--state-dir", state,
+        "--drain", "--cusum",
+    )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "click 2024-03-01 08:00:00 n=12" in out.stdout
+    # --cusum prints the drift table from the SAME state (day rollup):
+    # one day of data = one cusum row, statistics zero at the baseline day
+    assert "cusum click 2024-03-01 n=28" in out.stdout
 
 
 def test_cli_scd2_stream_drain(tmp_path):
