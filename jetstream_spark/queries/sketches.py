@@ -430,25 +430,22 @@ def q_sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("x"),
     )
     samp = bottomk_sample(li, "k")
-    est = samp.agg(
-        *[
-            F.round(F.expr(f"percentile(x, {p})"), 4).alias(f"e{i}")
-            for i, p in enumerate(QSK_PS)
-        ]
-    )
-    exact = li.agg(
-        *[
-            F.round(F.expr(f"percentile(x, {p})"), 4).alias(f"x{i}")
-            for i, p in enumerate(QSK_PS)
-        ]
-    )
-    j = est.crossJoin(exact)
+    # ONE array-percentile aggregate per side: six scalar percentile()
+    # aggs each buffer the whole column independently (measured 14.1 s
+    # for the exact side at sf0.1 vs 2.4 s for the single array form)
+    ps = ", ".join(str(p) for p in QSK_PS)
+    est = samp.agg(F.expr(f"percentile(x, array({ps}))").alias("ea"))
+    exact = li.agg(F.expr(f"percentile(x, array({ps}))").alias("xa"))
+    # lineage cut: the 6-row output unions 6 selects over this 1-row
+    # frame; without the cut each union branch re-executes the whole
+    # sample + exact-percentile pipeline
+    j = est.crossJoin(exact).localCheckpoint(eager=False)
     out = None
     for i, p in enumerate(QSK_PS):
         r = j.select(
             F.lit(float(p)).alias("p"),
-            F.col(f"e{i}").alias("est"),
-            F.col(f"x{i}").alias("exact"),
+            F.round(F.col("ea")[i], 4).alias("est"),
+            F.round(F.col("xa")[i], 4).alias("exact"),
         )
         out = r if out is None else out.unionByName(r)
     return out.select(
@@ -460,15 +457,12 @@ def q_sketch_quantile_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _qsk_oracle() -> str:
-    est_cols = ", ".join(
-        f"round(quantile_cont(x, {p}), 4) AS e{i}" for i, p in enumerate(QSK_PS)
-    )
-    ex_cols = ", ".join(
-        f"round(quantile_cont(x, {p}), 4) AS x{i}" for i, p in enumerate(QSK_PS)
-    )
+    ps = ", ".join(str(p) for p in QSK_PS)
     union = "\nUNION ALL\n".join(
-        f"SELECT CAST({p} AS DOUBLE) AS p, e{i} AS est, x{i} AS exact,"
-        f" round(abs(e{i} - x{i}) / x{i}, 6) AS rel_err FROM est, ex"
+        f"SELECT CAST({p} AS DOUBLE) AS p, round(ea[{i + 1}], 4) AS est,"
+        f" round(xa[{i + 1}], 4) AS exact,"
+        f" round(abs(round(ea[{i + 1}], 4) - round(xa[{i + 1}], 4)) / round(xa[{i + 1}], 4), 6) AS rel_err"
+        f" FROM est, ex"
         for i, p in enumerate(QSK_PS)
     )
     return f"""
@@ -478,8 +472,8 @@ WITH s AS (
   SELECT x, k, {_QSK_RANK_SQL} AS h FROM s
 ), samp AS (
   SELECT x FROM ranked ORDER BY h, k LIMIT {QSK_K}
-), est AS (SELECT {est_cols} FROM samp),
-ex AS (SELECT {ex_cols} FROM s)
+), est AS (SELECT quantile_cont(x, [{ps}]) AS ea FROM samp),
+ex AS (SELECT quantile_cont(x, [{ps}]) AS xa FROM s)
 {union}
 """
 
