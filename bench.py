@@ -114,6 +114,9 @@ EXTRAS = [
     "kneser_ney_perplexity",  # r7: KN bigram scoring (model-table joins)
     "weak_label_analysis",   # r7: LF diagnostics (one wide aggregate)
     "zorder_layout",         # r7: Morton-key layout audit (bit codegen)
+    "gini_concentration",    # r7: integer-cent rank-weighted Gini
+    "benford_audit",         # r7: first-digit law audit (9-key agg)
+    "rfm_segmentation",      # r7: RFM quintile cell table
 ]
 
 REGRESSION_FACTOR = 1.15
@@ -616,6 +619,15 @@ SF1_QUERIES = [
     # (replica values repeat, so min/max zone maps per bucket are fixed).
     "weak_label_analysis",
     "zorder_layout",
+    # benford: map-only digit extraction + a fixed 9-key agg over 10x
+    # orders — linear scan-bound. rfm: one orders agg + three ntiles over
+    # the (replica-linear) customer frame — the single-partition ntile is
+    # the documented oracle-parity form, so this row also watches its
+    # cost stay sane as n grows. gini EXCLUDED: same single-partition
+    # rank form but over customer×replicas with an exact integer
+    # rank-weighted sum — the rfm row already carries that shape.
+    "benford_audit",
+    "rfm_segmentation",
 ]
 
 

@@ -52,6 +52,9 @@ _PRIORITY = (
     "kneser_ney_perplexity",
     "weak_label_analysis",
     "zorder_layout",
+    "gini_concentration",
+    "benford_audit",
+    "rfm_segmentation",
     "sketch_theta_setops",
     "fingerprint_winnowing",
     "mutual_information",
@@ -88,11 +91,9 @@ _PRIORITY = (
     "latest_order_per_customer",
     "regexp_extract_ids",
     "timeseries_gapfill",
-    "ewma_hourly",
-    "scd2_user_tiers",
-    "retention_cohorts",
     # ================= driver window boundary (50) ==================
-    # Still r4-stale, first in line for the r8 window: rate_anomaly,
+    # Still r4-stale, first in line for the r8 window: ewma_hourly,
+    # scd2_user_tiers, retention_cohorts, rate_anomaly,
     # ab_test_conversion, dedup_span_scrub,
     # dedup_containment_kmv, dedup_common_spans, dedup_ngram_jaccard,
     # dedup_minhash_lsh, dedup_simhash, dedup_two_tier,

@@ -1450,7 +1450,125 @@ WITH o AS (
 """
 
 
+# --- Gini concentration coefficient ----------------------------------------------
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue (zero-order customers
+    included — concentration among the whole customer base, not just
+    buyers): G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over revenues sorted
+    ascending. The single-number inequality audit behind
+    q11_revenue_concentration's top-share view — data-mix owners run the
+    same statistic over per-domain token counts to see how lopsided a
+    corpus is.
+
+    Revenue is quantized to integer cents BEFORE the rank-weighted sum,
+    so both Σ i·xᵢ and Σx are exact BIGINT sums (no accumulation-order
+    exposure; the NB micro-nat pattern). The rank is a single-partition
+    window over the n-row customer frame — the oracle-parity form
+    (quantile_norm precedent); at 1e9 customers the production swap is a
+    distributed sort + per-partition offset pass."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    rev = (
+        cust.join(
+            orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev")),
+            cust["c_custkey"] == F.col("o_custkey"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.round(F.coalesce(F.col("rev"), F.lit(0.0)) * 100).cast("long").alias("cents"),
+        )
+    )
+    w = Window.orderBy("cents", "c_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("cents") / 1e2, 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("cents")) / (F.count(F.lit(1)) * F.sum("cents"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+Q_GINI_ORACLE = """
+WITH rev AS (
+  SELECT c.c_custkey,
+         CAST(round(coalesce(o.rev, 0.0) * 100) AS BIGINT) AS cents
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1) o
+    ON c.c_custkey = o.o_custkey
+), ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, c_custkey) AS i FROM rev
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(cents) / 1e2, 2) AS total_revenue,
+       round(2.0 * sum(i * cents) / (count(*) * sum(cents))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+"""
+
+
+# --- Benford first-digit audit ----------------------------------------------------
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals: the
+    classic synthetic-data / fraud / unit-mix-bug detector. The digit is
+    taken from the DECIMAL STRING of the integer cent amount (exact in
+    both engines — log10-based extraction flips at power-of-ten
+    boundaries where libm log10 is a ulp under the integer). Output:
+    per-digit counts, observed vs Benford frequencies, and the dataset's
+    chi-square statistic (broadcast back onto every row, the Markov
+    entropy shape). One map-only pass + a 9-key aggregate."""
+    orders = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digits = orders.where(F.col("o_totalprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    per = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(F.sum("n").alias("nt"))
+    j = per.crossJoin(F.broadcast(tot))
+    obs = F.col("n") / F.col("nt")
+    ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    scored = j.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_freq"),
+        F.round(ben, 6).alias("benford_freq"),
+        (F.col("nt") * (obs - ben) * (obs - ben) / ben).alias("chi_term"),
+    )
+    chi = scored.agg(F.round(F.sum("chi_term"), 4).alias("chi_square"))
+    return scored.crossJoin(F.broadcast(chi)).select(
+        "digit", "n", "obs_freq", "benford_freq", "chi_square"
+    )
+
+
+Q_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice > 0
+), per AS (
+  SELECT digit, count(*) AS n FROM digits GROUP BY 1
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM per),
+scored AS (
+  SELECT digit, n,
+         round(CAST(n AS DOUBLE) / nt, 6) AS obs_freq,
+         round(log10(1.0 + 1.0 / digit), 6) AS benford_freq,
+         nt * (CAST(n AS DOUBLE) / nt - log10(1.0 + 1.0 / digit))
+            * (CAST(n AS DOUBLE) / nt - log10(1.0 + 1.0 / digit))
+            / log10(1.0 + 1.0 / digit) AS chi_term
+  FROM per, tot
+), chi AS (SELECT round(sum(chi_term), 4) AS chi_square FROM scored)
+SELECT digit, n, obs_freq, benford_freq, chi.chi_square
+FROM scored, chi
+"""
+
+
 QUERIES = [
+    QuerySpec("gini_concentration", q_gini_concentration, Q_GINI_ORACLE, "Gini coefficient of customer revenue (integer-cent rank-weighted sums)", ("profiling",)),
+    QuerySpec("benford_audit", q_benford_audit, Q_BENFORD_ORACLE, "Benford first-digit audit of order totals with chi-square statistic", ("profiling", "monitoring")),
     QuerySpec("zorder_layout", q_zorder_layout, _zorder_oracle(), "Z-order vs linear layout audit: zone-map scan fractions under band predicates", ("profiling", "layout")),
     QuerySpec("dp_noisy_counts", q_dp_noisy_counts, _dp_oracle(), "epsilon-calibrated Laplace DP histogram release with realized-error audit (derived noise)", ("profiling", "privacy")),
     QuerySpec("kcore_decomposition", q_kcore_decomposition, _kcore_oracle(), "3-round k-core peel (K = ceil(0.75 x mean degree)) over the co-purchase graph", ("graph",)),

@@ -274,7 +274,75 @@ WHERE NOT EXISTS (
 """
 
 
+# --- RFM segmentation --------------------------------------------------------------
+RFM_Q = 5  # quintiles
+
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation of the
+    buying customer base — the classic CRM cell table (555 = champions,
+    111 = lost). Per customer: last order day, order count, revenue;
+    each scored 1..{RFM_Q} by ntile with (metric, custkey) tie-break so
+    the binning is engine-exact; output is the |cells| ≤ {RFM_Q}³
+    segment table with counts and average monetary value.
+
+    The three ntiles are single-partition windows over the n-customer
+    frame — the oracle-parity form (quantile_norm precedent); the
+    production swap at 1e9 customers is percentile-threshold binning
+    (one 1-row quantile frame broadcast, map-only scoring). The cell
+    rollup collapses map-side to ≤{RFM_Q}³ rows."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    # monetary in integer CENTS: prices carry two decimals, so the true
+    # per-customer sum is never at a half-cent — round(sum*100) is ulp-safe
+    # where round(sum, 2) can flip at a .xx5 boundary, and the cell average
+    # becomes an exact BIGINT mean (caught by the sf0.001 driver check)
+    per = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    r_q = F.ntile(RFM_Q).over(Window.orderBy("last_day", "custkey"))
+    f_q = F.ntile(RFM_Q).over(Window.orderBy("freq", "custkey"))
+    m_q = F.ntile(RFM_Q).over(Window.orderBy("cents", "custkey"))
+    scored = per.select(
+        "custkey", "cents", r_q.alias("r_q"), f_q.alias("f_q"), m_q.alias("m_q")
+    )
+    # round at the INTEGER-CENT level: a cell mean can sit at exactly
+    # half a cent, which is representable as a double (n.5) and rounds
+    # away-from-zero identically in both engines — whereas rounding the
+    # /100 quotient differs (Spark rounds the shortest-decimal string,
+    # DuckDB the binary value; 2537150.175 split .17 vs .18 at sf0.001)
+    avg_c = F.round(F.avg("cents")).cast("long")
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (avg_c / F.lit(100.0)).alias("avg_monetary"),
+    )
+
+
+Q_RFM_ORACLE = f"""
+WITH per AS (
+  SELECT o_custkey AS custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_day,
+         count(*) AS freq,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT custkey, cents,
+         ntile({RFM_Q}) OVER (ORDER BY last_day, custkey) AS r_q,
+         ntile({RFM_Q}) OVER (ORDER BY freq, custkey) AS f_q,
+         ntile({RFM_Q}) OVER (ORDER BY cents, custkey) AS m_q
+  FROM per
+)
+SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(round(avg(cents)) AS BIGINT) / 100.0 AS avg_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = [
+    QuerySpec("rfm_segmentation", q_rfm_segmentation, Q_RFM_ORACLE, "RFM quintile segmentation cell table (engine-exact ntile binning)", ("relational", "analytics")),
     QuerySpec("skyline_parts", q_skyline_parts, Q_SKYLINE_ORACLE, "skyline / Pareto frontier (min price, max size) via grid prune + ordered exact pass", ("relational", "skyline")),
     QuerySpec("q13_order_count_distribution", q13_order_count_distribution, Q13_ORACLE, "outer join w/ ON-filter + double agg (TPC-H Q13)", ("relational", "join")),
     QuerySpec("q11_revenue_concentration", q11_revenue_concentration, Q11_ORACLE, "global scalar-subquery HAVING (TPC-H Q11)", ("relational", "subquery")),

@@ -714,3 +714,71 @@ def test_zorder_beats_linear_on_the_unclustered_dimension(spark):
     assert lin["x_band_scan_frac"] <= z["x_band_scan_frac"]  # linear is optimal on-key
     for r in rows.values():
         assert 0 < r["avg_bbox_area"] <= 1.0
+
+
+def test_gini_matches_numpy_and_bounds(spark):
+    import numpy as np
+
+    from jetstream_spark.queries.profiling import q_gini_concentration
+
+    r = q_gini_concentration(spark, SF01).collect()[0]
+    cust = pd.read_parquet(f"{SF01}/customer.parquet")[["c_custkey"]]
+    orders = pd.read_parquet(f"{SF01}/orders.parquet")
+    rev = orders.groupby("o_custkey")["o_totalprice"].sum()
+    cents = np.array(
+        sorted(round(rev.get(k, 0.0) * 100) for k in cust["c_custkey"]), dtype=np.int64
+    )
+    n = len(cents)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    g = 2.0 * float((i * cents).sum()) / (n * float(cents.sum())) - (n + 1.0) / n
+    assert r["n_customers"] == n
+    assert abs(r["gini"] - round(g, 6)) < 2e-6
+    assert 0.0 <= r["gini"] < 1.0
+
+
+def test_benford_digits_and_chi(spark):
+    import math
+
+    from jetstream_spark.queries.profiling import q_benford_audit
+
+    rows = q_benford_audit(spark, SF01).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["obs_freq"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_freq"] for r in rows) - 1.0) < 1e-4
+    chi = {r["chi_square"] for r in rows}
+    assert len(chi) == 1  # dataset statistic broadcast onto every row
+    for r in rows:
+        assert abs(r["benford_freq"] - round(math.log10(1 + 1 / r["digit"]), 6)) < 1e-9
+    # chi re-derives from the reported per-digit rows (round-4 slack)
+    n = sum(r["n"] for r in rows)
+    want = sum(
+        n * (r["n"] / n - math.log10(1 + 1 / r["digit"])) ** 2
+        / math.log10(1 + 1 / r["digit"])
+        for r in rows
+    )
+    assert abs(chi.pop() - want) < 1e-2
+
+
+def test_rfm_cells_partition_the_buyers(spark):
+    from jetstream_spark.queries.relational4 import RFM_Q, q_rfm_segmentation
+
+    rows = q_rfm_segmentation(spark, SF01).collect()
+    orders = pd.read_parquet(f"{SF01}/orders.parquet")
+    n_buyers = orders["o_custkey"].nunique()
+    assert sum(r["n_customers"] for r in rows) == n_buyers  # cells partition buyers
+    for r in rows:
+        assert 1 <= r["r_q"] <= RFM_Q and 1 <= r["f_q"] <= RFM_Q and 1 <= r["m_q"] <= RFM_Q
+        assert r["avg_monetary"] > 0
+    # each quintile of each dimension holds ~n/Q customers (ntile balance)
+    for dim in ("r_q", "f_q", "m_q"):
+        per = {}
+        for r in rows:
+            per[r[dim]] = per.get(r[dim], 0) + r["n_customers"]
+        assert set(per) == set(range(1, RFM_Q + 1))
+        assert max(per.values()) - min(per.values()) <= 1
+    # monetary quintile is monotone in average monetary value
+    by_m = {}
+    for r in rows:
+        by_m.setdefault(r["m_q"], []).append(r["avg_monetary"])
+    tops = [max(v) for _, v in sorted(by_m.items())]
+    assert all(a < b for a, b in zip(tops, tops[1:]))
