@@ -134,6 +134,9 @@ AUDIT = {
     "kneser_ney_perplexity": "r7: model tables join exploded eval stream on bigram/predecessor keys (threshold-chosen, never forced broadcast); continuation table vocab-sized; scalars broadcast",
     "weak_label_analysis": "r7: one map-only vote pass + ONE wide aggregate; 3-row unpivot of the 1-row result",
     "zorder_layout": "r7: 1-row stats broadcast; map-only shift/mask Morton keys; one 32-key agg per layout + <=32-row audit fold",
+    "gini_concentration": "r7: one per-customer agg + the documented single-partition rank (oracle-parity form); exact integer rank-weighted sums fold in ONE final aggregate",
+    "benford_audit": "r7: map-only cent-string digit extraction; 9-key agg; 1-row total + 1-row chi broadcast back",
+    "rfm_segmentation": "r7: one orders agg; three single-partition ntiles over the customer frame (oracle-parity form, percentile-binning swap documented); <=125-row cell rollup",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
