@@ -1191,6 +1191,14 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hb")).agg(
         F.count(F.lit(1)).alias("n")
     )
+    return decompose_seasonal(per)
+
+
+def decompose_seasonal(per: DataFrame) -> DataFrame:
+    """The STL-lite decomposition core over an (event_type, hb, n)
+    hourly-count frame — shared by the batch query above and the
+    standing streaming monitor (streaming/seasonal_stream.py), so both
+    flag identically."""
     wt = Window.partitionBy("event_type").orderBy("hb").rowsBetween(-SEAS_W, SEAS_W)
     t = per.withColumn("trend", F.round(F.avg("n").over(wt), 6))
     t = t.withColumn(

@@ -111,3 +111,31 @@ def test_drift_state_is_replay_safe(spark, tmp_path):
     _drain(spark, events_dir, state_dir, tmp_path / "ck2")  # full replay
     after = sorted(tuple(r) for r in detect_drift(spark, state_dir).collect())
     assert before == after
+
+
+def test_seasonal_monitor_matches_batch_core(spark, tmp_path):
+    """The third monitor on the shared state: the streaming seasonal
+    decomposition equals the batch core over all events seen."""
+    from jetstream_spark.queries.eventlog import decompose_seasonal
+    from jetstream_spark.streaming.seasonal_stream import detect_seasonal_anomalies
+
+    events_dir, state_dir = str(tmp_path / "drop"), str(tmp_path / "state")
+    os.makedirs(events_dir)
+    init_anomaly_state(state_dir)
+
+    _write_batch(events_dir, "b1", BATCH1)
+    _drain(spark, events_dir, state_dir, tmp_path / "ck")
+    _write_batch(events_dir, "b2", BATCH2)
+    _drain(spark, events_dir, state_dir, tmp_path / "ck")
+
+    all_rows = spark.createDataFrame(
+        BATCH1 + BATCH2, "event_id long, ts string, event_type string"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    per = all_rows.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    got = sorted(tuple(r) for r in detect_seasonal_anomalies(spark, state_dir).collect())
+    want = sorted(tuple(r) for r in decompose_seasonal(per).collect())
+    assert got == want
+    assert got  # non-empty decomposition
