@@ -117,6 +117,9 @@ EXTRAS = [
     "gini_concentration",    # r7: integer-cent rank-weighted Gini
     "benford_audit",         # r7: first-digit law audit (9-key agg)
     "rfm_segmentation",      # r7: RFM quintile cell table
+    "basket_lift_rules",     # r7: pair-rule mining off the basket frame
+    "ab_sequential_sprt",    # r7: Wald LLR walk (per-arm ordered window)
+    "survival_km_retention",  # r7: KM curve (user-span agg + tiny frame)
 ]
 
 REGRESSION_FACTOR = 1.15
@@ -628,6 +631,13 @@ SF1_QUERIES = [
     # rank-weighted sum — the rfm row already carries that shape.
     "benford_audit",
     "rfm_segmentation",
+    # basket: pair volume is order-linear (per-order quadratic bounded by
+    # basket size, the copurchase argument) — expect linear. sprt: one
+    # user-scale window over 10x users — linear. KM excluded: its curve
+    # frame is |distinct lifetimes| rows (flat), so the row would only
+    # re-measure the events scan the seasonal row already covers.
+    "basket_lift_rules",
+    "ab_sequential_sprt",
 ]
 
 

@@ -55,6 +55,9 @@ _PRIORITY = (
     "gini_concentration",
     "benford_audit",
     "rfm_segmentation",
+    "basket_lift_rules",
+    "ab_sequential_sprt",
+    "survival_km_retention",
     "sketch_theta_setops",
     "fingerprint_winnowing",
     "mutual_information",
@@ -88,11 +91,10 @@ _PRIORITY = (
     # ---- r4-latest driver evidence, driver order (oldest first) ----
     "window_rank_customers",
     "window_order_gaps",
-    "latest_order_per_customer",
-    "regexp_extract_ids",
-    "timeseries_gapfill",
     # ================= driver window boundary (50) ==================
-    # Still r4-stale, first in line for the r8 window: ewma_hourly,
+    # Still r4-stale, first in line for the r8 window:
+    # latest_order_per_customer, regexp_extract_ids, timeseries_gapfill,
+    # ewma_hourly,
     # scd2_user_tiers, retention_cohorts, rate_anomaly,
     # ab_test_conversion, dedup_span_scrub,
     # dedup_containment_kmv, dedup_common_spans, dedup_ngram_jaccard,

@@ -1433,7 +1433,225 @@ FROM j JOIN ent e USING (prev_type)
 """
 
 
+# --- sequential probability ratio test (SPRT) -------------------------------------
+# Wald (1945): the peeking-safe sequential sibling of the fixed-horizon
+# z-test (ab_test_conversion) and the bootstrap CI (ab_bootstrap_ci) —
+# an experiment platform monitors the LLR walk per arm and stops the
+# moment either boundary is crossed instead of waiting out the horizon.
+SPRT_P0 = 0.10  # H0 conversion rate
+SPRT_P1 = 0.15  # H1 conversion rate
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.05
+
+
+def q_ab_sequential_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per experiment arm: the Wald SPRT log-likelihood-ratio walk over
+    users in deterministic arrival order (user_id), the first boundary
+    crossing (index + decision), and the final state. The LLR after n
+    users is an EXACT function of integer running counts —
+    LLR_n = conv_n·ln(p1/p0) + (n − conv_n)·ln((1−p1)/(1−p0)) — so the
+    walk is reproducible cross-engine with no accumulation-order
+    exposure. Same md5 arm assignment and high-value-purchase conversion
+    as ab_test_conversion.
+
+    Scale shape: one per-user aggregate, one per-arm ordered window pass
+    (cumulative count + cumulative conversions), a conditional struct-min
+    for the first crossing, and a 2-row fold."""
+    ev = table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string").cast("binary"))
+    arm = F.when(
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 2) == 0, "A"
+    ).otherwise("B")
+    conv = (F.col("event_type") == "purchase") & (F.col("value") > AB_CONV_VALUE)
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.when(conv, 1).otherwise(0)).alias("x"))
+        .select("user_id", arm.alias("arm"), "x")
+    )
+    import math
+
+    c1 = math.log(SPRT_P1 / SPRT_P0)
+    c0 = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+    ln_a = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+    ln_b = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walk = users.select(
+        "arm",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("cx"),
+    ).withColumn(
+        "llr",
+        F.col("cx") * F.lit(c1) + (F.col("n") - F.col("cx")) * F.lit(c0),
+    )
+    crossing = F.when(F.col("llr") >= ln_a, F.lit("accept_h1")).when(
+        F.col("llr") <= ln_b, F.lit("accept_h0")
+    )
+    per_arm = walk.groupBy("arm").agg(
+        F.max("n").alias("n_users"),
+        F.sum("x").alias("conversions"),
+        F.min(F.when(crossing.isNotNull(), F.struct(F.col("n").alias("n"), crossing.alias("d")))).alias("fc"),
+    )
+    # the final LLR is a closed form of the totals (exact integer counts)
+    llr_final = F.col("conversions") * F.lit(c1) + (
+        F.col("n_users") - F.col("conversions")
+    ) * F.lit(c0)
+    return per_arm.select(
+        "arm",
+        "n_users",
+        "conversions",
+        F.round(llr_final, 6).alias("llr_final"),
+        F.col("fc.n").alias("first_cross_n"),
+        F.coalesce(F.col("fc.d"), F.lit("continue")).alias("decision"),
+    )
+
+
+def _sprt_oracle() -> str:
+    import math
+
+    c1 = math.log(SPRT_P1 / SPRT_P0)
+    c0 = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+    ln_a = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+    ln_b = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+    bucket = (
+        "(("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ") % 2)"
+    )
+    return f"""
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN {bucket} = 0 THEN 'A' ELSE 'B' END AS arm,
+         max(CASE WHEN event_type = 'purchase' AND value > {AB_CONV_VALUE} THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY user_id
+), walk AS (
+  SELECT arm, x,
+         count(*) OVER w AS n, sum(x) OVER w AS cx
+  FROM users
+  WINDOW w AS (PARTITION BY arm ORDER BY user_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), scored AS (
+  SELECT arm, x, n,
+         cx * CAST({c1!r} AS DOUBLE) + (n - cx) * CAST({c0!r} AS DOUBLE) AS llr,
+         CASE WHEN cx * CAST({c1!r} AS DOUBLE) + (n - cx) * CAST({c0!r} AS DOUBLE) >= {ln_a!r} THEN 'accept_h1'
+              WHEN cx * CAST({c1!r} AS DOUBLE) + (n - cx) * CAST({c0!r} AS DOUBLE) <= {ln_b!r} THEN 'accept_h0'
+         END AS crossing
+  FROM walk
+)
+SELECT arm,
+       CAST(max(n) AS BIGINT) AS n_users,
+       CAST(sum(x) AS BIGINT) AS conversions,
+       round(sum(x) * CAST({c1!r} AS DOUBLE) + (max(n) - sum(x)) * CAST({c0!r} AS DOUBLE), 6) AS llr_final,
+       min(CASE WHEN crossing IS NOT NULL THEN n END) AS first_cross_n,
+       coalesce((min(CASE WHEN crossing IS NOT NULL THEN struct_pack(n := n, d := crossing) END)).d, 'continue') AS decision
+FROM scored GROUP BY arm
+"""
+
+
+# --- Kaplan-Meier retention curve ---------------------------------------------------
+KM_CENSOR_DAYS = 1  # active ON the horizon day = censored; this corpus's users
+# are DAILY-active, so one quiet day already signals churn (production sets
+# this to its own activity cadence; the estimator is unchanged)
+
+
+def q_survival_km_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimate of user lifetime (days between
+    first and last activity): users still active within {KM_CENSOR_DAYS}
+    day(s) of the corpus horizon are CENSORED — the estimator
+    retention_cohorts cannot be, because plain retention treats
+    still-active users as churned and biases the tail down. Per distinct
+    lifetime t: the risk set, churn events, censorings, and
+    S(t) = Π_(s≤t) (1 − d_s/n_s).
+
+    Determinism: the product is exp of an ORDERED running sum of
+    ln(1 − d/n) over exact integer rationals — frame-ordered in both
+    engines, round-6 output; a risk set that dies out (d = n) zeroes the
+    curve through an integer flag, never a ln(0).
+
+    Scale shape: one per-user span aggregate (user-scale exchange), a
+    1-row horizon broadcast, then ALL curve arithmetic on the ≤|distinct
+    lifetimes| frame — the windows sort dozens of rows, not users."""
+    ev = table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("f"),
+        F.max(F.date_trunc("day", "ts")).alias("l"),
+    )
+    horizon = ev.agg(F.max(F.date_trunc("day", "ts")).alias("h"))
+    tagged = spans.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.to_date("l"), F.to_date("f")).cast("long").alias("t"),
+        (
+            F.datediff(F.to_date("h"), F.to_date("l")) < KM_CENSOR_DAYS
+        ).cast("int").alias("censored"),
+    )
+    per_t = tagged.groupBy("t").agg(
+        F.sum(F.lit(1) - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = tagged.agg(F.count(F.lit(1)).alias("nn"))
+    cur = per_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_at_risk", F.col("nn") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+    )
+    ln_term = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),
+        F.log(F.lit(1.0) - F.col("d") / F.col("n_at_risk")),
+    ).otherwise(F.lit(0.0))
+    died_out = F.max((F.col("d") >= F.col("n_at_risk")).cast("int")).over(wcum)
+    cur = cur.withColumn("lsum", F.sum(ln_term).over(wcum)).withColumn("z", died_out)
+    return cur.select(
+        F.col("t").alias("t_days"),
+        "n_at_risk",
+        F.col("d").alias("churned"),
+        F.col("c").alias("censored"),
+        F.when(F.col("z") == 1, F.lit(0.0)).otherwise(F.round(F.exp("lsum"), 6)).alias("survival"),
+    )
+
+
+Q_KM_ORACLE = f"""
+WITH spans AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS f, max(date_trunc('day', ts)) AS l
+  FROM events GROUP BY 1
+), horizon AS (SELECT max(date_trunc('day', ts)) AS h FROM events),
+tagged AS (
+  SELECT CAST(date_diff('day', CAST(f AS DATE), CAST(l AS DATE)) AS BIGINT) AS t,
+         CASE WHEN date_diff('day', CAST(l AS DATE), CAST(h AS DATE)) < {KM_CENSOR_DAYS}
+              THEN 1 ELSE 0 END AS censored
+  FROM spans, horizon
+), per_t AS (
+  SELECT t, CAST(sum(1 - censored) AS BIGINT) AS d, CAST(sum(censored) AS BIGINT) AS c
+  FROM tagged GROUP BY 1
+), total AS (SELECT count(*) AS nn FROM tagged),
+cur AS (
+  SELECT p.*, o.nn,
+         CAST(o.nn - coalesce(sum(p.d + p.c) OVER (ORDER BY p.t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+  FROM per_t p, total o
+), scored AS (
+  SELECT *,
+         sum(CASE WHEN d > 0 AND d < n_at_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)
+                  ELSE 0.0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum,
+         max(CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+  FROM cur
+)
+SELECT t AS t_days, n_at_risk, d AS churned, c AS censored,
+       CASE WHEN z = 1 THEN 0.0 ELSE round(exp(lsum), 6) END AS survival
+FROM scored
+"""
+
+
 QUERIES = [
+    QuerySpec("survival_km_retention", q_survival_km_retention, Q_KM_ORACLE, "Kaplan-Meier user-lifetime survival curve with last-week censoring", ("eventlog", "analytics")),
+    QuerySpec("ab_sequential_sprt", q_ab_sequential_sprt, _sprt_oracle(), "Wald SPRT sequential A/B test: LLR walk, first boundary crossing, decision per arm", ("eventlog", "analytics")),
     QuerySpec("markov_transitions", q_markov_transitions, Q_MARKOV_ORACLE, "first-order Markov transition matrix + per-state entropy over user event sequences", ("eventlog",)),
     QuerySpec("cusum_changepoint", q_cusum_changepoint, Q_CUSUM_ORACLE, "two-sided CUSUM drift detector over daily event rates (prefix-sum/running-min form)", ("eventlog", "monitoring")),
     QuerySpec("seasonal_anomaly", q_seasonal_anomaly, Q_SEASONAL_ANOMALY_ORACLE, "STL-lite trend/seasonal/residual decomposition with 3-sigma anomaly flags", ("eventlog", "monitoring")),

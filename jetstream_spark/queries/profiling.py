@@ -1566,7 +1566,88 @@ FROM scored, chi
 """
 
 
+# --- market-basket association rules ---------------------------------------------
+_BASKET_MIN_AB = 3  # minimum co-occurrence support (orders)
+_BASKET_TOP = 20
+
+
+def q_basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (Agrawal/Srikant Apriori at
+    the pair level): for part pairs co-purchased in ≥{_BASKET_MIN_AB}
+    orders, support / confidence / LIFT — the itemset-level sibling of
+    mutual_information's column-level dependency audit, and the
+    recommendation-rule mining pass every co-purchase dataset gets.
+
+    Scale shape: per-order distinct pair generation is MAP-SIDE off the
+    collect_set basket frame (the co-purchase edge pattern — one fact
+    shuffle, per-order quadratic bounded by basket size); pair counts
+    collapse in one exchange; per-item order counts are a parts-scale
+    frame joined back ON THE ITEM KEYS; the top-{_BASKET_TOP} is a
+    TakeOrdered. All-integer counts; ratios round at 6."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    pairs = (
+        baskets.select(F.explode("ps").alias("a"), "ps")
+        .select("a", F.explode("ps").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _BASKET_MIN_AB)
+    )
+    item = (
+        baskets.select(F.explode("ps").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
+    j = (
+        pairs.join(item.select(F.col("item").alias("a"), F.col("n_item").alias("n_a")), "a")
+        .join(item.select(F.col("item").alias("b"), F.col("n_item").alias("n_b")), "b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    lift = F.col("n_ab") * F.col("n_orders") / (F.col("n_a") * F.col("n_b"))
+    return (
+        j.select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(_BASKET_TOP)
+    )
+
+
+Q_BASKET_ORACLE = f"""
+WITH baskets AS (
+  SELECT l_orderkey, list_distinct(list(l_partkey)) AS ps
+  FROM lineitem GROUP BY 1
+), n_orders AS (SELECT count(*) AS n_orders FROM baskets),
+pairs AS (
+  SELECT a, b, count(*) AS n_ab
+  FROM (SELECT unnest(ps) AS a, ps FROM baskets), unnest(ps) AS u(b)
+  WHERE a < b GROUP BY 1, 2
+  HAVING count(*) >= {_BASKET_MIN_AB}
+), item AS (
+  SELECT item, count(*) AS n_item
+  FROM (SELECT unnest(ps) AS item FROM baskets) GROUP BY 1
+)
+SELECT p.a AS part_a, p.b AS part_b, p.n_ab,
+       round(CAST(p.n_ab AS DOUBLE) / o.n_orders, 6) AS support,
+       round(CAST(p.n_ab AS DOUBLE) / ia.n_item, 6) AS confidence,
+       round(CAST(p.n_ab AS DOUBLE) * o.n_orders / (ia.n_item * ib.n_item), 6) AS lift
+FROM pairs p
+JOIN item ia ON ia.item = p.a
+JOIN item ib ON ib.item = p.b
+CROSS JOIN n_orders o
+ORDER BY lift DESC, part_a, part_b LIMIT {_BASKET_TOP}
+"""
+
+
 QUERIES = [
+    QuerySpec("basket_lift_rules", q_basket_lift_rules, Q_BASKET_ORACLE, "market-basket pair rules: support/confidence/lift over order baskets (top-20 by lift)", ("profiling", "graph")),
     QuerySpec("gini_concentration", q_gini_concentration, Q_GINI_ORACLE, "Gini coefficient of customer revenue (integer-cent rank-weighted sums)", ("profiling",)),
     QuerySpec("benford_audit", q_benford_audit, Q_BENFORD_ORACLE, "Benford first-digit audit of order totals with chi-square statistic", ("profiling", "monitoring")),
     QuerySpec("zorder_layout", q_zorder_layout, _zorder_oracle(), "Z-order vs linear layout audit: zone-map scan fractions under band predicates", ("profiling", "layout")),

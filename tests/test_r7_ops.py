@@ -782,3 +782,103 @@ def test_rfm_cells_partition_the_buyers(spark):
         by_m.setdefault(r["m_q"], []).append(r["avg_monetary"])
     tops = [max(v) for _, v in sorted(by_m.items())]
     assert all(a < b for a, b in zip(tops, tops[1:]))
+
+
+def test_basket_rules_rederive_from_pandas(spark):
+    from jetstream_spark.queries.profiling import (
+        _BASKET_MIN_AB,
+        _BASKET_TOP,
+        q_basket_lift_rules,
+    )
+
+    got = q_basket_lift_rules(spark, SF01).collect()
+    assert 0 < len(got) <= _BASKET_TOP
+    li = pd.read_parquet(f"{SF01}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    baskets = li.drop_duplicates().groupby("l_orderkey")["l_partkey"].apply(set)
+    n_orders = len(baskets)
+    from collections import Counter
+
+    item = Counter()
+    pair = Counter()
+    for ps in baskets:
+        for p in ps:
+            item[p] += 1
+        ps = sorted(ps)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pair[(a, b)] += 1
+    lifts = [r["lift"] for r in got]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in got:
+        key = (r["part_a"], r["part_b"])
+        assert pair[key] == r["n_ab"] >= _BASKET_MIN_AB
+        assert abs(r["support"] - round(r["n_ab"] / n_orders, 6)) < 1e-9
+        assert abs(r["confidence"] - round(r["n_ab"] / item[r["part_a"]], 6)) < 1e-9
+        want_lift = round(r["n_ab"] * n_orders / (item[r["part_a"]] * item[r["part_b"]]), 6)
+        assert abs(r["lift"] - want_lift) < 2e-6
+        assert r["lift"] > 1.0  # top rules must show positive association
+
+
+def test_sprt_walk_matches_direct_replay(spark):
+    """Replay the Wald walk in pure python (same md5 arms, same user
+    order) — boundary crossing index and decision must agree."""
+    import hashlib
+    import math
+
+    from jetstream_spark.queries.eventlog import (
+        AB_CONV_VALUE,
+        SPRT_ALPHA,
+        SPRT_BETA,
+        SPRT_P0,
+        SPRT_P1,
+        q_ab_sequential_sprt,
+    )
+
+    got = {r["arm"]: r for r in q_ab_sequential_sprt(spark, SF01).collect()}
+    ev = pd.read_parquet(f"{SF01}/events.parquet")
+    conv = ev[(ev["event_type"] == "purchase") & (ev["value"] > AB_CONV_VALUE)]
+    converted = set(conv["user_id"])
+    c1, c0 = math.log(SPRT_P1 / SPRT_P0), math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+    ln_a = math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+    ln_b = math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+    walks = {"A": [], "B": []}
+    for uid in sorted(ev["user_id"].unique()):
+        arm = "A" if int(hashlib.md5(str(uid).encode()).hexdigest()[:4], 16) % 2 == 0 else "B"
+        walks[arm].append(1 if uid in converted else 0)
+    for arm, xs in walks.items():
+        llr, first, dec = 0.0, None, "continue"
+        cx = 0
+        for n, x in enumerate(xs, 1):
+            cx += x
+            llr = cx * c1 + (n - cx) * c0
+            if first is None and llr >= ln_a:
+                first, dec = n, "accept_h1"
+            if first is None and llr <= ln_b:
+                first, dec = n, "accept_h0"
+        r = got[arm]
+        assert r["n_users"] == len(xs) and r["conversions"] == sum(xs)
+        assert abs(r["llr_final"] - round(llr, 6)) < 2e-6
+        assert r["first_cross_n"] == first and r["decision"] == dec
+
+
+def test_km_curve_properties(spark):
+    from jetstream_spark.queries.eventlog import q_survival_km_retention
+
+    rows = sorted(q_survival_km_retention(spark, SF01).collect(), key=lambda r: r["t_days"])
+    assert rows
+    ev = pd.read_parquet(f"{SF01}/events.parquet")
+    n_users = ev["user_id"].nunique()
+    assert rows[0]["n_at_risk"] <= n_users
+    assert sum(r["churned"] + r["censored"] for r in rows) == n_users  # everyone exits once
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))  # monotone non-increasing
+    # risk set shrinks by exactly the prior exits
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_at_risk"] == prev["n_at_risk"] - prev["churned"] - prev["censored"]
+    # KM recurrence re-derivation
+    s = 1.0
+    for r in rows:
+        if r["churned"] > 0:
+            s *= 1.0 - r["churned"] / r["n_at_risk"]
+        assert abs(r["survival"] - round(s, 6)) < 2e-6, r
