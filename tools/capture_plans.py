@@ -137,6 +137,9 @@ AUDIT = {
     "gini_concentration": "r7: one per-customer agg + the documented single-partition rank (oracle-parity form); exact integer rank-weighted sums fold in ONE final aggregate",
     "benford_audit": "r7: map-only cent-string digit extraction; 9-key agg; 1-row total + 1-row chi broadcast back",
     "rfm_segmentation": "r7: one orders agg; three single-partition ntiles over the customer frame (oracle-parity form, percentile-binning swap documented); <=125-row cell rollup",
+    "basket_lift_rules": "r7: map-side pair explode off the collect_set basket frame; ONE pair-count exchange; item counts joined on keys; TakeOrdered top-20",
+    "ab_sequential_sprt": "r7: one per-user agg; ONE per-arm ordered window pass (integer cum counts -> exact LLR); 2-row fold with conditional struct-min crossing",
+    "survival_km_retention": "r7: one user-span agg + 1-row horizon broadcast; ALL curve windows over the <=|distinct lifetimes| frame, never user-scale",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
