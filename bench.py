@@ -263,6 +263,43 @@ def host_shift_factor(timings: dict, prev: dict, cal_now: float | None, cal_prev
     return round(med, 3) if med > 1.05 else 1.0
 
 
+def adaptive_min(
+    sample,
+    prev: float | None,
+    release,
+    factor: float = REGRESSION_FACTOR,
+    floor: float = REGRESSION_FLOOR_S,
+    max_extra: int = 4,
+) -> tuple[float, int]:
+    """The bench's per-query sampling policy, extracted so the guard's
+    behavior is unit-testable (tests/test_bench_guard.py): min-of-2, plus
+    up to ``max_extra`` adaptive re-samples while the result would flag a
+    regression vs ``prev`` AND samples are still converging (>3%
+    improvement). The FIRST re-sample is preceded by ``release()`` — the
+    clean-retest (r7 kmeans_train post-mortem): a query measured late in
+    the extras loop runs against ~30 queries of accumulated
+    block-store/GC pressure that an idle rerun of the same code doesn't
+    show, so a would-be flag gets one measurement from a released
+    session before it can stick. Steady-state queries never pay either
+    the release or the extras. Returns (best_seconds, extras_used)."""
+    best = min(sample(), sample())
+    extra, improving = 0, True
+    while (
+        prev is not None
+        and prev >= floor
+        and best > prev * factor
+        and improving
+        and extra < max_extra
+    ):
+        if extra == 0:
+            release()
+        s = sample()
+        improving = s < best * 0.97
+        best = min(best, s)
+        extra += 1
+    return best, extra
+
+
 def find_regressions(
     timings: dict,
     current_sf,
@@ -801,43 +838,23 @@ def main() -> None:
     resample_counts: dict[str, int] = {}
 
     def timed(name: str) -> float:
-        """min-of-2, plus adaptive extra samples when the result would flag
-        a regression vs the previous round. The r4 flags on dsir/q9/q21
-        were traced to this loop stopping mid-warmup: those three have the
-        slowest JIT/broadcast-build convergence in the suite (their sample
-        sequences decline monotonically through run 4-5), so the old
-        2-extra cap recorded a still-warming minimum as a 'regression'
-        with a byte-identical plan. The loop now continues while samples
-        are still converging (last sample improved the best by >3%), up to
-        4 extras — steady-state queries exit immediately, only would-be
-        flags with warmup tails pay the re-samples."""
+        """One query's reported time via the adaptive_min policy (min-of-2,
+        warmup-tail extras, clean-retest release before the first extra —
+        full rationale on adaptive_min). The pre-sample gc.collect drops
+        references to the previous query's frames: several operators hold
+        localCheckpoint blocks alive until Python GC releases the
+        DataFrame, and accumulated blocks bleed memory pressure into later
+        queries' timings."""
         import gc
 
-        # drop references to the previous query's frames first: several
-        # operators hold localCheckpoint blocks alive until Python GC
-        # releases the DataFrame, and accumulated blocks bleed memory
-        # pressure into later queries' timings
         gc.collect()
-        best = float("inf")
-        for _ in range(2):
+
+        def sample() -> float:
             t0 = time.time()
             specs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        p = prev_q.get(name)
-        extra, improving = 0, True
-        while (
-            p is not None
-            and p >= REGRESSION_FLOOR_S
-            and best > p * REGRESSION_FACTOR
-            and improving
-            and extra < 4  # bounded: only would-be flags pay re-samples
-        ):
-            t0 = time.time()
-            specs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            sample = time.time() - t0
-            improving = sample < best * 0.97
-            best = min(best, sample)
-            extra += 1
+            return time.time() - t0
+
+        best, extra = adaptive_min(sample, prev_q.get(name), lambda: _release_memory(spark))
         if extra:
             resample_counts[name] = extra
         return round(best, 3)

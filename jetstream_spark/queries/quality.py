@@ -686,29 +686,39 @@ WITH q AS ({Q_QUALITY_ORACLE}), feat AS (
 # dedup_embedding_lsh integer-dot pattern). Ties break on the smaller
 # source string via a struct-min argmax, no window.
 #
-# Scale shape (100 TB): one corpus-token exchange for the (token, class)
-# count table; the smoothed model is vocab × |classes| rows (Heaps-law
-# bounded, partition-pruned by token on the scoring join); scoring joins
-# pre-aggregated (doc, token, cnt) rows against the model on token (ONE
-# corpus-token-scale exchange, fan-out |classes| rows per distinct
-# doc-token AFTER the join's map side) and reduces per (doc, class); the
-# argmax is a struct-min aggregate. Priors/vocab-size/class frames are
-# 1-to-|classes|-row broadcasts. Zero-token docs drop out of scoring in
-# both engines (absence of evidence — the curation pipeline routes them
-# to the length filter, not the classifier).
+# Scale shape (100 TB): the corpus is tokenized and exploded ONCE — the
+# (doc, source, token, cnt) frame is a lazy localCheckpoint (the
+# tokenize-once posture bm25 uses) and every training aggregate (vocab
+# size, per-class token totals, (token, class) counts) plus the scoring
+# join derive from it, so the plan pays one explode + one
+# corpus-token-distinct exchange instead of five (r8: the
+# naive_bayes_domain sf1 fan-out fix — the pre-restructure plan re-read
+# and re-tokenized documents 16 times). The smoothed model is
+# vocab × |classes| rows (Heaps-law bounded); scoring joins the
+# checkpointed (doc, token, cnt) rows against the model on token
+# (fan-out |classes| rows per distinct doc-token AFTER the join's map
+# side) and reduces per (doc, class); the argmax is a struct-min
+# aggregate. Priors/vocab-size/class frames are 1-to-|classes|-row
+# broadcasts. Zero-token docs drop out of scoring in both engines
+# (absence of evidence — the curation pipeline routes them to the
+# length filter, not the classifier).
 
 def q_naive_bayes_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", "source", F.explode(_tokens("text")).alias("token"))
-    dt = tok.groupBy("doc_id", "source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    dt = (
+        docs.select("doc_id", "source", F.explode(_tokens("text")).alias("token"))
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     classes = docs.select(F.col("source").alias("csrc")).distinct()
-    vocab = tok.select("token").distinct().agg(F.count(F.lit(1)).alias("v"))
-    tot = tok.groupBy(F.col("source").alias("csrc")).agg(F.count(F.lit(1)).alias("t"))
-    tc = tok.groupBy("token", F.col("source").alias("csrc")).agg(
-        F.count(F.lit(1)).alias("c")
+    vocab = dt.select("token").distinct().agg(F.count(F.lit(1)).alias("v"))
+    tot = dt.groupBy(F.col("source").alias("csrc")).agg(F.sum("cnt").alias("t"))
+    tc = dt.groupBy("token", F.col("source").alias("csrc")).agg(
+        F.sum("cnt").alias("c")
     )
     model = (
-        tok.select("token")
+        dt.select("token")
         .distinct()
         .crossJoin(F.broadcast(classes))
         .join(F.broadcast(tot), "csrc")
@@ -736,7 +746,12 @@ def q_naive_bayes_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sc = (
-        dt.join(model, "token")
+        # the model is vocab × |classes| rows (Heaps-law bounded) but its
+        # size estimate flows from the checkpointed corpus frame, so the
+        # optimizer can pick BuildLeft and broadcast the CORPUS side — the
+        # r8 sf1 fan-out root cause (35.9 s → 6.3 s; at 100 TB, an OOM).
+        # The explicit hint pins the build side to the model.
+        dt.join(F.broadcast(model), "token")
         .groupBy("doc_id", F.col("source").alias("true_source"), "csrc")
         .agg(F.sum(F.col("cnt") * F.col("ll")).alias("s"))
         .join(F.broadcast(prior), "csrc")

@@ -25,6 +25,7 @@ from bench import (  # noqa: E402
     REGRESSION_FACTOR,
     REGRESSION_FLOOR_S,
     _prev_bench_queries,
+    adaptive_min,
     find_regressions,
     host_shift_factor,
 )
@@ -144,3 +145,58 @@ def test_host_shift_prefers_calibration_ratio():
 def test_wrong_sf_yields_no_baseline(tmp_path):
     d = _fixture_dir(tmp_path, history=[SAME_RUN])
     assert _prev_bench_queries(0.01, here=d) == {}
+
+
+class _Sampler:
+    """Scripted sample sequence that records when release() fires."""
+
+    def __init__(self, seq):
+        self.seq = list(seq)
+        self.released_at: list[int] = []
+        self.taken = 0
+
+    def sample(self):
+        v = self.seq[min(self.taken, len(self.seq) - 1)]
+        self.taken += 1
+        return v
+
+    def release(self):
+        self.released_at.append(self.taken)
+
+
+def test_adaptive_min_steady_query_never_releases():
+    """Fast queries exit after min-of-2: no extras, no memory release."""
+    s = _Sampler([1.0, 1.0])
+    best, extra = adaptive_min(s.sample, prev=1.0, release=s.release)
+    assert (best, extra) == (1.0, 0)
+    assert s.released_at == []
+
+
+def test_adaptive_min_clean_retest_clears_session_bleed():
+    """The r7 kmeans_train shape: both min-of-2 samples inflated by
+    session-state pressure, the post-release sample at true engine cost —
+    the flag must clear, and release must fire exactly once, before the
+    first extra."""
+    s = _Sampler([5.7, 5.6, 2.0])
+    best, extra = adaptive_min(s.sample, prev=1.766, release=s.release)
+    assert best == 2.0
+    assert extra == 1
+    assert s.released_at == [2], "release must precede the first extra sample"
+    assert best <= 1.766 * REGRESSION_FACTOR  # would no longer flag
+
+
+def test_adaptive_min_real_regression_survives_release():
+    """A genuine engine regression stays slow after the release: the
+    number stands (with its extras evidence), release still fires once."""
+    s = _Sampler([5.7, 5.6, 5.8, 5.7, 5.9])
+    best, extra = adaptive_min(s.sample, prev=1.766, release=s.release)
+    assert best > 1.766 * REGRESSION_FACTOR
+    assert s.released_at == [2]
+    assert extra >= 1
+
+
+def test_adaptive_min_no_baseline_no_extras():
+    s = _Sampler([9.0, 9.0])
+    best, extra = adaptive_min(s.sample, prev=None, release=s.release)
+    assert (best, extra) == (9.0, 0)
+    assert s.released_at == []

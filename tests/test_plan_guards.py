@@ -76,7 +76,7 @@ def test_kmeans_round_plan(spark):
     from jetstream_spark.tables import table
 
     emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
-    frame = _km_round_agg(emb, _km_seeds(spark, SF_DIR))
+    frame = _km_round_agg(emb, _km_seeds(emb))
     plan = _plan(frame)
     _assert_clean("kmeans_round", plan)
     # one map-only Arrow pass + at most ONE partial-aggregated exchange on
