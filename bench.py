@@ -120,6 +120,11 @@ EXTRAS = [
     "basket_lift_rules",     # r7: pair-rule mining off the basket frame
     "ab_sequential_sprt",    # r7: Wald LLR walk (per-arm ordered window)
     "survival_km_retention",  # r7: KM curve (user-span agg + tiny frame)
+    "profile_columns_approx",  # r8: deterministic-HLL column profile (256 regs/col)
+    "profile_entropy",       # r8: per-column Shannon entropy (one freq agg)
+    "funnel_steps_strict",   # r8: ordered 3-step funnel (single-exchange fold)
+    "pmi_collocations",      # r8: adjacent-bigram PMI top-k (one pair exchange)
+    "dup_ratio_by_source",   # r8: per-source dup health (one (source,hash) agg)
 ]
 
 REGRESSION_FACTOR = 1.15
@@ -670,11 +675,26 @@ SF1_QUERIES = [
     "rfm_segmentation",
     # basket: pair volume is order-linear (per-order quadratic bounded by
     # basket size, the copurchase argument) — expect linear. sprt: one
-    # user-scale window over 10x users — linear. KM excluded: its curve
-    # frame is |distinct lifetimes| rows (flat), so the row would only
-    # re-measure the events scan the seasonal row already covers.
+    # user-scale window over 10x users — linear.
     "basket_lift_rules",
     "ab_sequential_sprt",
+    # r8 (VERDICT r7 #7): the remaining batch-F/G operators get scaling
+    # rows so every registry family has an sf1 datapoint. All are
+    # bounded-aggregate shapes: KM is a user-span agg into a
+    # |distinct lifetimes|-row curve (events-scan-bound — previously
+    # excluded as redundant with seasonal, but a committed datapoint
+    # beats an argument); dp_noisy_counts is one grouped agg + map-only
+    # noise; hbos is two stats aggs + map-only scoring + TakeOrdered.
+    "survival_km_retention",
+    "dp_noisy_counts",
+    "hbos_outliers",
+    # r8 debuts with a genuine scaling story: the HLL profile's register
+    # build is scan-linear into a fixed |cols|x256 state (expect linear,
+    # scan-bound); the strict funnel is one user-keyed exchange + a
+    # per-user fold over replica-linear users (expect linear, the
+    # sessionization bound).
+    "profile_columns_approx",
+    "funnel_steps_strict",
 ]
 
 

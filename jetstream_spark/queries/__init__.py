@@ -23,93 +23,81 @@ from jetstream_spark.queries.spec import QuerySpec
 #   3. then the rest, OLDEST driver evidence first — every in-window entry
 #      must be at least as stale as every out-of-window entry (pinned by
 #      tests/test_registry_priority.py::test_window_is_oldest_evidence_first).
-# Round-7 rotation: no never-checked entries (all 160 have evidence);
-# dedup_embedding_lsh re-enters because its band width became N-adaptive
-# this round (VERDICT r6 #3); then the 15 r3-stale entries, then the 34
-# oldest r4-stale entries — exactly 50.
+# Round-8 rotation (VERDICT r7 #2: the window MUST surface the 43
+# r4-stale entries — the oldest evidence block — so the new-operator
+# batch was capped at 5 to leave room): 5 never-checked debuts, then the
+# 2 entries whose code changed this round, then ALL 43 r4-stale entries
+# in their r4 driver order (kmeans_train sits in the code-changed tier —
+# it is one of the 43, so the stale tier lists 42), then the first
+# r5-stale entry — exactly 50.
 
 # Entries whose engine/oracle CODE changed this round: they re-enter the
 # window ahead of the staleness order so the change gets driver evidence
 # in the round it ships. Reset this tuple each round.
 _CODE_CHANGED = (
-    "dedup_embedding_lsh",  # r7: _RHP_R now derived from corpus count (log2 N)
-    "label_propagation",  # r7: per-round label join now explicitly broadcast
+    "naive_bayes_domain",  # r8: tokenize-once checkpoint + pinned model broadcast
+    "kmeans_train",  # r8: persisted training frame + two-tier round reduce
 )
 
 _PRIORITY = (
-    # ---- never driver-checked (new in r7) — must lead the window ----
-    "kcenter_coreset",
+    # ---- never driver-checked (new in r8) — must lead the window ----
+    "profile_columns_approx",
+    "profile_entropy",
+    "funnel_steps_strict",
+    "pmi_collocations",
+    "dup_ratio_by_source",
+    # ---- code changed this round (r8) ----
     "naive_bayes_domain",
-    "seasonal_anomaly",
-    "dp_noisy_counts",
-    "kcore_decomposition",
-    "cusum_changepoint",
-    "sketch_quantile_bottomk",
-    "markov_transitions",
-    "embedding_drift_mmd",
-    "ann_hamming_topk",
-    "hbos_outliers",
-    "kneser_ney_perplexity",
-    "weak_label_analysis",
-    "zorder_layout",
-    "gini_concentration",
-    "benford_audit",
-    "rfm_segmentation",
-    "basket_lift_rules",
-    "ab_sequential_sprt",
-    "survival_km_retention",
-    "sketch_theta_setops",
-    "fingerprint_winnowing",
-    "mutual_information",
-    "skyline_parts",
-    "hybrid_search_rrf",
-    "mmr_diverse_topk",
-    "adamic_adar_linkpred",
-    "k_anonymity_audit",
-    "ohlc_bars",
-    "textrank_keywords",
-    "attribution_last_touch",
-    # ---- code changed this round (r7) ----
-    "dedup_embedding_lsh",
-    "label_propagation",
-    # ---- r3-latest driver evidence (stalest), driver order ----
-    "decontaminate_splits",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_share",
-    "intersect_repeat_buyers",
-    "date_functions",
-    "distinct_agg",
-    "topk_brand_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "ordered_string_agg",
-    "above_nation_avg",
-    "user_journey",
-    "monthly_density",
-    "bool_aggs",
-    # ---- r4-latest driver evidence, driver order (oldest first) ----
-    "window_rank_customers",
-    "window_order_gaps",
+    "kmeans_train",
+    # ---- r4-latest driver evidence (the stalest block), r4 driver order ----
+    "latest_order_per_customer",
+    "regexp_extract_ids",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ab_test_conversion",
+    "timeseries_gapfill",
+    "ewma_hourly",
+    "negative_samples",
+    "scd2_user_tiers",
+    "phrase_search",
+    "domain_temperature_sample",
+    "profile_columns",
+    "profile_numeric",
+    "profile_histogram",
+    "profile_skew",
+    "fk_integrity",
+    "hll_distinct",
+    "fuzzy_join_names",
+    "pagerank_copurchase",
+    "triangle_count",
+    "degree_profile",
+    "quantile_norm",
+    "rate_anomaly",
+    "split_drift_psi",
+    "knn_graph_ivf",
+    "dedup_containment_kmv",
+    "embedding_covariance",
+    "knn_graph",
+    "weighted_sample",
+    "multimodal_audio_stats",
+    "multimodal_video_frames",
+    "multimodal_resize",
+    "retention_cohorts",
+    "bigram_perplexity",
+    "cluster_aware_split",
+    "dedup_span_scrub",
+    "dedup_two_tier",
+    "dedup_common_spans",
+    "decontaminate_bloom",
+    "corpus_budget_selection",
+    "bpe_pair_counts",
+    # ---- first r5-stale entry (next-oldest tier), r5 driver order ----
+    "bpe_learn_merges",
     # ================= driver window boundary (50) ==================
-    # Still r4-stale, first in line for the r8 window:
-    # latest_order_per_customer, regexp_extract_ids, timeseries_gapfill,
-    # ewma_hourly,
-    # scd2_user_tiers, retention_cohorts, rate_anomaly,
-    # ab_test_conversion, dedup_span_scrub,
-    # dedup_containment_kmv, dedup_common_spans, dedup_ngram_jaccard,
-    # dedup_minhash_lsh, dedup_simhash, dedup_two_tier,
-    # knn_graph, knn_graph_ivf,
-    # embedding_covariance, kmeans_train, phrase_search, bpe_pair_counts,
-    # bigram_perplexity,
-    # multimodal_resize,
-    # multimodal_video_frames, multimodal_audio_stats, negative_samples,
-    # domain_temperature_sample, split_drift_psi,
-    # cluster_aware_split, weighted_sample, decontaminate_bloom,
-    # corpus_budget_selection, profile_columns, profile_numeric,
-    # profile_histogram, profile_skew, fk_integrity, hll_distinct,
-    # fuzzy_join_names, pagerank_copurchase, triangle_count,
-    # degree_profile, quantile_norm — then the r5 block.
+    # Still r5-stale, first in line for the r9 window: embedding_pca_project,
+    # bpe_encode_stats, compression_ratio, embedding_outliers,
+    # cube_segment_priority, … (the rest of the r5 block), then r6.
     # Everything else follows in module order.
 )
 

@@ -1602,7 +1602,54 @@ ORDER BY doc_id
 """
 
 
+# --- per-source duplication health metric ----------------------------------------
+# The corpus-health ROLLUP of dedup_exact: per ingest source, how much of
+# the shard is redundant BEFORE any expensive near-dup pass runs — the
+# number a curation pipeline uses to rank which crawl sources to dedup
+# (or drop) first, and to watch a source's dup ratio drift release over
+# release. Reports per source: docs, distinct texts, duplicate docs
+# (docs − distinct), dup_ratio, and the largest single duplicate group.
+#
+# Scale shape (100 TB): ONE (source, md5) exchange — group sizes and the
+# distinct count both fold from the same aggregated hash frame (sum = n
+# docs, count = distinct, max = biggest group), so the corpus is scanned
+# once and nothing corpus-scale is joined or collected.
+
+
+def q_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    groups = (
+        docs.select("source", F.md5(F.col("text").cast("binary")).alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("g"))
+    )
+    return groups.groupBy("source").agg(
+        F.sum("g").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        (F.sum("g") - F.count(F.lit(1))).alias("dup_docs"),
+        F.round(
+            (F.sum("g") - F.count(F.lit(1))) / F.sum("g").cast("double"), 6
+        ).alias("dup_ratio"),
+        F.max("g").alias("max_group_size"),
+    )
+
+
+Q_DUP_RATIO_ORACLE = """
+WITH groups AS (
+  SELECT source, md5(text) AS h, count(*) AS g FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(g) AS BIGINT) AS n_docs,
+       count(*) AS n_distinct_texts,
+       CAST(sum(g) - count(*) AS BIGINT) AS dup_docs,
+       round((sum(g) - count(*)) / CAST(sum(g) AS DOUBLE), 6) AS dup_ratio,
+       max(g) AS max_group_size
+FROM groups GROUP BY source
+"""
+
+
 QUERIES = [
+    QuerySpec("dup_ratio_by_source", q_dup_ratio_by_source, Q_DUP_RATIO_ORACLE, "per-source duplication health: dup ratio + largest group from one (source, hash) pass", ("dedup", "profiling")),
     QuerySpec("dedup_substring_spans", q_dedup_substring_spans, Q_SUBSTR_SPANS_ORACLE, "exact cross-doc substring spans (ExactSubstr, character-level) with interval merge", ("dedup",)),
     QuerySpec("dedup_exact", q_dedup_exact, Q_DEDUP_EXACT_ORACLE, "content-hash exact dedup", ("dedup",)),
     QuerySpec("dedup_span_scrub", q_dedup_span_scrub, Q_SPAN_SCRUB_ORACLE, "boilerplate span REMOVAL with relational interval merging", ("dedup",)),

@@ -1649,7 +1649,105 @@ FROM scored
 """
 
 
+# --- strict-sequential multi-step funnel ----------------------------------------
+# conversion_funnel above answers "did the first click precede the first
+# purchase" — two conditional mins. THIS operator is the ordered k-step
+# funnel product analytics actually ships (Amplitude/Mixpanel semantics):
+# step i counts a user only if the step-i event happens STRICTLY AFTER
+# the event that satisfied step i-1, so view→click→purchase with the
+# purchase before the click does NOT convert. Strict sequencing is not
+# expressible as independent conditional aggregates; the usual SQL is a
+# cascade of per-step min-joins. Spark-first form: ONE exchange — per
+# user, sort_array(collect_list(ts, type)) then a codegen F.aggregate
+# fold that walks the sorted sequence with (stage, last_ts) state,
+# advancing only on the next step's type with ts > last_ts. The fold
+# computes exactly the cascaded-min fixpoint (each stage takes the
+# EARLIEST qualifying event), which is what the oracle's CTE cascade
+# checks.
+#
+# Scale shape (100 TB): one user-keyed exchange; per-user state is the
+# event subsequence restricted to the 3 funnel types (bounded by
+# per-user activity, the same bound sessionization/user_journey carry);
+# the final frame is 3 rows. No joins, no window over the corpus.
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_steps_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    seqs = (
+        ev.where(F.col("event_type").isin(*_FUNNEL_STEPS))
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_type").alias("et")))
+            ).alias("seq")
+        )
+    )
+    acc0 = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit("1900-01-01 00:00:00").cast(ts_type).alias("t"),
+    )
+
+    def walk(acc, x):
+        adv = F.lit(False)
+        for i, step in enumerate(_FUNNEL_STEPS):
+            adv = adv | (
+                (acc["stage"] == i) & (x["et"] == step) & (x["ts"] > acc["t"])
+            )
+        return F.when(
+            adv, F.struct((acc["stage"] + 1).alias("stage"), x["ts"].alias("t"))
+        ).otherwise(acc)
+
+    reached = seqs.select(
+        F.aggregate("seq", acc0, walk).getField("stage").alias("stage")
+    )
+    wide = reached.agg(
+        F.count(F.lit(1)).alias("n0"),
+        *[
+            F.sum((F.col("stage") >= i + 1).cast("long")).alias(f"n{i + 1}")
+            for i in range(len(_FUNNEL_STEPS))
+        ],
+    )
+    stack = ", ".join(
+        f"{i + 1}, '{s}', n{i + 1}, round(CAST(n{i + 1} AS DOUBLE) / n{i}, 6)"
+        for i, s in enumerate(_FUNNEL_STEPS)
+    )
+    return wide.selectExpr(
+        f"stack({len(_FUNNEL_STEPS)}, {stack})"
+        " AS (step_no, step_name, n_users, pct_of_prev)"
+    )
+
+
+Q_FUNNEL_STRICT_ORACLE = f"""
+WITH pool AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ({", ".join(f"'{s}'" for s in _FUNNEL_STEPS)})
+), tot AS (SELECT count(DISTINCT user_id) AS n0 FROM pool),
+s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM pool WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1
+), s2 AS (
+  SELECT p.user_id, min(p.ts) AS t2 FROM pool p JOIN s1 USING (user_id)
+  WHERE p.event_type = '{_FUNNEL_STEPS[1]}' AND p.ts > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT p.user_id, min(p.ts) AS t3 FROM pool p JOIN s2 USING (user_id)
+  WHERE p.event_type = '{_FUNNEL_STEPS[2]}' AND p.ts > s2.t2 GROUP BY 1
+)
+SELECT 1 AS step_no, '{_FUNNEL_STEPS[0]}' AS step_name,
+       (SELECT count(*) FROM s1) AS n_users,
+       round((SELECT count(*) FROM s1) * 1.0 / (SELECT n0 FROM tot), 6) AS pct_of_prev
+UNION ALL
+SELECT 2, '{_FUNNEL_STEPS[1]}', (SELECT count(*) FROM s2),
+       round((SELECT count(*) FROM s2) * 1.0 / (SELECT count(*) FROM s1), 6)
+UNION ALL
+SELECT 3, '{_FUNNEL_STEPS[2]}', (SELECT count(*) FROM s3),
+       round((SELECT count(*) FROM s3) * 1.0 / (SELECT count(*) FROM s2), 6)
+"""
+
+
 QUERIES = [
+    QuerySpec("funnel_steps_strict", q_funnel_steps_strict, Q_FUNNEL_STRICT_ORACLE, "strictly-ordered 3-step funnel (view->click->purchase): single-exchange sorted fold vs cascaded-min oracle", ("eventlog", "analytics")),
     QuerySpec("survival_km_retention", q_survival_km_retention, Q_KM_ORACLE, "Kaplan-Meier user-lifetime survival curve with last-week censoring", ("eventlog", "analytics")),
     QuerySpec("ab_sequential_sprt", q_ab_sequential_sprt, _sprt_oracle(), "Wald SPRT sequential A/B test: LLR walk, first boundary crossing, decision per arm", ("eventlog", "analytics")),
     QuerySpec("markov_transitions", q_markov_transitions, Q_MARKOV_ORACLE, "first-order Markov transition matrix + per-state entropy over user event sequences", ("eventlog",)),

@@ -1646,6 +1646,212 @@ ORDER BY lift DESC, part_a, part_b LIMIT {_BASKET_TOP}
 """
 
 
+# --- approximate column profile (the 100 TB ANALYZE form) -----------------------
+# profile_columns' exact count_distinct is the oracle-parity row, but its
+# 100 TB form is sketched: exact distinct of a high-cardinality column
+# dedups the full key space through one exchange, while an HLL register
+# build is a (column, bucket) aggregate of ≤ |cols|·m mergeable rows —
+# the 1000-executor shape. Spark's own approx_count_distinct is an
+# opaque HLL++ no other engine reproduces bit-for-bit, so this operator
+# uses the repo's deterministic md5 HLL (hll_distinct's construction,
+# p=8/m=256 for ~6.5% standard error) over a per-column CANONICAL string
+# rendering pinned identical in both engines (doubles → round(x·10⁴) as
+# BIGINT; timestamps → epoch micros; ints → decimal string) — raw
+# CAST-to-string would diverge on scientific-notation thresholds.
+# The estimate itself is hash-checked by the oracle; the error BOUND vs
+# the exact profile is pinned by tests/test_profiling.py.
+
+_APPROX_HLL_P = 8
+_APPROX_HLL_M = 1 << _APPROX_HLL_P  # 256 registers
+_APPROX_ALPHA = 0.7213 / (1.0 + 1.079 / _APPROX_HLL_M)
+# 60-bit md5 hash; low 8 bits pick the register, the remaining 52 bits
+# are the rho stream: rho ∈ [1, 53], register contribution 2^(53-rho),
+# worst-case integer sum 256·2^52 = 2^60 < 2^63 (exact BIGINT).
+_APPROX_RHO_MAX = 53
+
+# (column, spark_canonical_sql, duckdb_canonical_sql) — the two
+# expressions MUST render byte-identical strings for every value.
+_CANON_COLS = tuple(
+    (c, f"CAST({c} AS STRING)", f"CAST({c} AS VARCHAR)")
+    for c in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+              "l_returnflag", "l_linestatus")
+) + tuple(
+    (
+        c,
+        f"CAST(CAST(round({c} * 10000) AS BIGINT) AS STRING)",
+        f"CAST(CAST(round({c} * 10000) AS BIGINT) AS VARCHAR)",
+    )
+    for c in _NUMERIC_COLS
+) + (
+    (
+        "l_shipdate",
+        # NTZ-safe epoch micros (unix_micros rejects TIMESTAMP_NTZ)
+        "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS STRING)",
+        "CAST(epoch_us(l_shipdate) AS VARCHAR)",
+    ),
+)
+
+
+def q_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile_columns' scale twin: exact n_rows/n_nulls (plain counts —
+    cheap at any scale) + deterministic-HLL approximate distincts per
+    column. Register build is one (column, bucket) exchange of
+    ≤ |cols|·{_APPROX_HLL_M} rows; no full-key dedup anywhere."""
+    li = table(spark, sf_dir, "lineitem")
+    stack = ", ".join(f"'{c}', {expr}" for c, expr, _ in _CANON_COLS)
+    up = li.selectExpr(f"stack({len(_CANON_COLS)}, {stack}) AS (column_name, v)")
+    counts = up.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_nulls"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("v").cast("binary")), 1, 15), 16, 10).cast("long")
+    keyed = up.where(F.col("v").isNotNull()).select(
+        "column_name",
+        h.bitwiseAND(F.lit(_APPROX_HLL_M - 1).cast("long")).alias("bucket"),
+        F.shiftright(h, _APPROX_HLL_P).alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(_APPROX_RHO_MAX)).otherwise(
+            _APPROX_RHO_MAX - F.length(F.bin("w"))
+        ),
+    )
+    regs = keyed.groupBy("column_name", "bucket").agg(F.max("rho").alias("m_j"))
+    z = regs.groupBy("column_name").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_APPROX_RHO_MAX} - CAST(m_j AS INT))")
+        ).alias("zsum"),
+        F.count(F.lit(1)).alias("present"),
+    ).select(
+        "column_name",
+        (
+            F.col("zsum")
+            + (F.lit(_APPROX_HLL_M) - F.col("present"))
+            * F.lit(1 << _APPROX_RHO_MAX).cast("long")
+        ).alias("zint"),
+        (F.lit(_APPROX_HLL_M) - F.col("present")).alias("zero_regs"),
+    )
+    raw = (
+        F.lit(_APPROX_ALPHA * _APPROX_HLL_M * _APPROX_HLL_M * float(2**_APPROX_RHO_MAX))
+        / F.col("zint")
+    )
+    small = F.lit(float(_APPROX_HLL_M)) * F.log(
+        F.lit(float(_APPROX_HLL_M)) / F.col("zero_regs")
+    )
+    estimate = F.when(
+        (raw <= F.lit(2.5 * _APPROX_HLL_M)) & (F.col("zero_regs") > 0), small
+    ).otherwise(raw)
+    return counts.join(
+        z.select("column_name", F.round(estimate, 2).alias("approx_distinct")),
+        "column_name",
+    )
+
+
+def _approx_profile_oracle() -> str:
+    stacked = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, {duck} AS v FROM lineitem"
+        for c, _, duck in _CANON_COLS
+    )
+    m, rmax = _APPROX_HLL_M, _APPROX_RHO_MAX
+    h = "CAST(('0x' || substr(md5(v), 1, 15))::UBIGINT AS BIGINT)"
+    return f"""
+WITH up AS ({stacked}),
+counts AS (
+  SELECT column_name, count(*) AS n_rows, count(*) - count(v) AS n_nulls
+  FROM up GROUP BY 1
+), keyed AS (
+  SELECT column_name, {h} & {m - 1} AS bucket, {h} >> {_APPROX_HLL_P} AS w
+  FROM up WHERE v IS NOT NULL
+), rhos AS (
+  SELECT column_name, bucket,
+         CASE WHEN w = 0 THEN {rmax} ELSE {rmax} - length(bin(w)) END AS rho
+  FROM keyed
+), regs AS (
+  SELECT column_name, bucket, max(rho) AS m_j FROM rhos GROUP BY 1, 2
+), z AS (
+  SELECT column_name,
+         sum((1::BIGINT << ({rmax} - m_j))) + ({m} - count(*)) * (1::BIGINT << {rmax}) AS zint,
+         {m} - count(*) AS zero_regs
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT column_name, zero_regs,
+         CASE WHEN (CAST({_APPROX_ALPHA!r} AS DOUBLE) * {m * m} * {float(2**rmax)!r} / zint) <= {2.5 * m}
+                   AND zero_regs > 0
+              THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / zero_regs)
+              ELSE CAST({_APPROX_ALPHA!r} AS DOUBLE) * {m * m} * {float(2**rmax)!r} / zint
+         END AS estimate
+  FROM z
+)
+SELECT c.column_name, c.n_rows, c.n_nulls, round(e.estimate, 2) AS approx_distinct
+FROM counts c JOIN est e USING (column_name)
+"""
+
+
+# --- per-column Shannon entropy profile ------------------------------------------
+# The information-content half of the ANALYZE pass: null counts and
+# distincts say nothing about BALANCE — a column with 1M distincts where
+# one value holds 99% of rows behaves like a constant for joins,
+# filters, and as a training feature. Entropy in nats over the exact
+# value-frequency table, plus the ln(distinct)-normalized form (1.0 =
+# uniform, →0 = degenerate). Computed as ln(N) − (Σ c·ln c)/N so the
+# only float work is one log per DISTINCT value and one bounded sum.
+#
+# Scale shape: one (column, value) count aggregate (map-side partials),
+# then a per-column fold over the distinct-value frame — the same
+# topology as profile_histogram. No corpus-scale joins; the stack-unpivot
+# scans lineitem once.
+
+_ENTROPY_COLS = ("l_returnflag", "l_linestatus", "l_linenumber", "l_quantity",
+                 "l_discount", "l_tax")
+
+
+def q_profile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    stack = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _ENTROPY_COLS)
+    up = li.selectExpr(f"stack({len(_ENTROPY_COLS)}, {stack}) AS (column_name, v)")
+    freq = up.groupBy("column_name", "v").agg(F.count(F.lit(1)).alias("c"))
+    return freq.groupBy("column_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c"),
+            6,
+        ).alias("entropy_nats"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) > 1,
+                (
+                    F.log(F.sum("c").cast("double"))
+                    - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / F.sum("c")
+                )
+                / F.log(F.count(F.lit(1)).cast("double")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("norm_entropy"),
+    )
+
+
+Q_PROFILE_ENTROPY_ORACLE = f"""
+WITH up AS (
+  {" UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS v FROM lineitem"
+    for c in _ENTROPY_COLS
+  )}
+), freq AS (
+  SELECT column_name, v, count(*) AS c FROM up GROUP BY 1, 2
+)
+SELECT column_name,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       count(*) AS n_distinct,
+       round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy_nats,
+       round(CASE WHEN count(*) > 1
+                  THEN (ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / sum(c))
+                       / ln(CAST(count(*) AS DOUBLE))
+                  ELSE 0.0 END, 6) AS norm_entropy
+FROM freq GROUP BY column_name
+"""
+
+
 QUERIES = [
     QuerySpec("basket_lift_rules", q_basket_lift_rules, Q_BASKET_ORACLE, "market-basket pair rules: support/confidence/lift over order baskets (top-20 by lift)", ("profiling", "graph")),
     QuerySpec("gini_concentration", q_gini_concentration, Q_GINI_ORACLE, "Gini coefficient of customer revenue (integer-cent rank-weighted sums)", ("profiling",)),
@@ -1659,6 +1865,8 @@ QUERIES = [
     QuerySpec("zipf_alpha", q_zipf_alpha, _zipf_oracle(), "Zipf rank-frequency power-law fit (alpha, intercept, r2) over the vocab", ("profiling", "text")),
     QuerySpec("label_propagation", q_label_propagation, _lpa_oracle(), "3-round synchronous LPA communities over the co-purchase graph (min-label tie-break, unrolled-CTE oracle)", ("graph",)),
     QuerySpec("profile_columns", q_profile_columns, Q_PROFILE_COLUMNS_ORACLE, "per-column null/distinct profile, one wide aggregate pass", ("profiling",)),
+    QuerySpec("profile_columns_approx", q_profile_columns_approx, _approx_profile_oracle(), "approximate column profile: deterministic-HLL distincts (p=8, pinned error bound) — the 100 TB ANALYZE form", ("profiling", "sketch")),
+    QuerySpec("profile_entropy", q_profile_entropy, Q_PROFILE_ENTROPY_ORACLE, "per-column Shannon entropy + ln(distinct)-normalized balance profile", ("profiling",)),
     QuerySpec("profile_numeric", q_profile_numeric, Q_PROFILE_NUMERIC_ORACLE, "numeric min/max/avg/stddev profile, unpivoted", ("profiling",)),
     QuerySpec("profile_histogram", q_profile_histogram, Q_PROFILE_HISTOGRAM_ORACLE, "equal-width histograms per numeric column (engine-identical bin formula)", ("profiling",)),
     QuerySpec("profile_skew", q_profile_skew, Q_PROFILE_SKEW_ORACLE, "join-key skew profile: top-key share + p99/avg frequency ratio", ("profiling",)),

@@ -911,7 +911,89 @@ def _textrank_oracle() -> str:
     )
 
 
+# --- PMI collocations ------------------------------------------------------------
+# Pointwise-mutual-information bigram collocations: adjacent-token pairs
+# whose co-occurrence beats the independence expectation — the classic
+# phrase-mining signal (Church & Hanks 1990) a tokenizer-training or
+# phrase-vocabulary step runs before merging multi-word units. Distinct
+# from textrank_keywords (window-2 UNDIRECTED graph feeding PageRank):
+# this is the ADJACENT ordered-pair statistic with exact counts.
+#
+# PMI = ln(c12 · N / (c1 · c2)) over exact integer counts: c12 = count
+# of the adjacent ordered pair, c1/c2 = unigram occurrence counts as a
+# LEFT token / RIGHT token of any adjacent pair (so the marginals sum
+# to N = total adjacent pairs and PMI is a true log-ratio of one joint
+# and two marginal distributions). Low-frequency pairs are noise-pruned
+# at c12 >= {PMI_MIN_PAIR}; output is the top-{PMI_TOP_N} by PMI.
+#
+# Scale shape (100 TB): bigram extraction is a map-only zip of each
+# token array with its own tail (no self-join); ONE (w1, w2) exchange of
+# corpus-bigram-distinct rows; the marginal tables derive from the SAME
+# aggregated pair frame (Heaps-law bounded) so nothing re-reads the
+# corpus; the PMI join runs pair-table × two vocab-scale marginals
+# (broadcast at corpus scale, since marginals are vocabulary-sized).
+
+PMI_MIN_PAIR = 5
+PMI_TOP_N = 50
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = _tokens()
+    pairs_arr = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = docs.select(F.explode(pairs_arr).alias("p")).select("p.w1", "p.w2")
+    pc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n = pc.agg(F.sum("c12").alias("n"))
+    left = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = pc.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    scored = (
+        pc.where(F.col("c12") >= PMI_MIN_PAIR)
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(PMI_TOP_N)
+
+
+Q_PMI_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+), bi AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+), pc AS (
+  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
+), n AS (SELECT sum(c12) AS n FROM pc),
+l AS (SELECT w1, sum(c12) AS c1 FROM pc GROUP BY 1),
+r AS (SELECT w2, sum(c12) AS c2 FROM pc GROUP BY 1)
+SELECT pc.w1, pc.w2, pc.c12,
+       round(ln(CAST(pc.c12 AS DOUBLE) * n.n / (CAST(l.c1 AS DOUBLE) * r.c2)), 6) AS pmi
+FROM pc JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+WHERE pc.c12 >= {PMI_MIN_PAIR}
+ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP_N}
+"""
+
+
 QUERIES = [
+    QuerySpec("pmi_collocations", q_pmi_collocations, Q_PMI_ORACLE, "PMI bigram collocations: adjacent-pair log-ratio over exact counts (top-50, min-count pruned)", ("text",)),
     QuerySpec("textrank_keywords", q_textrank_keywords, _textrank_oracle(), "TextRank corpus keywords: co-occurrence graph + weighted PageRank (unrolled oracle)", ("text", "graph")),
     QuerySpec("fingerprint_winnowing", q_fingerprint_winnowing, Q_WINNOW_ORACLE, "MOSS winnowing fingerprints: rightmost-min window selection + df-capped pair similarity", ("text", "dedup")),
     QuerySpec("phrase_search", q_phrase_search, _phrase_oracle(), "positional-postings exact phrase search (repeated-token alignment)", ("text", "search")),
