@@ -26,6 +26,8 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -151,7 +153,75 @@ def ingest_batch(
 
 
 def read_log(spark: SparkSession, log_dir: str) -> DataFrame:
-    return spark.read.parquet(log_dir)
+    """The full log as a frame — compaction-swap tolerant (VERDICT r7 #6).
+
+    compact_bucket's swap is two renames: `hour_bucket=N` → `_compact_old_N`
+    (old copy complete), then `_compact_tmp_N` → `hour_bucket=N`. In the
+    instant between them the live partition directory does not exist; a
+    plain `spark.read.parquet(log_dir)` planned in that window would
+    silently return a log WITHOUT bucket N — and a cursor-paced replay
+    consumer (subscriptions.py) that delivered bucket N+1 rows from such a
+    snapshot would advance its watermark past bucket N forever. Pebble
+    gets this for free (iterators are snapshot-isolated across
+    DeleteRange, persist.go:120-137); here the swap protocol's own
+    invariant — at every instant a COMPLETE copy of the bucket exists at
+    the live path or at `_compact_old_N` — is what readers lean on: a
+    bucket whose live dir is absent is read from its aside copy (with the
+    partition value re-injected, since aside files carry no hour_bucket
+    path component). `_compact_tmp_*` is never read (may be half-written).
+
+    The remaining race — the aside copy being rmtree'd between this
+    listing and task execution — surfaces as a task error, not silent
+    loss; cursor-keyed consumers re-plan and retry (replay_rows)."""
+    parts, asides = [], []
+    for entry in sorted(os.listdir(log_dir)):
+        if entry.startswith("hour_bucket="):
+            parts.append(os.path.join(log_dir, entry))
+        elif entry.startswith("_compact_old_"):
+            bucket = entry[len("_compact_old_"):]
+            if not os.path.isdir(os.path.join(log_dir, f"hour_bucket={bucket}")):
+                asides.append((int(bucket), os.path.join(log_dir, entry)))
+    if not parts and not asides:
+        return spark.read.parquet(log_dir)  # empty/virgin log: native error path
+    df = (
+        spark.read.option("basePath", log_dir).parquet(*parts) if parts else None
+    )
+    for bucket, aside in asides:
+        recovered = spark.read.parquet(aside).withColumn(
+            "hour_bucket", F.lit(bucket).cast("long")
+        )
+        df = recovered if df is None else df.unionByName(recovered)
+    return df
+
+
+def replay_rows(
+    spark: SparkSession,
+    log_dir: str,
+    build: Callable[[], DataFrame],
+    attempts: int = 5,
+) -> list:
+    """Collect one replay chunk with compaction-swap retry: a swap that
+    lands between a chunk's file listing and its task execution surfaces
+    as a missing-file task error (never silent loss — see read_log). The
+    chunk is re-planned from a fresh listing and retried; compaction
+    preserves content, and consumers advance their cursor only after a
+    successful chunk, so the retry is exactly-once by construction.
+
+    The retry must refreshByPath first: the session-shared FileStatusCache
+    keeps serving the pre-swap file names ("It is possible the underlying
+    files have been updated"), so a bare re-plan would fail forever."""
+    last: Exception | None = None
+    for attempt in range(attempts):
+        try:
+            return build().collect()
+        except Exception as e:  # Py4J wraps the JVM FileNotFound
+            msg = str(e)
+            if "FileNotFoundException" not in msg and "does not exist" not in msg:
+                raise
+            last = e
+            spark.catalog.refreshByPath(log_dir)
+            time.sleep(0.05 * (attempt + 1))  # let an in-flight swap finish
+    raise last  # persistent: not a swap window
 
 
 def replay(
@@ -292,6 +362,11 @@ def compact_bucket(
     os.rename(part, aside)
     os.rename(tmp, part)
     shutil.rmtree(aside)
+    # drop the session FileStatusCache entries for the swapped partition:
+    # concurrent readers re-planning after the swap must list the NEW
+    # files, not the cached pre-swap names (the replay_rows retry relies
+    # on this; same contract as Delta/Iceberg post-commit refresh)
+    spark.catalog.refreshByPath(part)
     return len(old_files)
 
 

@@ -37,6 +37,10 @@ from jetstream_spark.queries.spec import QuerySpec
 _CODE_CHANGED = (
     "naive_bayes_domain",  # r8: tokenize-once checkpoint + pinned model broadcast
     "kmeans_train",  # r8: persisted training frame + two-tier round reduce
+    # bigram_perplexity also changed (checkpointed unigram table, 5 corpus
+    # scans -> 3) — it already sits in the r4-stale window block below, so
+    # it is declared here for the rotation audit without a position change
+    "bigram_perplexity",
 )
 
 _PRIORITY = (

@@ -489,8 +489,15 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     big_counts = bigrams(train, keep_doc=False).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c2")
     )
-    uni = train.select(F.explode(_tokens()).alias("term")).groupBy("term").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # vocab-sized, consumed THREE times (totals + both scoring joins):
+    # without the eager checkpoint each consumer re-tokenizes the train
+    # corpus (the r8 plan audit counted 5 corpus scans; now 3 — train
+    # bigrams, this build, eval bigrams)
+    uni = (
+        train.select(F.explode(_tokens()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     totals = uni.agg(
         F.sum("cnt").alias("t_total"), F.count(F.lit(1)).alias("v_size")

@@ -946,7 +946,15 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     bi = docs.select(F.explode(pairs_arr).alias("p")).select("p.w1", "p.w2")
-    pc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # eager checkpoint (the naive_bayes_domain tokenize-once posture):
+    # total/left/right marginals and the scored join all derive from this
+    # ONE materialized pair frame — without it each marginal branch
+    # re-explodes the corpus (the plan showed 3 corpus scans)
+    pc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     n = pc.agg(F.sum("c12").alias("n"))
     left = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     right = pc.groupBy("w2").agg(F.sum("c12").alias("c2"))

@@ -94,7 +94,18 @@ def backfill(
     pacer = ReplayPacer(rate_per_s)
     delivered = 0
     for _ in range(max_rounds):
-        batch = to_wire(sub.replay_batch(spark, log_dir).limit(batch_limit)).orderBy("time_us").collect()
+        # replay_rows: a compaction swap landing mid-chunk surfaces as a
+        # missing-file task error (read_log keeps mid-swap buckets visible
+        # via their aside copy, so loss is impossible) -> re-plan + retry;
+        # the cursor advances only after a delivered chunk, so the retry
+        # is exactly-once
+        from jetstream_spark.atproto.log import replay_rows
+
+        batch = replay_rows(
+            spark,
+            log_dir,
+            lambda: to_wire(sub.replay_batch(spark, log_dir).limit(batch_limit)).orderBy("time_us"),
+        )
         if batch:
             pacer.wait(len(batch))
             deliver(batch)
@@ -198,7 +209,12 @@ def start_subscription(
                 wanted_collections=sub.wanted_collections or None,
                 wanted_dids=sub.wanted_dids or None,
             ).where(F.col("time_us") <= hi)
-            rows = to_wire(df).orderBy("time_us").limit(batch_limit).collect()
+            # compaction-swap retry: see backfill
+            rows = eventlog.replay_rows(
+                spark,
+                log_dir,
+                lambda df=df: to_wire(df).orderBy("time_us").limit(batch_limit),
+            )
             if not rows:
                 break
             pacer.wait(len(rows))

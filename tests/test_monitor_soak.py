@@ -1,0 +1,179 @@
+"""Soak test for the shared hourly-count state (VERDICT r7 #5).
+
+The three standing monitors — rate z-score (anomaly_stream), CUSUM drift
+(cusum_stream), seasonal decomposition (seasonal_stream) — consume ONE
+hourly-count state, and each is e2e-tested in isolation elsewhere. This
+soak runs the real production interleaving against a single state
+directory: six batches land, compaction fires repeatedly (≥3 cycles,
+including one in a simulated crash window with a half-committed batch on
+disk), a crash-replay converges via delete-before-rewrite — and after
+EVERY step all three monitor-equals-batch identities are asserted
+SIMULTANEOUSLY, so a state bug that one probe's aggregation happens to
+mask cannot hide from the others.
+
+Batch handling runs at the _handle_batch level (the streaming sink's
+foreachBatch body — the same code path the per-monitor e2e drains
+exercise through Structured Streaming) so the crash window can be cut
+exactly between the part write and the done-marker."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from jetstream_spark.atproto.log import BATCH_STATE_FILE, load_done_batches
+from jetstream_spark.queries.eventlog import (
+    decompose_seasonal,
+    flag_cusum_drift,
+    flag_rate_anomalies,
+)
+from jetstream_spark.streaming.anomaly_stream import (
+    _handle_batch,
+    compact_state,
+    detect_anomalies,
+    init_anomaly_state,
+    read_hourly_counts,
+)
+from jetstream_spark.streaming.cusum_stream import detect_drift, read_daily_counts
+from jetstream_spark.streaming.seasonal_stream import detect_seasonal_anomalies
+from jetstream_spark.streaming.state_compact import list_parts
+
+
+def _day_rows(start_id: int, day: int, event_type: str, n: int):
+    return [
+        (start_id + i, f"2024-03-{day:02d}T{i % 24:02d}:{i % 60:02d}:00", event_type)
+        for i in range(n)
+    ]
+
+
+def _batches():
+    """Six batches: a steady two-type baseline, then a click decay (the
+    CUSUM shape) while views spike (the z-score shape) — so by the end
+    every monitor has something real to say."""
+    base = (9, 11, 10, 9, 11, 10, 10, 9, 11)
+    out = []
+    days = list(range(1, 19))
+    for b in range(6):
+        rows = []
+        for d in days[b * 3 : (b + 1) * 3]:
+            clicks = base[d % len(base)] if d <= 9 else max(1, 10 - (d - 9))
+            views = 10 if d != 17 else 60  # one engineered view spike
+            rows += _day_rows(10_000 * d, d, "click", clicks)
+            rows += _day_rows(10_000 * d + 5_000, d, "view", views)
+        out.append(rows)
+    return out
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+
+
+def _part_write_only(state_dir: str, frame, batch_id: int) -> None:
+    """_handle_batch cut at the crash point: part written, marker NOT."""
+    out = os.path.join(state_dir, "counts", f"b{batch_id}")
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        frame.groupBy("event_type", F.date_trunc("hour", "ts").alias("hb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .write.parquet(out)
+    )
+
+
+def _assert_all_three_identities(spark, state_dir, seen_frame) -> None:
+    """Every monitor's standing table == its batch core over one-shot
+    aggregates of every event seen, from the SAME shared state."""
+    one_shot_hourly = seen_frame.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    one_shot_daily = seen_frame.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    merged = sorted(tuple(r) for r in read_hourly_counts(spark, state_dir).collect())
+    want = sorted(tuple(r) for r in one_shot_hourly.collect())
+    assert merged == want, "shared hourly state diverged from one-shot counts"
+
+    daily = sorted(tuple(r) for r in read_daily_counts(spark, state_dir).collect())
+    want_daily = sorted(tuple(r) for r in one_shot_daily.collect())
+    assert daily == want_daily, "day rollup diverged"
+
+    # monitor 1: rate z-score
+    got = sorted(tuple(r) for r in detect_anomalies(spark, state_dir).collect())
+    ref = sorted(tuple(r) for r in flag_rate_anomalies(one_shot_hourly).collect())
+    assert got == ref, "rate monitor != batch core"
+    # monitor 2: CUSUM drift
+    got = sorted(tuple(r) for r in detect_drift(spark, state_dir).collect())
+    ref = sorted(tuple(r) for r in flag_cusum_drift(one_shot_daily).collect())
+    assert got == ref, "cusum monitor != batch core"
+    # monitor 3: seasonal decomposition
+    got = sorted(
+        tuple(r) for r in detect_seasonal_anomalies(spark, state_dir).collect()
+    )
+    ref = sorted(tuple(r) for r in decompose_seasonal(one_shot_hourly).collect())
+    assert got == ref, "seasonal monitor != batch core"
+
+
+def test_three_monitors_one_state_soak(spark, tmp_path):
+    state_dir = str(tmp_path / "state")
+    init_anomaly_state(state_dir)
+    batches = _batches()
+    seen_rows: list = []
+    compactions = 0
+
+    for i, rows in enumerate(batches):
+        frame = _frame(spark, rows)
+
+        if i == 3:
+            # crash window: the batch's part lands but the marker doesn't.
+            _part_write_only(state_dir, frame, i)
+            assert i not in load_done_batches(state_dir)
+            # a compaction cycle fired exactly in the window must NOT
+            # absorb the unmarked part (else its replay would double-count)
+            compactions += int(compact_state(spark, state_dir))
+            assert os.path.isdir(os.path.join(state_dir, "counts", f"b{i}")), (
+                "compaction absorbed a half-committed batch"
+            )
+            # readers between crash and replay already see the part's
+            # (write-once, true) counts: the identities must hold NOW
+            seen_rows += rows
+            _assert_all_three_identities(spark, state_dir, _frame(spark, seen_rows))
+            seen_rows = seen_rows[: -len(rows)]
+            # replay converges by delete-before-rewrite, then marks
+            _handle_batch(state_dir, frame, i)
+            assert i in load_done_batches(state_dir)
+        else:
+            _handle_batch(state_dir, frame, i)
+
+        seen_rows += rows
+        if i % 2 == 1:
+            compactions += int(compact_state(spark, state_dir))
+        _assert_all_three_identities(spark, state_dir, _frame(spark, seen_rows))
+
+    # final cycle so the run crosses >=3 compactions, then re-verify
+    compactions += int(compact_state(spark, state_dir))
+    assert compactions >= 3, f"soak only exercised {compactions} compaction cycles"
+    all_frame = _frame(spark, seen_rows)
+    _assert_all_three_identities(spark, state_dir, all_frame)
+
+    # compaction actually folded state: one committed part holds everything
+    assert len(list_parts(os.path.join(state_dir, "counts"))) == 1
+
+    # a full marker-loss replay of EVERY batch after final compaction is
+    # out of contract (absorbed parts would double) — but a fresh-
+    # checkpoint replay of MARKED batches is a no-op by the marker gate
+    for i, rows in enumerate(batches):
+        _handle_batch(state_dir, _frame(spark, rows), i)
+    _assert_all_three_identities(spark, state_dir, all_frame)
+
+    # the engineered signals surfaced: the view spike trips the z-score
+    # monitor, the click decay trips CUSUM
+    anoms = detect_anomalies(spark, state_dir).collect()
+    assert any(r["event_type"] == "view" for r in anoms), "spike not flagged"
+    drift = detect_drift(spark, state_dir).collect()
+    assert any(tuple(r)[5] for r in drift if r["event_type"] == "click"), (
+        "decay not flagged"
+    )

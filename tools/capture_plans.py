@@ -76,7 +76,7 @@ AUDIT = {
     "bm25_topk": "corpus scoring map-only (HOF term frequencies); 1-row stats frame BroadcastNestedLoopJoin; TakeOrderedAndProject top-k",
     "embedding_covariance": "one mapInPandas partial pass over the scan; reduce Exchange moves only P*d(d+1)/2 partial rows",
     "knn_graph_ivf": "map-only cell assignment (broadcast centroids in the kernel); ONE cell-key cogroup shuffle (FlatMapCoGroupsInPandas); per-vector window merges partial top-k rows only",
-    "kmeans_train": "final-round plan: map-only assign kernel + partial-agg before the (cluster) Exchange; per-round shuffles carry only P*k*d partial rows",
+    "kmeans_train": "r8: training frame persisted for the loop (5 scans -> 1); per round a map-only assign kernel whose partials reduce two-tier (direct driver reduce while P*k*d is bounded, (cell,d) exchange above); final-round plan: partial-agg before the (cluster) Exchange",
     "rate_anomaly": "partial count before the (type, hour) Exchange; per-type stats frame broadcast back; flag filter map-only",
     "split_drift_psi": "map-only bin assignment; one (feature, bin) count Exchange with map-side partials; PSI fold over the tiny counts frame",
     "profile_columns": "unpivot Generate then ONE grouped distinct agg (no 11-wide Expand dedup); partial agg before each Exchange",
@@ -121,7 +121,7 @@ AUDIT = {
     "textrank_keywords": "r7: map-side adjacent-pair transform (no posexplode self-join); vocab-bounded edge collapse; per round the pagerank shape (broadcast rank + one dst exchange)",
     "attribution_last_touch": "r7: ONE user_id exchange for the ordered window; channel rollup collapses map-side to |channels| rows; no event-log self-join",
     "kcenter_coreset": "r7: per greedy round ONE BroadcastNestedLoopJoin of the 1-row array-typed centers frame over the checkpointed corpus + TakeOrdered(1) — zero shuffles per round",
-    "naive_bayes_domain": "r7: one corpus-token count exchange; vocab x classes model joins pre-aggregated doc-tokens ON TOKEN; struct-min argmax (no window); priors/vocab 1-to-|classes|-row broadcasts",
+    "naive_bayes_domain": "r8: tokenize-once eager localCheckpoint — training aggregates AND scoring derive from one (doc, token, cnt) frame; model join build side PINNED to the vocab-bounded model via broadcast (the checkpointed corpus has no size estimate, so the optimizer once picked BuildLeft and broadcast the corpus — the r8 sf1 fix); struct-min argmax (no window)",
     "seasonal_anomaly": "r7: one (type, hour) count exchange; both decomposition windows partition by type(+hod) — node-scale sorts only; flags map-only",
     "dp_noisy_counts": "r7: one bounded (nation, segment) agg + broadcast nation join + map-only inverse-CDF noise arithmetic",
     "kcore_decomposition": "r7: per peel round ONE degree exchange over the SHRINKING edge list + two explicit-broadcast survivor semijoins; never an edge-edge join",
@@ -140,6 +140,11 @@ AUDIT = {
     "basket_lift_rules": "r7: map-side pair explode off the collect_set basket frame; ONE pair-count exchange; item counts joined on keys; TakeOrdered top-20",
     "ab_sequential_sprt": "r7: one per-user agg; ONE per-arm ordered window pass (integer cum counts -> exact LLR); 2-row fold with conditional struct-min crossing",
     "survival_km_retention": "r7: one user-span agg + 1-row horizon broadcast; ALL curve windows over the <=|distinct lifetimes| frame, never user-scale",
+    "profile_columns_approx": "r8: stack-unpivot single scan; one (column, bucket) register exchange (<=|cols|*256 rows) + one counts agg; HLL estimator fold over <=|cols| rows",
+    "profile_entropy": "r8: one (column, value) frequency exchange; entropy folds per column over the distinct-value frame only",
+    "funnel_steps_strict": "r8: ONE user_id exchange (collect_list) + codegen sorted-array fold with (stage, last_ts) state; 1-row wide agg unpivoted to 3 step rows; zero joins",
+    "pmi_collocations": "r8: map-side zip_with adjacent bigrams (no posexplode self-join); ONE (w1, w2) pair exchange; marginals derive from the SAME pair frame and broadcast; TakeOrdered top-50",
+    "dup_ratio_by_source": "r8: ONE (source, hash) exchange; per-source health metrics fold from the same aggregated frame (sum=docs, count=distinct, max=largest group)",
 }
 
 # join-strategy-sensitive shapes re-captured at 10x scale (bench's sf1
