@@ -1673,8 +1673,11 @@ FROM scored
 _FUNNEL_STEPS = ("view", "click", "purchase")
 
 
-def q_funnel_steps_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+def funnel_user_stages(ev: DataFrame) -> DataFrame:
+    """(user_id, stage) — how far each user got through the strict funnel.
+    The shared core: the batch operator aggregates it to step counts, and
+    the streaming monitor (streaming/funnel_stream.py) must converge to
+    exactly this table (monitor-equals-batch, tested)."""
     ts_type = dict(ev.dtypes)["ts"]
     seqs = (
         ev.where(F.col("event_type").isin(*_FUNNEL_STEPS))
@@ -1700,9 +1703,14 @@ def q_funnel_steps_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
             adv, F.struct((acc["stage"] + 1).alias("stage"), x["ts"].alias("t"))
         ).otherwise(acc)
 
-    reached = seqs.select(
-        F.aggregate("seq", acc0, walk).getField("stage").alias("stage")
+    return seqs.select(
+        "user_id", F.aggregate("seq", acc0, walk).getField("stage").alias("stage")
     )
+
+
+def q_funnel_steps_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    reached = funnel_user_stages(ev)
     wide = reached.agg(
         F.count(F.lit(1)).alias("n0"),
         *[
