@@ -99,9 +99,15 @@ _PRIORITY = (
     # ---- first r5-stale entry (next-oldest tier), r5 driver order ----
     "bpe_learn_merges",
     # ================= driver window boundary (50) ==================
-    # Still r5-stale, first in line for the r9 window: embedding_pca_project,
-    # bpe_encode_stats, compression_ratio, embedding_outliers,
-    # cube_segment_priority, … (the rest of the r5 block), then r6.
+    # r9 window must LEAD with the three plan-only r8 changes that could
+    # not displace the mandated stale block (VERDICT r7 #2 capped this
+    # round's non-stale slots): kneser_ney_perplexity, hbos_outliers,
+    # fingerprint_winnowing (each re-verified locally at sf0.01 +
+    # sf0.001 suite parity after the change — checkpointed model/feature
+    # frames, corpus re-tokenization 6/7/8 scans -> 4/1/1).
+    # Then the r5-stale block: embedding_pca_project, bpe_encode_stats,
+    # compression_ratio, embedding_outliers, cube_segment_priority, …
+    # (the rest of the r5 block), then r6.
     # Everything else follows in module order.
 )
 

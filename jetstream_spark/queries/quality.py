@@ -833,12 +833,16 @@ HBOS_TOP = 20
 def q_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jetstream_spark.queries.text import q_quality_score
 
+    # the tokenize-heavy feature frame is consumed FIVE times (stats, the
+    # binning pass, three per-feature bin counts): the eager checkpoint
+    # pins it to one corpus tokenization (r8 plan audit: 7 text scans -> 1;
+    # the checkpoint is N x 4 narrow columns — the tokenize-once trade)
     q = q_quality_score(spark, sf_dir).select(
         "doc_id",
         F.col("n_tokens").cast("double").alias("f1"),
         F.col("stopword_ratio").alias("f2"),
         F.col("alnum_ratio").alias("f3"),
-    )
+    ).localCheckpoint(eager=True)
     stats = q.agg(
         F.count(F.lit(1)).alias("nn"),
         *[m(f"f{i}").alias(f"{n}{i}") for i in (1, 2, 3) for n, m in (("lo", F.min), ("hi", F.max))],
@@ -943,8 +947,15 @@ def q_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             *cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
         )
 
-    bc = bigrams(train, keep_doc=False).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c2")
+    # bigram-type-bounded (Heaps law), consumed FOUR times (predecessor
+    # and continuation marginals, the type totals, and the scoring join):
+    # the eager checkpoint keeps the plan at ONE train tokenization
+    # instead of four (r8 plan audit: 6 corpus scans -> 3)
+    bc = (
+        bigrams(train, keep_doc=False)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
     )
     pred = bc.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n2")

@@ -688,6 +688,11 @@ def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("i")
         .rowsBetween(Window.currentRow, _WIN_W - 1)
     )
+    # selected fingerprints are the winnowing guarantee's small frame
+    # (≥1 per window, ≤ grams/W per doc after distinct) and are consumed
+    # by the df filter, the per-doc sizes, and BOTH sides of the pair
+    # join — the eager checkpoint pins the gram explode + window-min pass
+    # to ONE run (r8 plan audit: 8 corpus scans -> 1)
     winners = (
         grams.select(
             "doc_id",
@@ -698,6 +703,7 @@ def q_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("i") <= F.col("m") - F.lit(_WIN_W - 1))
         .select("doc_id", F.col("sel").alias("gh"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     df_ok = (
         winners.groupBy("gh")
