@@ -177,3 +177,54 @@ def test_fuzzy_blocking_bound_is_lossless(a: str, b: str):
         return  # short band catches it
     grams = lambda s: {s[i : i + _FUZZY_Q] for i in range(len(s) - _FUZZY_Q + 1)}
     assert grams(a) & grams(b), (a, b)
+
+
+# --- strict-funnel fold: batch-split invariance --------------------------------
+def _fold_with_state(rows, stage, last, steps):
+    """The streaming kernel's per-batch walk (funnel_stream._funnel_fn's
+    inner loop), reimplemented independently for the property."""
+    for ts, et in sorted(rows):
+        if stage < len(steps) and et == steps[stage] and ts > last:
+            stage, last = stage + 1, ts
+    return stage, last
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),  # ts (collisions likely)
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        max_size=30,
+    ),
+    cut=st.data(),
+)
+def test_funnel_fold_invariant_under_batch_splits(events, cut):
+    """Splitting ONE user's time-ordered event stream at ANY set of batch
+    boundaries and folding with carried (stage, last_ts) state must land on
+    the same stage as folding the whole ordered sequence at once — the
+    exact property the streaming monitor's cross-batch state relies on
+    (ties at a boundary included: the strict ts > last guard must behave
+    identically whether the tying event is in the same batch or the next).
+    """
+    from jetstream_spark.queries.eventlog import _FUNNEL_STEPS
+
+    ordered = sorted(events)
+    whole_stage, _ = _fold_with_state(ordered, 0, -1, _FUNNEL_STEPS)
+
+    n_cuts = cut.draw(st.integers(min_value=0, max_value=4))
+    cuts = sorted(
+        cut.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(ordered)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    bounds = [0, *cuts, len(ordered)]
+    stage, last = 0, -1
+    for lo, hi in zip(bounds, bounds[1:]):
+        stage, last = _fold_with_state(ordered[lo:hi], stage, last, _FUNNEL_STEPS)
+    assert stage == whole_stage
