@@ -229,6 +229,49 @@ def cmd_ann_stream(args) -> int:
     return 0
 
 
+def cmd_funnel_stream(args) -> int:
+    """Standing strict-funnel monitor: per-user (stage, last_ts) in the
+    Spark state store (streaming/funnel_stream.py), stage-advance
+    emissions appended to parquet; --drain prints the standing step-count
+    table (stages only increase, so max-per-user over emissions IS the
+    current table)."""
+    from pyspark.sql import functions as F
+
+    from jetstream_spark.streaming.funnel_stream import (
+        current_stages,
+        funnel_counts,
+        funnel_stage_stream,
+    )
+
+    spark = _spark(args.cpus)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp, event_type string")
+        .json(args.events_dir)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    )
+    q = (
+        funnel_stage_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", args.out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", args.checkpoint_dir)
+        .start()
+    )
+    print(f"funnel monitor on {args.events_dir} (checkpoint {args.checkpoint_dir})", flush=True)
+    try:
+        if args.drain:
+            q.processAllAvailable()
+            q.stop()
+            emitted = spark.read.parquet(args.out_dir)
+            for r in funnel_counts(current_stages(emitted)).orderBy("step_no").collect():
+                print(f"step {r['step_no']} {r['step_name']}: {r['n_users']} users")
+        else:
+            q.awaitTermination()
+    except KeyboardInterrupt:
+        q.stop()
+    return 0
+
+
 def cmd_anomaly_stream(args) -> int:
     from jetstream_spark.streaming.anomaly_stream import (
         detect_anomalies,
@@ -441,6 +484,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact-state", action="store_true", help="fold per-batch state parts into one, then exit")
     p.add_argument("--cusum", action="store_true", help="with --drain: also print the CUSUM drift table (same state, day rollup)")
     p.set_defaults(fn=cmd_anomaly_stream)
+
+    p = sub.add_parser("funnel-stream", help="standing strict-funnel monitor (per-user state-store stages) over an event drop dir")
+    p.add_argument("--events-dir", default="./events_in", help="ndjson {user_id, ts, event_type} drop directory")
+    p.add_argument("--out-dir", default="./funnel_out", help="appended (user_id, stage) emissions (parquet)")
+    p.add_argument("--checkpoint-dir", default="./funnel_ckpt", help="state-store checkpoint (stage state survives restarts)")
+    p.add_argument("--drain", action="store_true", help="process available input then exit, printing the step-count table")
+    p.set_defaults(fn=cmd_funnel_stream)
 
     p = sub.add_parser("query", help="run a declared registry query by name")
     p.add_argument("name", nargs="?", help="query name (see --list)")

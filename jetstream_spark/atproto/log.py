@@ -198,7 +198,7 @@ def replay_rows(
     spark: SparkSession,
     log_dir: str,
     build: Callable[[], DataFrame],
-    attempts: int = 5,
+    attempts: int = 8,
 ) -> list:
     """Collect one replay chunk with compaction-swap retry: a swap that
     lands between a chunk's file listing and its task execution surfaces
@@ -220,7 +220,12 @@ def replay_rows(
                 raise
             last = e
             spark.catalog.refreshByPath(log_dir)
-            time.sleep(0.05 * (attempt + 1))  # let an in-flight swap finish
+            # exponential backoff (capped): under a compaction WAVE (many
+            # buckets swapping back-to-back) a linear 50 ms step can lose
+            # every race on a loaded host — measured as a retry-exhaustion
+            # flake with an aggressive 0.5 s swap cadence under full-suite
+            # CPU contention
+            time.sleep(min(1.0, 0.05 * (2**attempt)))
     raise last  # persistent: not a swap window
 
 

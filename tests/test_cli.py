@@ -207,6 +207,32 @@ def test_cli_anomaly_stream_drain(tmp_path):
     assert "cusum click 2024-03-01 n=28" in out.stdout
 
 
+def test_cli_funnel_stream_drain(tmp_path):
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    rows = [
+        {"user_id": 1, "ts": "2024-03-01T10:00:00", "event_type": "view"},
+        {"user_id": 1, "ts": "2024-03-01T10:05:00", "event_type": "click"},
+        {"user_id": 1, "ts": "2024-03-01T10:10:00", "event_type": "purchase"},
+        {"user_id": 2, "ts": "2024-03-01T09:00:00", "event_type": "purchase"},
+        {"user_id": 2, "ts": "2024-03-01T09:30:00", "event_type": "view"},
+    ]
+    with open(events_dir / "batch1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = _run(
+        "funnel-stream", "--events-dir", str(events_dir),
+        "--out-dir", str(tmp_path / "out"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--drain",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    # user 1 completes strictly; user 2's pre-view purchase must not count
+    assert "step 1 view: 2 users" in out.stdout
+    assert "step 2 click: 1 users" in out.stdout
+    assert "step 3 purchase: 1 users" in out.stdout
+
+
 def test_cli_scd2_stream_drain(tmp_path):
     events_dir = tmp_path / "events_in"
     events_dir.mkdir()

@@ -148,7 +148,9 @@ def test_backfill_interleaved_with_live_compaction(spark, tmp_path, normalized):
             while not stop.is_set():
                 _swap_cycle(spark, log_dir)
                 eventlog.recover_compaction(log_dir)  # idempotent no-op here
-                time.sleep(0.5)  # swap cadence: a few swaps across the drain
+                time.sleep(1.2)  # swap cadence: several swaps across the
+                # drain without starving the consumer's retry budget on a
+                # loaded host (0.5 s flaked under full-suite contention)
         except Exception as e:  # surfaced to the main thread
             compactor_error.append(e)
 

@@ -110,7 +110,7 @@ AUDIT = {
     "zipf_alpha": "one vocab exchange; rank window over the count>=5 survivors only; covar/var fold in one agg",
     "quality_classifier_lr": "per round: ONE fused gradient+metrics aggregate (2 HashAggregates, <=1 exchange, no join) over the checkpointed feature frame",
     "sketch_theta_setops": "r7: map-side distinct collapse before the ONE per-set bottom-k window exchange; set algebra on <=2K-row frames with 1-row broadcast thetas",
-    "fingerprint_winnowing": "r7: ONE doc-partitioned frame window (no gram->window explode); df-capped inverted-index pair join on the fingerprint frame",
+    "fingerprint_winnowing": "r8: selected fingerprints checkpointed (one gram+window pass; was 8 corpus scans); ONE doc-partitioned frame window; df-capped inverted-index pair join reads the checkpoint on both sides",
     "mutual_information": "r7: per pair one bounded (x,y) agg exchange; marginals from the same pass's partials; 1-row totals broadcast",
     "skyline_parts": "r7: linear scan + 256-row bucket broadcast prune; ordered exact pass over grid survivors only",
     "hybrid_search_rrf": "r7: BM25 leg map-only + 1-row stats broadcast; dense leg broadcast 1-row query; fusion = full-outer of two <=CAND-row frames",
@@ -130,8 +130,8 @@ AUDIT = {
     "markov_transitions": "r7: ONE per-user ordered window pass; |types|^2 matrix agg map-side collapsed; totals/entropy broadcast back",
     "embedding_drift_mmd": "r7: map-side quad keys from dense vec_ids; 4-way node-scale equi-join on j; ONE scalar aggregate (integer micro-unit h sums)",
     "ann_hamming_topk": "r7: map-only signature packing; 10-row broadcast query join; XOR+popcount codegen + the ANN family's partial top-k window",
-    "hbos_outliers": "r7: one 1-row min/max agg broadcast; one (feature,bin) count agg broadcast back as <=B-row joins; map-only scoring; TakeOrdered(top-N)",
-    "kneser_ney_perplexity": "r7: model tables join exploded eval stream on bigram/predecessor keys (threshold-chosen, never forced broadcast); continuation table vocab-sized; scalars broadcast",
+    "hbos_outliers": "r8: feature frame checkpointed (tokenize once; was 7 text scans); 1-row stats broadcast; per-feature bin counts broadcast back as <=B-row joins; map-only scoring; TakeOrdered(top-N)",
+    "kneser_ney_perplexity": "r8: bigram-count table checkpointed (one train tokenization; was 6 corpus scans) feeding both marginals + totals + the scoring join on bigram/predecessor keys (threshold-chosen, never forced broadcast)",
     "weak_label_analysis": "r7: one map-only vote pass + ONE wide aggregate; 3-row unpivot of the 1-row result",
     "zorder_layout": "r7: 1-row stats broadcast; map-only shift/mask Morton keys; one 32-key agg per layout + <=32-row audit fold",
     "gini_concentration": "r7: one per-customer agg + the documented single-partition rank (oracle-parity form); exact integer rank-weighted sums fold in ONE final aggregate",
