@@ -125,6 +125,7 @@ EXTRAS = [
     "funnel_steps_strict",   # r8: ordered 3-step funnel (single-exchange fold)
     "pmi_collocations",      # r8: adjacent-bigram PMI top-k (one pair exchange)
     "dup_ratio_by_source",   # r8: per-source dup health (one (source,hash) agg)
+    "profile_columns_fast",  # r9: xxhash64 twin of profile_columns_approx
 ]
 
 REGRESSION_FACTOR = 1.15
@@ -307,6 +308,7 @@ def host_shift_factor(
     serial_prev: float | None = None,
     python_now: float | None = None,
     python_prev: float | None = None,
+    detail: dict | None = None,
 ) -> float:
     """How much slower this host is than the one that recorded the previous
     round's bench. Preferred signal: the calibration-probe ratio (exact,
@@ -316,13 +318,13 @@ def host_shift_factor(
     uniform host slowdown moves every pair identically. Shifts under 5%
     are treated as noise (factor 1.0); the factor is reported in the
     output so a reader sees both the raw and normalized picture."""
-    signals = []
+    signals: dict[str, float] = {}
     if cal_now and cal_prev:
-        signals.append(cal_now / cal_prev)
+        signals["probe_parallel"] = cal_now / cal_prev
     if serial_now and serial_prev:
-        signals.append(serial_now / serial_prev)
+        signals["probe_serial"] = serial_now / serial_prev
     if python_now and python_prev:
-        signals.append(python_now / python_prev)
+        signals["probe_python"] = python_now / python_prev
     ratios = []
     for name, now in timings.items():
         p = prev.get(name)
@@ -333,18 +335,26 @@ def host_shift_factor(
                 ratios.append(p / now)
         elif p >= REGRESSION_FLOOR_S and p > 0:
             ratios.append(now / p)
-    # the capped median joins the probe signals (r8): a host can degrade
-    # on an axis no probe baseline covers yet; with ~90 compared pairs a
-    # genuine single-query regression cannot move the median, and a code
-    # change broad enough to move it would be visible in the diff — the
-    # 1.5 cap bounds how much any medianwide effect can normalize away,
-    # and the per-query 1.15 factor still applies on top of the shift
-    if len(ratios) >= 8:
+    # the capped cross-query median is a FALLBACK signal, not a peer of
+    # the probes (ADVICE r8: an unconditional median could normalize away
+    # a genuinely uniform engine regression up to the 1.5 cap even when
+    # all three probes read 1.0). It joins only when (a) the serial/python
+    # axis probes have NO baseline yet (pre-r8 rounds: the median was the
+    # only signal covering that axis), or (b) a probe corroborates that
+    # the host really shifted (>5% on some probed axis) — then the median
+    # may capture residual drift on an axis the probes undersample. The
+    # 1.5 cap and the per-query 1.15 factor on top still apply.
+    no_axis_baseline = serial_prev is None and python_prev is None
+    probes_corroborate = signals and max(signals.values()) > 1.05
+    if len(ratios) >= 8 and (no_axis_baseline or probes_corroborate):
         ratios.sort()
-        signals.append(min(ratios[len(ratios) // 2], 1.5))
+        signals["median_capped"] = min(ratios[len(ratios) // 2], 1.5)
+    if detail is not None:
+        detail["signals"] = {k: round(v, 3) for k, v in signals.items()}
+        detail["winner"] = max(signals, key=signals.get) if signals else None
     if not signals:
         return 1.0
-    shift = max(signals)
+    shift = max(signals.values())
     return round(shift, 3) if shift > 1.05 else 1.0
 
 
@@ -807,6 +817,19 @@ SF1_QUERIES = [
     # sessionization bound).
     "profile_columns_approx",
     "funnel_steps_strict",
+    # r9 (VERDICT r8 #4): the remaining r8 debuts. PMI is one map-side
+    # zip_with bigram exchange into a bigram-type-bound (Heaps-law,
+    # replica-invariant) pair table — expect sub-linear like textrank;
+    # entropy is a (column, value) count agg into a value-domain-bound
+    # frame (replica values repeat) — expect linear, scan-bound; dup
+    # ratio is one hash agg + one 20-key source rollup — linear.
+    "pmi_collocations",
+    "profile_entropy",
+    "dup_ratio_by_source",
+    # r9 debut: the xxhash64 production twin — same register topology as
+    # profile_columns_approx minus the 11-per-row md5 string pipeline;
+    # the VERDICT r8 #3 gate is sf1 time <= the exact profile_columns row
+    "profile_columns_fast",
 ]
 
 
@@ -1041,6 +1064,7 @@ def main() -> None:
     calibration_serial_s = bench_calibration_serial(spark)
     calibration_python_s = bench_calibration_python(spark)
     prev_cal = _prev_calibration(sf_val)
+    shift_detail: dict = {}
     shift = host_shift_factor(
         {**timings, **extras},
         prev_q,
@@ -1050,6 +1074,7 @@ def main() -> None:
         serial_prev=prev_cal.get("serial"),
         python_now=calibration_python_s,
         python_prev=prev_cal.get("python"),
+        detail=shift_detail,
     )
     regressions = find_regressions(
         {**timings, **extras}, sf_val, shift, resamples=resample_counts
@@ -1090,6 +1115,7 @@ def main() -> None:
         "regressions": regressions,
         "second_window_remeasured": second_window,  # flags re-tested minutes later
         "host_shift": shift,  # >1: this VM is uniformly slower than last round's
+        "host_shift_detail": shift_detail,  # which signal won (probe vs median)
         "calibration_s": calibration_s,
         "calibration_serial_s": calibration_serial_s,  # r8: single-thread axis
         "calibration_python_s": calibration_python_s,  # r8: Python/Arrow axis

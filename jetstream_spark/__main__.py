@@ -262,7 +262,19 @@ def cmd_funnel_stream(args) -> int:
         if args.drain:
             q.processAllAvailable()
             q.stop()
-            emitted = spark.read.parquet(args.out_dir)
+            # an input with no funnel-step events writes no data files, so
+            # the read fails schema inference — that's an all-zero funnel,
+            # not an error (ADVICE r8)
+            try:
+                emitted = spark.read.parquet(args.out_dir)
+            except Exception as e:
+                if "PATH_NOT_FOUND" not in str(e) and "infer schema" not in str(e):
+                    raise
+                from jetstream_spark.queries.eventlog import _FUNNEL_STEPS
+
+                for i, step in enumerate(_FUNNEL_STEPS):
+                    print(f"step {i + 1} {step}: 0 users")
+                return 0
             for r in funnel_counts(current_stages(emitted)).orderBy("step_no").collect():
                 print(f"step {r['step_no']} {r['step_name']}: {r['n_users']} users")
         else:

@@ -216,7 +216,18 @@ def replay_rows(
             return build().collect()
         except Exception as e:  # Py4J wraps the JVM FileNotFound
             msg = str(e)
-            if "FileNotFoundException" not in msg and "does not exist" not in msg:
+            # Only the mid-swap shapes are retryable: a task-time
+            # FileNotFoundException or Spark's explicit stale-listing
+            # marker. A broad "does not exist" match also caught genuine
+            # planning errors (e.g. a virgin/missing log dir surfaces as
+            # PATH_NOT_FOUND), delaying the real failure by 8 attempts and
+            # ~6 s of backoff (ADVICE r8). A missing log_dir is never a
+            # swap window — compaction swaps files INSIDE an existing dir.
+            retryable = (
+                "FileNotFoundException" in msg
+                or "underlying files have been updated" in msg
+            )
+            if not retryable or not os.path.isdir(log_dir):
                 raise
             last = e
             spark.catalog.refreshByPath(log_dir)

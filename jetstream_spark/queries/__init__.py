@@ -35,80 +35,78 @@ from jetstream_spark.queries.spec import QuerySpec
 # window ahead of the staleness order so the change gets driver evidence
 # in the round it ships. Reset this tuple each round.
 _CODE_CHANGED = (
-    "naive_bayes_domain",  # r8: tokenize-once checkpoint + pinned model broadcast
-    "kmeans_train",  # r8: persisted training frame + two-tier round reduce
-    # bigram_perplexity also changed (checkpointed unigram table, 5 corpus
-    # scans -> 3) — it already sits in the r4-stale window block below, so
-    # it is declared here for the rotation audit without a position change
-    "bigram_perplexity",
+    # r8 plan-only changes that could not displace the mandated r4-stale
+    # block (VERDICT r7 #2) — re-verified locally in r8 (sf0.01 oracle +
+    # sf0.001 suite parity), queued first-in-line for this window:
+    "kneser_ney_perplexity",  # r8: tokenize-once (6 corpus scans -> 4)
+    "hbos_outliers",  # r8: tokenize-once feature frame (7 scans -> 1)
+    "fingerprint_winnowing",  # r8: tokenize-once (8 scans -> 1)
 )
 
 _PRIORITY = (
-    # ---- never driver-checked (new in r8) — must lead the window ----
-    "profile_columns_approx",
-    "profile_entropy",
-    "funnel_steps_strict",
-    "pmi_collocations",
-    "dup_ratio_by_source",
-    # ---- code changed this round (r8) ----
-    "naive_bayes_domain",
-    "kmeans_train",
-    # ---- r4-latest driver evidence (the stalest block), r4 driver order ----
-    "latest_order_per_customer",
-    "regexp_extract_ids",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ab_test_conversion",
-    "timeseries_gapfill",
-    "ewma_hourly",
-    "negative_samples",
-    "scd2_user_tiers",
-    "phrase_search",
-    "domain_temperature_sample",
-    "profile_columns",
-    "profile_numeric",
-    "profile_histogram",
-    "profile_skew",
-    "fk_integrity",
-    "hll_distinct",
-    "fuzzy_join_names",
-    "pagerank_copurchase",
-    "triangle_count",
-    "degree_profile",
-    "quantile_norm",
-    "rate_anomaly",
-    "split_drift_psi",
-    "knn_graph_ivf",
-    "dedup_containment_kmv",
-    "embedding_covariance",
-    "knn_graph",
-    "weighted_sample",
-    "multimodal_audio_stats",
-    "multimodal_video_frames",
-    "multimodal_resize",
-    "retention_cohorts",
-    "bigram_perplexity",
-    "cluster_aware_split",
-    "dedup_span_scrub",
-    "dedup_two_tier",
-    "dedup_common_spans",
-    "decontaminate_bloom",
-    "corpus_budget_selection",
-    "bpe_pair_counts",
-    # ---- first r5-stale entry (next-oldest tier), r5 driver order ----
-    "bpe_learn_merges",
+    # ---- never driver-checked (new in r9) — must lead the window ----
+    # rows-only by declaration (xxhash64 has no DuckDB analogue); the
+    # driver records the rows-only check, correctness is pinned by the
+    # register-parity + error-bound tests in tests/test_r9_ops.py
+    "profile_columns_fast",
+    # ---- code changed (r8, queued for this window — see _CODE_CHANGED) ----
+    "kneser_ney_perplexity",
+    "hbos_outliers",
+    "fingerprint_winnowing",
+    # ---- r5-latest driver evidence (the stalest block), r5 driver order ----
+    # 49 entries are r5-stale; 46 fit after the debut + code-changed tiers,
+    # so the LAST THREE in r5 order (doc_packing, embedding_downproject,
+    # hopping_window_hourly) overflow to the r10 window — they must lead
+    # r10's stale tier (still the joint-stalest evidence then).
+    "embedding_pca_project",
+    "bpe_encode_stats",
+    "compression_ratio",
+    "embedding_outliers",
+    "cube_segment_priority",
+    "range_frame_window",
+    "ntile_quartiles",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "replay_scan",
+    "subscribe_filter",
+    "monotonic_delivery",
+    "per_key_ordering",
+    "asof_join_purchases",
+    "anti_join_idle_customers",
+    "window_running_revenue",
+    "rollup_revenue",
+    "set_symdiff_buyers",
+    "full_outer_nation_activity",
+    "percentiles_price",
+    "unpivot_measures",
+    "dedup_embedding_cosine",
+    "semi_join_late_orders",
+    "grouping_sets_status",
+    "range_join_part_pairs",
+    "pivot_segment_revenue",
+    "scalar_functions",
+    "tumbling_window_hourly",
+    "json_props_stats",
+    "conversion_funnel",
+    "ann_brute_force_topk",
+    "doc_chunking",
+    "null_semantics",
+    "variant_props_stats",
+    "geomean_value",
+    "text_token_count",
+    "text_quality_score",
+    "embedding_norms",
+    "text_repetition",
+    "text_lang_id",
+    "text_fingerprint",
+    "multimodal_metadata",
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
+    "sample_split",
     # ================= driver window boundary (50) ==================
-    # r9 window must LEAD with the three plan-only r8 changes that could
-    # not displace the mandated stale block (VERDICT r7 #2 capped this
-    # round's non-stale slots): kneser_ney_perplexity, hbos_outliers,
-    # fingerprint_winnowing (each re-verified locally at sf0.01 +
-    # sf0.001 suite parity after the change — checkpointed model/feature
-    # frames, corpus re-tokenization 6/7/8 scans -> 4/1/1).
-    # Then the r5-stale block: embedding_pca_project, bpe_encode_stats,
-    # compression_ratio, embedding_outliers, cube_segment_priority, …
-    # (the rest of the r5 block), then r6.
-    # Everything else follows in module order.
+    # r10 window must LEAD with the three overflow r5-stale entries above,
+    # then the r6 block. Everything else follows in module order.
 )
 
 

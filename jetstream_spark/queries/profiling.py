@@ -1786,6 +1786,80 @@ FROM counts c JOIN est e USING (column_name)
 """
 
 
+def q_profile_columns_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile_columns_approx's PRODUCTION form (VERDICT r8 #3): identical
+    register topology (p={_APPROX_HLL_P}, m={_APPROX_HLL_M}, 52-bit rho
+    stream, same alpha / small-range correction / integer-exact zsum), but
+    the hash is the engine-native ``xxhash64`` — one whole-stage-codegen
+    expression instead of the oracle form's 11-per-row md5 -> hex ->
+    ``conv(16,10)`` string pipeline (the measured 2.5x constant,
+    VERDICT r8 "What's wrong" #3).
+
+    xxhash64 is not reproducible in DuckDB, so this row is rows-only by
+    declaration; correctness is pinned by
+    tests/test_r9_ops.py: (a) register-level parity — on equal-cardinality
+    inputs the md5 and xxhash64 register tables agree in shape and the
+    estimates agree within the p=8 error bound; (b) the same ±3·1.04/√m
+    bound vs the EXACT profile that pins the md5 form.
+
+    Scale shape (unchanged from the approx twin): one stack-unpivot scan,
+    one (column, bucket) exchange of ≤ |cols|·{_APPROX_HLL_M} rows, no
+    full-key dedup anywhere."""
+    li = table(spark, sf_dir, "lineitem")
+    stack = ", ".join(f"'{c}', {expr}" for c, expr, _ in _CANON_COLS)
+    up = li.selectExpr(f"stack({len(_CANON_COLS)}, {stack}) AS (column_name, v)")
+    counts = up.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_nulls"),
+    )
+    h = F.xxhash64(F.col("v"))
+    keyed = up.where(F.col("v").isNotNull()).select(
+        "column_name",
+        h.bitwiseAND(F.lit(_APPROX_HLL_M - 1).cast("long")).alias("bucket"),
+        # same 52-bit rho stream as the md5 form: low 8 bits pick the
+        # register, the NEXT 52 bits (unsigned shift — xxhash64 is a full
+        # signed 64-bit value) feed rho, keeping the worst-case integer
+        # zsum at 256 * 2^52 = 2^60 (exact BIGINT, no overflow)
+        F.shiftrightunsigned(h, _APPROX_HLL_P)
+        .bitwiseAND(F.lit((1 << (_APPROX_RHO_MAX - 1)) - 1))
+        .alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(_APPROX_RHO_MAX)).otherwise(
+            _APPROX_RHO_MAX - F.length(F.bin("w"))
+        ),
+    )
+    regs = keyed.groupBy("column_name", "bucket").agg(F.max("rho").alias("m_j"))
+    z = regs.groupBy("column_name").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_APPROX_RHO_MAX} - CAST(m_j AS INT))")
+        ).alias("zsum"),
+        F.count(F.lit(1)).alias("present"),
+    ).select(
+        "column_name",
+        (
+            F.col("zsum")
+            + (F.lit(_APPROX_HLL_M) - F.col("present"))
+            * F.lit(1 << _APPROX_RHO_MAX).cast("long")
+        ).alias("zint"),
+        (F.lit(_APPROX_HLL_M) - F.col("present")).alias("zero_regs"),
+    )
+    raw = (
+        F.lit(_APPROX_ALPHA * _APPROX_HLL_M * _APPROX_HLL_M * float(2**_APPROX_RHO_MAX))
+        / F.col("zint")
+    )
+    small = F.lit(float(_APPROX_HLL_M)) * F.log(
+        F.lit(float(_APPROX_HLL_M)) / F.col("zero_regs")
+    )
+    estimate = F.when(
+        (raw <= F.lit(2.5 * _APPROX_HLL_M)) & (F.col("zero_regs") > 0), small
+    ).otherwise(raw)
+    return counts.join(
+        z.select("column_name", F.round(estimate, 2).alias("approx_distinct")),
+        "column_name",
+    )
+
+
 # --- per-column Shannon entropy profile ------------------------------------------
 # The information-content half of the ANALYZE pass: null counts and
 # distincts say nothing about BALANCE — a column with 1M distincts where
@@ -1866,6 +1940,7 @@ QUERIES = [
     QuerySpec("label_propagation", q_label_propagation, _lpa_oracle(), "3-round synchronous LPA communities over the co-purchase graph (min-label tie-break, unrolled-CTE oracle)", ("graph",)),
     QuerySpec("profile_columns", q_profile_columns, Q_PROFILE_COLUMNS_ORACLE, "per-column null/distinct profile, one wide aggregate pass", ("profiling",)),
     QuerySpec("profile_columns_approx", q_profile_columns_approx, _approx_profile_oracle(), "approximate column profile: deterministic-HLL distincts (p=8, pinned error bound) — the 100 TB ANALYZE form", ("profiling", "sketch")),
+    QuerySpec("profile_columns_fast", q_profile_columns_fast, None, "profile_columns_approx's production form: xxhash64 registers, same topology (rows-only; register-parity + error-bound pinned in tests/test_r9_ops.py)", ("profiling", "sketch")),
     QuerySpec("profile_entropy", q_profile_entropy, Q_PROFILE_ENTROPY_ORACLE, "per-column Shannon entropy + ln(distinct)-normalized balance profile", ("profiling",)),
     QuerySpec("profile_numeric", q_profile_numeric, Q_PROFILE_NUMERIC_ORACLE, "numeric min/max/avg/stddev profile, unpivoted", ("profiling",)),
     QuerySpec("profile_histogram", q_profile_histogram, Q_PROFILE_HISTOGRAM_ORACLE, "equal-width histograms per numeric column (engine-identical bin formula)", ("profiling",)),

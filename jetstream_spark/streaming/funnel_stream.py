@@ -99,7 +99,11 @@ def funnel_counts(stages: DataFrame) -> DataFrame:
     operator's report (n_users monotone over step_no)."""
     wide = stages.agg(
         *[
-            F.sum((F.col("stage") >= i + 1).cast("long")).alias(f"n{i + 1}")
+            # coalesce: an empty stages table (no funnel-step events yet)
+            # sums to NULL — the standing report must say 0, not None
+            F.coalesce(
+                F.sum((F.col("stage") >= i + 1).cast("long")), F.lit(0)
+            ).alias(f"n{i + 1}")
             for i in range(len(_FUNNEL_STEPS))
         ]
     )

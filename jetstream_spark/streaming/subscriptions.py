@@ -202,18 +202,27 @@ def start_subscription(
         # advances the watermark before the next round
         hi = SequencerState.load(log_dir).last_time_us
         while sub.seq < hi:
-            df = eventlog.replay(
-                spark,
-                log_dir,
-                cursor=sub.seq + 1,
-                wanted_collections=sub.wanted_collections or None,
-                wanted_dids=sub.wanted_dids or None,
-            ).where(F.col("time_us") <= hi)
-            # compaction-swap retry: see backfill
+            # compaction-swap retry: see backfill. The frame MUST be built
+            # INSIDE the retry lambda — a pre-built frame pins the pre-swap
+            # InMemoryFileIndex file listing, and refreshByPath only
+            # invalidates the cache for FUTURE listings, so every retry of
+            # a captured frame would re-fail on the same vanished files
+            # (ADVICE r8: the backfill path already rebuilt per-attempt;
+            # this path didn't).
             rows = eventlog.replay_rows(
                 spark,
                 log_dir,
-                lambda df=df: to_wire(df).orderBy("time_us").limit(batch_limit),
+                lambda: to_wire(
+                    eventlog.replay(
+                        spark,
+                        log_dir,
+                        cursor=sub.seq + 1,
+                        wanted_collections=sub.wanted_collections or None,
+                        wanted_dids=sub.wanted_dids or None,
+                    ).where(F.col("time_us") <= hi)
+                )
+                .orderBy("time_us")
+                .limit(batch_limit),
             )
             if not rows:
                 break

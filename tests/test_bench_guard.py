@@ -156,14 +156,40 @@ def test_host_shift_takes_worst_probe_axis():
     assert shift == 1.4
 
 
-def test_host_shift_median_is_capped():
-    """With enough compared pairs, a median-wide drift joins the shift —
-    but capped at 1.5 so a genuinely broad engine regression cannot fully
-    normalize itself away."""
+def test_host_shift_median_gated_by_probes():
+    """ADVICE r8: the cross-query median must NOT normalize a uniform
+    engine regression when the axis probes all read 1.0 and have
+    baselines. It joins (capped at 1.5) only when no serial/python probe
+    baseline exists, or when a probe corroborates a real host shift."""
     timings = {f"q{i}": 2.0 for i in range(10)}
     prev = {f"q{i}": 1.0 for i in range(10)}  # everything exactly 2x
-    shift = host_shift_factor(timings, prev, 0.1, 0.1)  # probes say equal
+    # all three probe baselines exist and read equal -> median ignored:
+    # a 2x-everywhere drift with flat probes is an ENGINE change
+    detail: dict = {}
+    shift = host_shift_factor(
+        timings, prev, 0.1, 0.1,
+        serial_now=1.0, serial_prev=1.0,
+        python_now=1.0, python_prev=1.0,
+        detail=detail,
+    )
+    assert shift == 1.0, shift
+    assert "median_capped" not in detail["signals"]
+    # no serial/python baseline (pre-r8 rounds): median is the only
+    # signal covering that axis -> joins, capped at 1.5
+    detail = {}
+    shift = host_shift_factor(timings, prev, 0.1, 0.1, detail=detail)
     assert shift == 1.5, shift
+    assert detail["winner"] == "median_capped"
+    # a probe corroborates (serial axis 1.4x) -> median may capture
+    # residual drift on an undersampled axis, still capped
+    detail = {}
+    shift = host_shift_factor(
+        timings, prev, 0.1, 0.1,
+        serial_now=1.4, serial_prev=1.0,
+        detail=detail,
+    )
+    assert shift == 1.5, shift
+    assert detail["signals"]["probe_serial"] == 1.4
 
 
 def test_second_window_clears_burst_flags_keeps_real_ones():

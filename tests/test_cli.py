@@ -233,6 +233,31 @@ def test_cli_funnel_stream_drain(tmp_path):
     assert "step 3 purchase: 1 users" in out.stdout
 
 
+def test_cli_funnel_stream_drain_no_events(tmp_path):
+    """ADVICE r8 (low): an input with no funnel-step events writes no sink
+    data files — --drain must print an all-zero table, not die on schema
+    inference."""
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    rows = [
+        {"user_id": 1, "ts": "2024-03-01T10:00:00", "event_type": "error"},
+        {"user_id": 2, "ts": "2024-03-01T10:05:00", "event_type": "noise"},
+    ]
+    with open(events_dir / "batch1.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = _run(
+        "funnel-stream", "--events-dir", str(events_dir),
+        "--out-dir", str(tmp_path / "out"),
+        "--checkpoint-dir", str(tmp_path / "ck"),
+        "--drain",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "step 1 view: 0 users" in out.stdout
+    assert "step 2 click: 0 users" in out.stdout
+    assert "step 3 purchase: 0 users" in out.stdout
+
+
 def test_cli_scd2_stream_drain(tmp_path):
     events_dir = tmp_path / "events_in"
     events_dir.mkdir()

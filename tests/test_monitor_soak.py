@@ -1,23 +1,32 @@
-"""Soak test for the shared hourly-count state (VERDICT r7 #5).
+"""Soak test for ALL FOUR standing monitors in one interleaving.
 
-The three standing monitors — rate z-score (anomaly_stream), CUSUM drift
-(cusum_stream), seasonal decomposition (seasonal_stream) — consume ONE
-hourly-count state, and each is e2e-tested in isolation elsewhere. This
-soak runs the real production interleaving against a single state
-directory: six batches land, compaction fires repeatedly (≥3 cycles,
-including one in a simulated crash window with a half-committed batch on
-disk), a crash-replay converges via delete-before-rewrite — and after
-EVERY step all three monitor-equals-batch identities are asserted
+The three count-state monitors — rate z-score (anomaly_stream), CUSUM
+drift (cusum_stream), seasonal decomposition (seasonal_stream) — consume
+ONE hourly-count state, and each is e2e-tested in isolation elsewhere
+(VERDICT r7 #5). The fourth monitor — the strict funnel
+(funnel_stream.py) — holds ORDER-DEPENDENT per-user state in the Spark
+state store, not the shared count state; it joins the soak (VERDICT r8
+#7) fed the SAME batches through a real checkpointed streaming query.
+This soak runs the production interleaving: six batches land, compaction
+fires repeatedly (≥3 cycles, including one in a simulated crash window
+with a half-committed batch on disk), a count-state crash-replay
+converges via delete-before-rewrite, the funnel query is KILLED and
+restarted from its checkpoint inside the same crash window — and after
+EVERY step all four monitor-equals-batch identities are asserted
 SIMULTANEOUSLY, so a state bug that one probe's aggregation happens to
 mask cannot hide from the others.
 
-Batch handling runs at the _handle_batch level (the streaming sink's
-foreachBatch body — the same code path the per-monitor e2e drains
+Count-state handling runs at the _handle_batch level (the streaming
+sink's foreachBatch body — the same code path the per-monitor e2e drains
 exercise through Structured Streaming) so the crash window can be cut
-exactly between the part write and the done-marker."""
+exactly between the part write and the done-marker. The funnel has no
+batch-level entry (its state lives in the state store), so it runs as
+the real applyInPandasWithState query over a file source, one file per
+soak batch."""
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -36,9 +45,18 @@ from jetstream_spark.streaming.anomaly_stream import (
     init_anomaly_state,
     read_hourly_counts,
 )
+from jetstream_spark.queries.eventlog import funnel_user_stages
 from jetstream_spark.streaming.cusum_stream import detect_drift, read_daily_counts
+from jetstream_spark.streaming.funnel_stream import current_stages, funnel_stage_stream
 from jetstream_spark.streaming.seasonal_stream import detect_seasonal_anomalies
 from jetstream_spark.streaming.state_compact import list_parts
+
+# the funnel's user dimension over the soak's event stream: a bounded
+# pool so most users see many events and some complete view->click->
+# purchase across batches (days increase batch-to-batch, so each user's
+# funnel-step events arrive in time order ACROSS batches — the monitor's
+# documented arrival-order contract)
+_FUNNEL_USERS = 40
 
 
 def _day_rows(start_id: int, day: int, event_type: str, n: int):
@@ -62,6 +80,10 @@ def _batches():
             views = 10 if d != 17 else 60  # one engineered view spike
             rows += _day_rows(10_000 * d, d, "click", clicks)
             rows += _day_rows(10_000 * d + 5_000, d, "view", views)
+            # a thin purchase stream so the funnel's last step is
+            # reachable; a third event type leaves the engineered
+            # click/view signals untouched
+            rows += _day_rows(10_000 * d + 8_000, d, "purchase", 3)
         out.append(rows)
     return out
 
@@ -81,6 +103,58 @@ def _part_write_only(state_dir: str, frame, batch_id: int) -> None:
         .agg(F.count(F.lit(1)).alias("n"))
         .write.parquet(out)
     )
+
+
+def _user_events(frame):
+    """The funnel view of a soak frame: a bounded user pool keyed off
+    event_id. Both the monitor feed and the batch reference derive users
+    through THIS map, so the identity compares like with like."""
+    return frame.select(
+        (F.col("event_id") % _FUNNEL_USERS).alias("user_id"), "ts", "event_type"
+    )
+
+
+def _write_funnel_batch(src_dir: str, tag: str, rows) -> None:
+    """One soak batch as one funnel-source file (maxFilesPerTrigger=1)."""
+    with open(os.path.join(src_dir, f"{tag}.jsonl"), "w") as f:
+        for event_id, ts, et in rows:
+            f.write(
+                json.dumps(
+                    {"user_id": event_id % _FUNNEL_USERS, "ts": ts, "event_type": et}
+                )
+                + "\n"
+            )
+
+
+def _start_funnel(spark, src, ck, out):
+    stream = (
+        spark.readStream.schema("user_id bigint, ts string, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    )
+    return (
+        funnel_stage_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+
+
+def _assert_funnel_identity(spark, funnel_out, seen_frame) -> None:
+    """Monitor 4: the state-store funnel's standing table == the batch
+    operator's per-user stages over every event seen."""
+    got = {
+        r["user_id"]: r["stage"]
+        for r in current_stages(spark.read.parquet(funnel_out)).collect()
+    }
+    want = {
+        r["user_id"]: r["stage"]
+        for r in funnel_user_stages(_user_events(seen_frame)).collect()
+    }
+    assert got == want, "funnel monitor != batch core"
 
 
 def _assert_all_three_identities(spark, state_dir, seen_frame) -> None:
@@ -117,57 +191,85 @@ def _assert_all_three_identities(spark, state_dir, seen_frame) -> None:
     assert got == ref, "seasonal monitor != batch core"
 
 
-def test_three_monitors_one_state_soak(spark, tmp_path):
+def test_four_monitors_one_state_soak(spark, tmp_path):
     state_dir = str(tmp_path / "state")
     init_anomaly_state(state_dir)
+    fsrc = str(tmp_path / "funnel_src")
+    fck = str(tmp_path / "funnel_ck")
+    fout = str(tmp_path / "funnel_out")
+    os.makedirs(fsrc)
     batches = _batches()
     seen_rows: list = []
     compactions = 0
 
-    for i, rows in enumerate(batches):
-        frame = _frame(spark, rows)
+    q = _start_funnel(spark, fsrc, fck, fout)
+    try:
+        for i, rows in enumerate(batches):
+            frame = _frame(spark, rows)
 
-        if i == 3:
-            # crash window: the batch's part lands but the marker doesn't.
-            _part_write_only(state_dir, frame, i)
-            assert i not in load_done_batches(state_dir)
-            # a compaction cycle fired exactly in the window must NOT
-            # absorb the unmarked part (else its replay would double-count)
-            compactions += int(compact_state(spark, state_dir))
-            assert os.path.isdir(os.path.join(state_dir, "counts", f"b{i}")), (
-                "compaction absorbed a half-committed batch"
-            )
-            # readers between crash and replay already see the part's
-            # (write-once, true) counts: the identities must hold NOW
+            if i == 3:
+                # funnel crash window: the batch file is visible but the
+                # query dies before processing it — the restarted query
+                # must resume from the checkpoint and fold it exactly once
+                _write_funnel_batch(fsrc, f"b{i}", rows)
+                q.stop()
+                q = _start_funnel(spark, fsrc, fck, fout)
+                q.processAllAvailable()
+                # count-state crash window: the batch's part lands but the
+                # marker doesn't.
+                _part_write_only(state_dir, frame, i)
+                assert i not in load_done_batches(state_dir)
+                # a compaction cycle fired exactly in the window must NOT
+                # absorb the unmarked part (else its replay would
+                # double-count)
+                compactions += int(compact_state(spark, state_dir))
+                assert os.path.isdir(os.path.join(state_dir, "counts", f"b{i}")), (
+                    "compaction absorbed a half-committed batch"
+                )
+                # readers between crash and replay already see the part's
+                # (write-once, true) counts: ALL FOUR identities must hold
+                # NOW — the funnel restart has already folded this batch
+                seen_rows += rows
+                mid = _frame(spark, seen_rows)
+                _assert_all_three_identities(spark, state_dir, mid)
+                _assert_funnel_identity(spark, fout, mid)
+                seen_rows = seen_rows[: -len(rows)]
+                # replay converges by delete-before-rewrite, then marks
+                _handle_batch(state_dir, frame, i)
+                assert i in load_done_batches(state_dir)
+            else:
+                _write_funnel_batch(fsrc, f"b{i}", rows)
+                q.processAllAvailable()
+                _handle_batch(state_dir, frame, i)
+
             seen_rows += rows
-            _assert_all_three_identities(spark, state_dir, _frame(spark, seen_rows))
-            seen_rows = seen_rows[: -len(rows)]
-            # replay converges by delete-before-rewrite, then marks
-            _handle_batch(state_dir, frame, i)
-            assert i in load_done_batches(state_dir)
-        else:
-            _handle_batch(state_dir, frame, i)
+            if i % 2 == 1:
+                compactions += int(compact_state(spark, state_dir))
+            step = _frame(spark, seen_rows)
+            _assert_all_three_identities(spark, state_dir, step)
+            _assert_funnel_identity(spark, fout, step)
 
-        seen_rows += rows
-        if i % 2 == 1:
-            compactions += int(compact_state(spark, state_dir))
-        _assert_all_three_identities(spark, state_dir, _frame(spark, seen_rows))
+        # final cycle so the run crosses >=3 compactions, then re-verify
+        compactions += int(compact_state(spark, state_dir))
+        assert compactions >= 3, f"soak only exercised {compactions} compaction cycles"
+        all_frame = _frame(spark, seen_rows)
+        _assert_all_three_identities(spark, state_dir, all_frame)
+        _assert_funnel_identity(spark, fout, all_frame)
 
-    # final cycle so the run crosses >=3 compactions, then re-verify
-    compactions += int(compact_state(spark, state_dir))
-    assert compactions >= 3, f"soak only exercised {compactions} compaction cycles"
-    all_frame = _frame(spark, seen_rows)
-    _assert_all_three_identities(spark, state_dir, all_frame)
+        # compaction actually folded state: one committed part holds everything
+        assert len(list_parts(os.path.join(state_dir, "counts"))) == 1
 
-    # compaction actually folded state: one committed part holds everything
-    assert len(list_parts(os.path.join(state_dir, "counts"))) == 1
-
-    # a full marker-loss replay of EVERY batch after final compaction is
-    # out of contract (absorbed parts would double) — but a fresh-
-    # checkpoint replay of MARKED batches is a no-op by the marker gate
-    for i, rows in enumerate(batches):
-        _handle_batch(state_dir, _frame(spark, rows), i)
-    _assert_all_three_identities(spark, state_dir, all_frame)
+        # a full marker-loss replay of EVERY batch after final compaction is
+        # out of contract (absorbed parts would double) — but a fresh-
+        # checkpoint replay of MARKED batches is a no-op by the marker gate;
+        # likewise re-draining the funnel source is a no-op by its checkpoint
+        for i, rows in enumerate(batches):
+            _handle_batch(state_dir, _frame(spark, rows), i)
+        q.processAllAvailable()
+        _assert_all_three_identities(spark, state_dir, all_frame)
+        _assert_funnel_identity(spark, fout, all_frame)
+    finally:
+        q.stop()
 
     # the engineered signals surfaced: the view spike trips the z-score
     # monitor, the click decay trips CUSUM
