@@ -427,12 +427,62 @@ def apply_second_window(timings: dict, extras: dict, flagged, remeasure) -> list
     return redone
 
 
+def _history_band(current_sf, here: str | None = None, last_n: int = 6, min_samples: int = 3) -> dict:
+    """{query: (lo, hi, n)} over the last ``last_n`` committed bench runs
+    at this SF (BENCH_HISTORY.jsonl, which the current run has not yet
+    appended to). This is the query's settled cross-round oscillation
+    band: the r8 post-mortem showed every 'regression' the driver flagged
+    sat INSIDE the value range this host had already recorded for the
+    same code across r6-r8 (e.g. weak_label_analysis 0.83-1.17 s,
+    textrank 1.55-2.72 s), while the single-previous-run baseline
+    happened to be the band's minimum — the r7 official run caught all
+    six serial-axis queries at their historical minima SIMULTANEOUSLY.
+    Bands with fewer than ``min_samples`` committed values carry no
+    evidence and are omitted."""
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    rows: list[dict] = []
+    try:
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl")) as f:
+            for line in f:
+                try:
+                    rows.append(json.loads(line))
+                except ValueError:
+                    continue
+    except OSError:
+        return {}
+    rows = [r for r in rows if r.get("sf") == current_sf][-last_n:]
+    vals: dict[str, list] = {}
+    for r in rows:
+        for k, v in {**(r.get("queries") or {}), **(r.get("extras") or {})}.items():
+            if isinstance(v, (int, float)):
+                vals.setdefault(k, []).append(float(v))
+    return {
+        k: (min(vs), max(vs), len(vs))
+        for k, vs in vals.items()
+        if len(vs) >= min_samples
+    }
+
+
+def _code_changed_queries() -> frozenset:
+    """Queries whose engine/oracle code changed this round (declared in
+    the registry for the driver-window rotation) — band suppression must
+    never apply to them: cross-round band values measured OLD code, so a
+    change that restores an old-slow behavior has to hard-flag."""
+    try:
+        from jetstream_spark.queries import _CODE_CHANGED
+
+        return frozenset(_CODE_CHANGED)
+    except Exception:
+        return frozenset()
+
+
 def find_regressions(
     timings: dict,
     current_sf,
     shift: float = 1.0,
     resamples: dict | None = None,
     here: str | None = None,
+    band_out: dict | None = None,
 ) -> dict:
     """Queries >1.15× slower than the previous round at the same SF after
     host-speed normalization (throughput metrics: >1.15× lower). Returns
@@ -440,8 +490,18 @@ def find_regressions(
     reported raw (un-normalized): every flagged entry carries its own
     evidence — how many adaptive re-samples confirmed the number and what
     host normalization was applied — so a reader can tell a confirmed
-    engine regression from a burst the sampler couldn't shake."""
+    engine regression from a burst the sampler couldn't shake.
+
+    Band rule (r9, from the r8 six-flag post-mortem): a would-be flag on
+    UNTOUCHED code whose value sits inside the query's committed
+    cross-round band (_history_band) is environment oscillation by
+    definition — a real regression produces a value the host has never
+    recorded for this code — so it is reported in ``band_out`` as
+    evidence (never silently dropped) instead of hard-flagging. Queries
+    declared code-changed this round are exempt: they always hard-flag."""
     prev = _prev_bench_queries(current_sf, here)
+    band = _history_band(current_sf, here)
+    changed = _code_changed_queries()
     resamples = resamples or {}
     regressions = {}
 
@@ -453,6 +513,20 @@ def find_regressions(
             "host_shift": shift,
         }
 
+    def within_band(name, now) -> bool:
+        if name in changed or name not in band:
+            return False
+        lo, hi, n = band[name]
+        inside = now >= lo if name.endswith("_per_sec") else now <= hi
+        if inside and band_out is not None:
+            band_out[name] = {
+                "now": now,
+                "band_lo": lo,
+                "band_hi": hi,
+                "band_n": n,
+            }
+        return inside
+
     for name, now in timings.items():
         p = prev.get(name)
         if p is None:
@@ -460,9 +534,13 @@ def find_regressions(
         if name.endswith("_build_s"):
             continue  # rebuild-vs-fresh varies with testdata regen; not a probe cost
         if name.endswith("_per_sec"):
-            if now < p / (shift * REGRESSION_FACTOR):
+            if now < p / (shift * REGRESSION_FACTOR) and not within_band(name, now):
                 regressions[name] = entry(name, p, now)
-        elif p >= REGRESSION_FLOOR_S and now > p * shift * REGRESSION_FACTOR:
+        elif (
+            p >= REGRESSION_FLOOR_S
+            and now > p * shift * REGRESSION_FACTOR
+            and not within_band(name, now)
+        ):
             regressions[name] = entry(name, p, now)
     return regressions
 
@@ -1076,8 +1154,10 @@ def main() -> None:
         python_prev=prev_cal.get("python"),
         detail=shift_detail,
     )
+    within_band: dict = {}
     regressions = find_regressions(
-        {**timings, **extras}, sf_val, shift, resamples=resample_counts
+        {**timings, **extras}, sf_val, shift, resamples=resample_counts,
+        band_out=within_band,
     )
     second_window: list = []
     if regressions:
@@ -1097,8 +1177,10 @@ def main() -> None:
             return None
 
         second_window = apply_second_window(timings, extras, regressions, remeasure)
+        within_band = {}
         regressions = find_regressions(
-            {**timings, **extras}, sf_val, shift, resamples=resample_counts
+            {**timings, **extras}, sf_val, shift, resamples=resample_counts,
+            band_out=within_band,
         )
         total = round(
             sum(v for k, v in timings.items() if k != "ingest_events_per_sec"), 3
@@ -1113,6 +1195,7 @@ def main() -> None:
         "ingest_conservation": conservation,  # processed = sequenced = persisted, asserted
         "sf1_sample": sf1,
         "regressions": regressions,
+        "within_band": within_band,  # would-be flags inside the committed cross-round band (environment oscillation, evidence kept)
         "second_window_remeasured": second_window,  # flags re-tested minutes later
         "host_shift": shift,  # >1: this VM is uniformly slower than last round's
         "host_shift_detail": shift_detail,  # which signal won (probe vs median)
@@ -1146,6 +1229,7 @@ def main() -> None:
                 "ingest_events_per_sec": timings["ingest_events_per_sec"],
                 "delivery_fanout_events_per_sec": fanout["events_per_sec_per_sub"],
                 "regressions": sorted(regressions),
+                "within_band": sorted(within_band),
                 "host_shift": shift,
                 "calibration_s": calibration_s,
                 "calibration_serial_s": calibration_serial_s,

@@ -286,3 +286,131 @@ def test_adaptive_min_no_baseline_no_extras():
     best, extra = adaptive_min(s.sample, prev=None, release=s.release)
     assert (best, extra) == (9.0, 0)
     assert s.released_at == []
+
+
+# --- the r8 six-flag shape, reproduced with the committed numbers -----------
+# BENCH_HISTORY.jsonl rows 12 (r7 official, cal 0.215) and 17 (r8 driver
+# run, cal 0.123 / serial 1.446): the r7 run caught every serial-axis
+# query at its historical MINIMUM simultaneously, so the r8 driver bench
+# flagged all six at 1.23-1.39x — yet each r8 value sits inside the value
+# band this host had already recorded for identical code across r6-r8.
+
+R7_OFFICIAL = {
+    "cusum_changepoint": 0.553,
+    "dedup_embedding_cosine": 1.114,
+    "embedding_drift_mmd": 0.694,
+    "kneser_ney_perplexity": 1.038,
+    "textrank_keywords": 1.563,
+    "weak_label_analysis": 0.831,
+}
+R8_MEASURED = {
+    "cusum_changepoint": 0.744,
+    "dedup_embedding_cosine": 1.411,
+    "embedding_drift_mmd": 0.939,
+    "kneser_ney_perplexity": 1.324,
+    "textrank_keywords": 1.924,
+    "weak_label_analysis": 1.157,
+}
+# committed same-code runs around them (history rows 13-16)
+BAND_RUNS = [
+    {"cusum_changepoint": 0.771, "dedup_embedding_cosine": 1.237,
+     "embedding_drift_mmd": 0.805, "kneser_ney_perplexity": 1.142,
+     "textrank_keywords": 1.711, "weak_label_analysis": 1.051},
+    {"cusum_changepoint": 0.557, "dedup_embedding_cosine": 1.137,
+     "embedding_drift_mmd": 0.803, "kneser_ney_perplexity": 1.26,
+     "textrank_keywords": 2.037, "weak_label_analysis": 1.086},
+    {"cusum_changepoint": 0.607, "dedup_embedding_cosine": 1.242,
+     "embedding_drift_mmd": 0.864, "kneser_ney_perplexity": 1.307,
+     "textrank_keywords": 1.73, "weak_label_analysis": 0.876},
+    {"cusum_changepoint": 0.643, "dedup_embedding_cosine": 1.352,
+     "embedding_drift_mmd": 0.842, "kneser_ney_perplexity": 1.112,
+     "textrank_keywords": 1.693, "weak_label_analysis": 1.064},
+]
+
+
+def _r8_fixture(tmp_path, with_band: bool):
+    d = str(tmp_path)
+    _write(d, "BENCH_r07.json",
+           {"sf": 0.1, "calibration_s": 0.215, "queries": {"q_head": 1.0}})
+    history = [
+        # same-run detail for the official r7 record (extras baselines)
+        {"sf": 0.1, "calibration_s": 0.215, "queries": {"q_head": 1.0},
+         "extras": dict(R7_OFFICIAL)},
+    ]
+    if with_band:
+        history = [
+            {"sf": 0.1, "calibration_s": 0.1 + i * 0.01, "extras": dict(run)}
+            for i, run in enumerate(BAND_RUNS)
+        ] + history
+    _write(d, "BENCH_HISTORY.jsonl", history)
+    return d
+
+
+def test_r8_six_flag_shape_without_band_history(tmp_path):
+    """The r8 miss reproduced: min-of-band baselines + no band evidence
+    (single committed sample per query) -> all six hard-flag."""
+    d = _r8_fixture(tmp_path, with_band=False)
+    flags = find_regressions(dict(R8_MEASURED), 0.1, 1.0, here=d)
+    assert sorted(flags) == sorted(R7_OFFICIAL), flags
+
+
+def test_r8_six_flag_shape_cleared_by_serial_probe_normalization(tmp_path):
+    """VERDICT r8 #1, the primary fix: with the serial probe baseline now
+    committed (it exists from r8 on), the r8 host's measured serial axis
+    (calibration_serial_s 1.446 vs 1.064 on the settled closing run
+    minutes earlier — history row 16) normalizes the shift to ~1.36 even
+    though the PARALLEL probe read faster, and every one of the six
+    1.23-1.39x flags clears. kneser_ney measuring FASTER than baseline in
+    the builder's own closing run proves none of them was engine."""
+    d = _r8_fixture(tmp_path, with_band=False)
+    detail: dict = {}
+    shift = host_shift_factor(
+        dict(R8_MEASURED), dict(R7_OFFICIAL),
+        0.123, 0.215,  # parallel probe read FASTER on the r8 host
+        serial_now=1.446, serial_prev=1.064,
+        detail=detail,
+    )
+    assert detail["winner"] == "probe_serial"
+    assert 1.3 < shift < 1.4, shift
+    flags = find_regressions(dict(R8_MEASURED), 0.1, shift, here=d)
+    assert flags == {}, flags
+
+
+def test_band_suppresses_revisited_values_keeps_evidence(tmp_path):
+    """Secondary fix: a would-be flag whose value sits inside the
+    committed cross-round band on untouched code (cusum 0.744 <= 0.771,
+    textrank 1.924 <= 2.037 across rows 13-16) is environment revisiting
+    its own band — reported as within_band evidence, not a hard flag."""
+    d = _r8_fixture(tmp_path, with_band=True)
+    subset = {
+        "cusum_changepoint": R8_MEASURED["cusum_changepoint"],
+        "textrank_keywords": R8_MEASURED["textrank_keywords"],
+    }
+    band_out: dict = {}
+    flags = find_regressions(subset, 0.1, 1.0, here=d, band_out=band_out)
+    assert flags == {}, flags
+    assert sorted(band_out) == sorted(subset)
+    for name, ev in band_out.items():
+        assert ev["now"] <= ev["band_hi"], (name, ev)
+        assert ev["band_n"] >= 3
+
+
+def test_band_never_suppresses_out_of_band_or_changed_code(tmp_path, monkeypatch):
+    """A value ABOVE the committed band always hard-flags (a real
+    regression produces a number the host has never recorded), and a
+    code-changed query hard-flags even inside the band (band values
+    measured OLD code)."""
+    import bench as bench_mod
+
+    d = _r8_fixture(tmp_path, with_band=True)
+    beyond = {"cusum_changepoint": 0.90}  # > band hi 0.771
+    flags = find_regressions(beyond, 0.1, 1.0, here=d)
+    assert sorted(flags) == ["cusum_changepoint"], flags
+
+    monkeypatch.setattr(
+        bench_mod, "_code_changed_queries", lambda: frozenset({"textrank_keywords"})
+    )
+    flags = find_regressions(
+        {"textrank_keywords": R8_MEASURED["textrank_keywords"]}, 0.1, 1.0, here=d
+    )
+    assert sorted(flags) == ["textrank_keywords"], flags
