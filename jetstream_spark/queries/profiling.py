@@ -1802,41 +1802,67 @@ def q_profile_columns_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates agree within the p=8 error bound; (b) the same ±3·1.04/√m
     bound vs the EXACT profile that pins the md5 form.
 
-    Scale shape (unchanged from the approx twin): one stack-unpivot scan,
-    one (column, bucket) exchange of ≤ |cols|·{_APPROX_HLL_M} rows, no
-    full-key dedup anywhere."""
+    Scale shape — ONE pass over NATIVE values: each column is hashed
+    in place (xxhash64 over the unconverted column — the md5 twin's
+    per-row canonical STRING rendering exists only for cross-engine
+    oracle determinism and was the measured bottleneck: 35-43 s at sf1
+    with it, vs the exact profile's 28 s) and only the resulting BIGINT
+    hashes are stacked, so the unpivot carries longs, never strings.
+    Null values land in a NULL register bucket so ONE (column, bucket)
+    partial aggregate carries n_rows/n_nulls AND the registers; the only
+    exchange is ≤ |cols|·({_APPROX_HLL_M}+1) partially-aggregated rows,
+    no full-key dedup anywhere."""
     li = table(spark, sf_dir, "lineitem")
-    stack = ", ".join(f"'{c}', {expr}" for c, expr, _ in _CANON_COLS)
-    up = li.selectExpr(f"stack({len(_CANON_COLS)}, {stack}) AS (column_name, v)")
-    counts = up.groupBy("column_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        (F.count(F.lit(1)) - F.count("v")).alias("n_nulls"),
+    # hash native per column FIRST (stack needs one type; BIGINT hashes
+    # stack, mixed native columns don't); IF(NULL) keeps null visibility
+    # — xxhash64(NULL) would collapse nulls onto the seed hash
+    stack = ", ".join(
+        f"'{c}', IF({c} IS NULL, CAST(NULL AS BIGINT), xxhash64({c}))"
+        for c, _, _ in _CANON_COLS
     )
-    h = F.xxhash64(F.col("v"))
-    keyed = up.where(F.col("v").isNotNull()).select(
+    up = li.selectExpr(f"stack({len(_CANON_COLS)}, {stack}) AS (column_name, h)")
+    h = F.col("h")
+    # same 52-bit rho stream as the md5 form: low 8 bits pick the
+    # register, the NEXT 52 bits (unsigned shift — xxhash64 is a full
+    # signed 64-bit value) feed rho, keeping the worst-case integer
+    # zsum at 256 * 2^52 = 2^60 (exact BIGINT, no overflow)
+    w = F.shiftrightunsigned(h, _APPROX_HLL_P).bitwiseAND(
+        F.lit((1 << (_APPROX_RHO_MAX - 1)) - 1)
+    )
+    keyed = up.select(
         "column_name",
-        h.bitwiseAND(F.lit(_APPROX_HLL_M - 1).cast("long")).alias("bucket"),
-        # same 52-bit rho stream as the md5 form: low 8 bits pick the
-        # register, the NEXT 52 bits (unsigned shift — xxhash64 is a full
-        # signed 64-bit value) feed rho, keeping the worst-case integer
-        # zsum at 256 * 2^52 = 2^60 (exact BIGINT, no overflow)
-        F.shiftrightunsigned(h, _APPROX_HLL_P)
-        .bitwiseAND(F.lit((1 << (_APPROX_RHO_MAX - 1)) - 1))
-        .alias("w"),
-    ).withColumn(
-        "rho",
-        F.when(F.col("w") == 0, F.lit(_APPROX_RHO_MAX)).otherwise(
-            _APPROX_RHO_MAX - F.length(F.bin("w"))
-        ),
+        F.when(
+            h.isNotNull(),
+            h.bitwiseAND(F.lit(_APPROX_HLL_M - 1).cast("long")),
+        ).alias("bucket"),  # NULL bucket = the null-count register
+        F.when(
+            h.isNotNull(),
+            F.when(w == 0, F.lit(_APPROX_RHO_MAX)).otherwise(
+                _APPROX_RHO_MAX - F.length(F.bin(w))
+            ),
+        ).alias("rho"),
     )
-    regs = keyed.groupBy("column_name", "bucket").agg(F.max("rho").alias("m_j"))
+    regs = keyed.groupBy("column_name", "bucket").agg(
+        F.count(F.lit(1)).alias("c"), F.max("rho").alias("m_j")
+    )
     z = regs.groupBy("column_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.sum(F.when(F.col("bucket").isNull(), F.col("c")).otherwise(F.lit(0))).alias(
+            "n_nulls"
+        ),
         F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_APPROX_RHO_MAX} - CAST(m_j AS INT))")
+            F.when(
+                F.col("bucket").isNotNull(),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {_APPROX_RHO_MAX} - CAST(m_j AS INT))"
+                ),
+            ).otherwise(F.lit(0))
         ).alias("zsum"),
-        F.count(F.lit(1)).alias("present"),
+        F.count("bucket").alias("present"),  # count() skips the NULL bucket
     ).select(
         "column_name",
+        "n_rows",
+        "n_nulls",
         (
             F.col("zsum")
             + (F.lit(_APPROX_HLL_M) - F.col("present"))
@@ -1854,9 +1880,11 @@ def q_profile_columns_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate = F.when(
         (raw <= F.lit(2.5 * _APPROX_HLL_M)) & (F.col("zero_regs") > 0), small
     ).otherwise(raw)
-    return counts.join(
-        z.select("column_name", F.round(estimate, 2).alias("approx_distinct")),
+    return z.select(
         "column_name",
+        "n_rows",
+        "n_nulls",
+        F.round(estimate, 2).alias("approx_distinct"),
     )
 
 

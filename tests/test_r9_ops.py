@@ -38,14 +38,25 @@ def _keyed_registers(spark, sf_dir, use_xxhash):
     from jetstream_spark.tables import table
 
     li = table(spark, sf_dir, "lineitem")
-    stack = ", ".join(f"'{c}', {expr}" for c, expr, _ in P._CANON_COLS)
-    up = li.selectExpr(f"stack({len(P._CANON_COLS)}, {stack}) AS (column_name, v)")
     if use_xxhash:
-        h = F.xxhash64(F.col("v"))
+        # the fast form hashes NATIVE values per column and stacks the
+        # BIGINT hashes (no canonical string rendering anywhere)
+        stack = ", ".join(
+            f"'{c}', IF({c} IS NULL, CAST(NULL AS BIGINT), xxhash64({c}))"
+            for c, _, _ in P._CANON_COLS
+        )
+        up = li.selectExpr(
+            f"stack({len(P._CANON_COLS)}, {stack}) AS (column_name, v)"
+        )
+        h = F.col("v")
         w = F.shiftrightunsigned(h, P._APPROX_HLL_P).bitwiseAND(
             F.lit((1 << (P._APPROX_RHO_MAX - 1)) - 1)
         )
     else:
+        stack = ", ".join(f"'{c}', {expr}" for c, expr, _ in P._CANON_COLS)
+        up = li.selectExpr(
+            f"stack({len(P._CANON_COLS)}, {stack}) AS (column_name, v)"
+        )
         h = F.conv(
             F.substring(F.md5(F.col("v").cast("binary")), 1, 15), 16, 10
         ).cast("long")
