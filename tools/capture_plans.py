@@ -141,6 +141,7 @@ AUDIT = {
     "ab_sequential_sprt": "r7: one per-user agg; ONE per-arm ordered window pass (integer cum counts -> exact LLR); 2-row fold with conditional struct-min crossing",
     "survival_km_retention": "r7: one user-span agg + 1-row horizon broadcast; ALL curve windows over the <=|distinct lifetimes| frame, never user-scale",
     "profile_columns_approx": "r8: stack-unpivot single scan; one (column, bucket) register exchange (<=|cols|*256 rows) + one counts agg; HLL estimator fold over <=|cols| rows",
+    "profile_columns_fast": "r9: NATIVE xxhash64 per column then BIGINT-only stack (no canonical string rendering); ONE (column, bucket) partial-agg exchange (<=|cols|*257 rows, null bucket carries n_nulls) feeding counts AND the HLL estimator in a single pass",
     "profile_entropy": "r8: one (column, value) frequency exchange; entropy folds per column over the distinct-value frame only",
     "funnel_steps_strict": "r8: ONE user_id exchange (collect_list) + codegen sorted-array fold with (stage, last_ts) state; 1-row wide agg unpivoted to 3 step rows; zero joins",
     "pmi_collocations": "r8: map-side zip_with adjacent bigrams (no posexplode self-join); ONE (w1, w2) pair exchange; marginals derive from the SAME pair frame and broadcast; TakeOrdered top-50",
