@@ -1138,10 +1138,20 @@ def main() -> None:
         sf1_dir = ensure_scaled_sf1(spark, sf_dir)
         for name in SF1_QUERIES:
             _phase(f"sf1 {name}")
-            _release_memory(spark)  # 10x data: each query gets a clean block store
-            t0 = time.time()
-            specs[name].build(spark, sf1_dir).write.format("noop").mode("overwrite").save()
-            sf1[name] = round(time.time() - t0, 3)
+            # min-of-2 (r9, was single-shot): sf1 rows land in the
+            # committed history that the variance criteria read, and a
+            # single 20-s sample on this host class can catch a
+            # minute-scale burst (label_propagation recorded 93.8 s in a
+            # burst window vs 18.6-27.2 s across four same-day settled
+            # probes of identical code) — one re-sample is the cheapest
+            # way to keep host weather out of the scaling record
+            best = float("inf")
+            for _ in range(2):
+                _release_memory(spark)  # 10x data: clean block store per sample
+                t0 = time.time()
+                specs[name].build(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            sf1[name] = round(best, 3)
         sf1["replicas"] = SF1_REPLICAS
 
     _phase("calibration")
