@@ -414,3 +414,34 @@ def test_band_never_suppresses_out_of_band_or_changed_code(tmp_path, monkeypatch
         {"textrank_keywords": R8_MEASURED["textrank_keywords"]}, 0.1, 1.0, here=d
     )
     assert sorted(flags) == ["textrank_keywords"], flags
+
+
+def test_band_rate_direction_and_reporting(tmp_path):
+    """Rates band on the LOW side (a throughput dip the host has already
+    recorded on identical code is oscillation; below the committed floor
+    it hard-flags), and suppressed entries are always REPORTED in
+    band_out — the band never silently hides a reading."""
+    d = str(tmp_path)
+    _write(d, "BENCH_r07.json",
+           {"sf": 0.1, "calibration_s": 0.2,
+            "queries": {"ingest_events_per_sec": 90000.0}})
+    history = [
+        {"sf": 0.1, "calibration_s": 0.2,
+         "queries": {"ingest_events_per_sec": 90000.0}},
+        {"sf": 0.1, "calibration_s": 0.15,
+         "queries": {"ingest_events_per_sec": 62000.0}},
+        {"sf": 0.1, "calibration_s": 0.16,
+         "queries": {"ingest_events_per_sec": 85000.0}},
+    ]
+    _write(d, "BENCH_HISTORY.jsonl", history)
+    # 70k is a >1.15x dip vs the 90k baseline but above the committed
+    # 62k floor -> within_band evidence, not a flag
+    band_out: dict = {}
+    flags = find_regressions(
+        {"ingest_events_per_sec": 70000.0}, 0.1, 1.0, here=d, band_out=band_out
+    )
+    assert flags == {}, flags
+    assert band_out["ingest_events_per_sec"]["band_lo"] == 62000.0
+    # below the committed floor -> hard flag
+    flags = find_regressions({"ingest_events_per_sec": 55000.0}, 0.1, 1.0, here=d)
+    assert sorted(flags) == ["ingest_events_per_sec"], flags
