@@ -355,7 +355,13 @@ def host_shift_factor(
     probes_corroborate = signals and max(signals.values()) > 1.05
     if len(ratios) >= 8 and (no_axis_baseline or probes_corroborate):
         ratios.sort()
-        signals["median_capped"] = min(ratios[len(ratios) // 2], 1.5)
+        # when the probes are the ADMISSION ticket (baselines exist), the
+        # median may only exceed the worst probe by a residual margin —
+        # a probe drifting 1.06 must not re-admit a 1.5 median, or a
+        # mild real host shift could launder a large uniform engine
+        # regression (the ADVICE r8 hole, second order)
+        cap = 1.5 if no_axis_baseline else min(1.5, max(signals.values()) * 1.15)
+        signals["median_capped"] = min(ratios[len(ratios) // 2], cap)
     if detail is not None:
         detail["signals"] = {k: round(v, 3) for k, v in signals.items()}
         detail["winner"] = max(signals, key=signals.get) if signals else None
@@ -460,8 +466,14 @@ def _history_band(current_sf, here: str | None = None, last_n: int = 6, min_samp
     rows = [r for r in rows if r.get("sf") == current_sf][-last_n:]
     vals: dict[str, list] = {}
     for r in rows:
+        # a value the run ITSELF flagged as a regression is not band
+        # evidence — without this exclusion the band self-poisons: a
+        # genuine regression's first flagged run would write its slow
+        # value into history, and the next run would find it inside the
+        # band and demote the same real regression to "oscillation"
+        flagged = set(r.get("regressions") or ())
         for k, v in {**(r.get("queries") or {}), **(r.get("extras") or {})}.items():
-            if isinstance(v, (int, float)):
+            if isinstance(v, (int, float)) and k not in flagged:
                 vals.setdefault(k, []).append(float(v))
     return {
         k: (min(vs), max(vs), len(vs))

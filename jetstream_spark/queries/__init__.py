@@ -41,6 +41,12 @@ _CODE_CHANGED = (
     "kneser_ney_perplexity",  # r8: tokenize-once (6 corpus scans -> 4)
     "hbos_outliers",  # r8: tokenize-once feature frame (7 scans -> 1)
     "fingerprint_winnowing",  # r8: tokenize-once (8 scans -> 1)
+    # r9 review refactor: the HLL estimator tail + zint fold are now
+    # SHARED expressions between the md5 oracle form and the xxhash64
+    # production twin (the parity contract is structural instead of
+    # copy-synchronized). Plan and values are unchanged, but the rule is
+    # code-changed -> in-window.
+    "profile_columns_approx",
 )
 
 _PRIORITY = (
@@ -49,15 +55,17 @@ _PRIORITY = (
     # driver records the rows-only check, correctness is pinned by the
     # register-parity + error-bound tests in tests/test_r9_ops.py
     "profile_columns_fast",
-    # ---- code changed (r8, queued for this window — see _CODE_CHANGED) ----
+    # ---- code changed (see _CODE_CHANGED) ----
     "kneser_ney_perplexity",
     "hbos_outliers",
     "fingerprint_winnowing",
+    "profile_columns_approx",
     # ---- r5-latest driver evidence (the stalest block), r5 driver order ----
-    # 49 entries are r5-stale; 46 fit after the debut + code-changed tiers,
-    # so the LAST THREE in r5 order (doc_packing, embedding_downproject,
-    # hopping_window_hourly) overflow to the r10 window — they must lead
-    # r10's stale tier (still the joint-stalest evidence then).
+    # 49 entries are r5-stale; 45 fit after the debut + code-changed tiers,
+    # so the LAST FOUR in r5 order (sample_split, doc_packing,
+    # embedding_downproject, hopping_window_hourly) overflow to the r10
+    # window — they must lead r10's stale tier (still the joint-stalest
+    # evidence then).
     "embedding_pca_project",
     "bpe_encode_stats",
     "compression_ratio",
@@ -103,10 +111,9 @@ _PRIORITY = (
     "multimodal_metadata",
     "multimodal_byte_stats",
     "multimodal_frame_sample",
-    "sample_split",
     # ================= driver window boundary (50) ==================
-    # r10 window must LEAD with the three overflow r5-stale entries above,
-    # then the r6 block. Everything else follows in module order.
+    # r10 window must LEAD with the four overflow r5-stale entries named
+    # above, then the r6 block. Everything else follows in module order.
 )
 
 

@@ -1692,6 +1692,39 @@ _CANON_COLS = tuple(
 )
 
 
+def _hll_zint_cols() -> tuple:
+    """The integer-exact register fold shared by BOTH profile sketch
+    forms: given (zsum, present) per column, zint = zsum plus one
+    2^rho_max term per empty register, zero_regs = empty-register count.
+    Shared so the md5 oracle form and the xxhash64 production form stay
+    byte-identical here by construction (r9 review: the parity contract
+    must be structural, not copy-synchronized)."""
+    zint = (
+        F.col("zsum")
+        + (F.lit(_APPROX_HLL_M) - F.col("present"))
+        * F.lit(1 << _APPROX_RHO_MAX).cast("long")
+    ).alias("zint")
+    zero_regs = (F.lit(_APPROX_HLL_M) - F.col("present")).alias("zero_regs")
+    return zint, zero_regs
+
+
+def _hll_estimate_expr():
+    """The shared HLL estimator over (zint, zero_regs): alpha-corrected
+    raw estimate with Flajolet's small-range linear-counting correction.
+    Both sketch forms and their pinned error bounds depend on this being
+    ONE expression."""
+    raw = (
+        F.lit(_APPROX_ALPHA * _APPROX_HLL_M * _APPROX_HLL_M * float(2**_APPROX_RHO_MAX))
+        / F.col("zint")
+    )
+    small = F.lit(float(_APPROX_HLL_M)) * F.log(
+        F.lit(float(_APPROX_HLL_M)) / F.col("zero_regs")
+    )
+    return F.when(
+        (raw <= F.lit(2.5 * _APPROX_HLL_M)) & (F.col("zero_regs") > 0), small
+    ).otherwise(raw)
+
+
 def q_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile_columns' scale twin: exact n_rows/n_nulls (plain counts —
     cheap at any scale) + deterministic-HLL approximate distincts per
@@ -1721,27 +1754,11 @@ def q_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {_APPROX_RHO_MAX} - CAST(m_j AS INT))")
         ).alias("zsum"),
         F.count(F.lit(1)).alias("present"),
-    ).select(
-        "column_name",
-        (
-            F.col("zsum")
-            + (F.lit(_APPROX_HLL_M) - F.col("present"))
-            * F.lit(1 << _APPROX_RHO_MAX).cast("long")
-        ).alias("zint"),
-        (F.lit(_APPROX_HLL_M) - F.col("present")).alias("zero_regs"),
-    )
-    raw = (
-        F.lit(_APPROX_ALPHA * _APPROX_HLL_M * _APPROX_HLL_M * float(2**_APPROX_RHO_MAX))
-        / F.col("zint")
-    )
-    small = F.lit(float(_APPROX_HLL_M)) * F.log(
-        F.lit(float(_APPROX_HLL_M)) / F.col("zero_regs")
-    )
-    estimate = F.when(
-        (raw <= F.lit(2.5 * _APPROX_HLL_M)) & (F.col("zero_regs") > 0), small
-    ).otherwise(raw)
+    ).select("column_name", *_hll_zint_cols())
     return counts.join(
-        z.select("column_name", F.round(estimate, 2).alias("approx_distinct")),
+        z.select(
+            "column_name", F.round(_hll_estimate_expr(), 2).alias("approx_distinct")
+        ),
         "column_name",
     )
 
@@ -1813,39 +1830,9 @@ def q_profile_columns_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is ≤ |cols|·({_APPROX_HLL_M}+1) partially-aggregated rows,
     no full-key dedup anywhere."""
     li = table(spark, sf_dir, "lineitem")
-    # hash native per column FIRST (stack needs one type; BIGINT hashes
-    # stack, mixed native columns don't); IF(NULL) keeps null visibility
-    # — xxhash64(NULL) would collapse nulls onto the seed hash
-    stack = ", ".join(
-        f"'{c}', IF({c} IS NULL, CAST(NULL AS BIGINT), xxhash64({c}))"
-        for c, _, _ in _CANON_COLS
-    )
-    up = li.selectExpr(f"stack({len(_CANON_COLS)}, {stack}) AS (column_name, h)")
-    h = F.col("h")
-    # same 52-bit rho stream as the md5 form: low 8 bits pick the
-    # register, the NEXT 52 bits (unsigned shift — xxhash64 is a full
-    # signed 64-bit value) feed rho, keeping the worst-case integer
-    # zsum at 256 * 2^52 = 2^60 (exact BIGINT, no overflow)
-    w = F.shiftrightunsigned(h, _APPROX_HLL_P).bitwiseAND(
-        F.lit((1 << (_APPROX_RHO_MAX - 1)) - 1)
-    )
-    keyed = up.select(
-        "column_name",
-        F.when(
-            h.isNotNull(),
-            h.bitwiseAND(F.lit(_APPROX_HLL_M - 1).cast("long")),
-        ).alias("bucket"),  # NULL bucket = the null-count register
-        F.when(
-            h.isNotNull(),
-            F.when(w == 0, F.lit(_APPROX_RHO_MAX)).otherwise(
-                _APPROX_RHO_MAX - F.length(F.bin(w))
-            ),
-        ).alias("rho"),
-    )
-    regs = keyed.groupBy("column_name", "bucket").agg(
+    z = _fast_hll_keyed(li).groupBy("column_name", "bucket").agg(
         F.count(F.lit(1)).alias("c"), F.max("rho").alias("m_j")
-    )
-    z = regs.groupBy("column_name").agg(
+    ).groupBy("column_name").agg(
         F.sum("c").alias("n_rows"),
         F.sum(F.when(F.col("bucket").isNull(), F.col("c")).otherwise(F.lit(0))).alias(
             "n_nulls"
@@ -1859,32 +1846,46 @@ def q_profile_columns_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("zsum"),
         F.count("bucket").alias("present"),  # count() skips the NULL bucket
-    ).select(
-        "column_name",
-        "n_rows",
-        "n_nulls",
-        (
-            F.col("zsum")
-            + (F.lit(_APPROX_HLL_M) - F.col("present"))
-            * F.lit(1 << _APPROX_RHO_MAX).cast("long")
-        ).alias("zint"),
-        (F.lit(_APPROX_HLL_M) - F.col("present")).alias("zero_regs"),
-    )
-    raw = (
-        F.lit(_APPROX_ALPHA * _APPROX_HLL_M * _APPROX_HLL_M * float(2**_APPROX_RHO_MAX))
-        / F.col("zint")
-    )
-    small = F.lit(float(_APPROX_HLL_M)) * F.log(
-        F.lit(float(_APPROX_HLL_M)) / F.col("zero_regs")
-    )
-    estimate = F.when(
-        (raw <= F.lit(2.5 * _APPROX_HLL_M)) & (F.col("zero_regs") > 0), small
-    ).otherwise(raw)
+    ).select("column_name", "n_rows", "n_nulls", *_hll_zint_cols())
     return z.select(
         "column_name",
         "n_rows",
         "n_nulls",
-        F.round(estimate, 2).alias("approx_distinct"),
+        F.round(_hll_estimate_expr(), 2).alias("approx_distinct"),
+    )
+
+
+def _fast_hll_keyed(li: DataFrame) -> DataFrame:
+    """q_profile_columns_fast's keyed register stage, exposed so the
+    parity tests exercise THE production code path (r9 review), not a
+    private copy: per column, the native value is hashed in place
+    (xxhash64 over the unconverted column) and only the BIGINT hashes
+    are stacked; nulls keep a NULL bucket (xxhash64(NULL) would collapse
+    them onto the seed hash). Low {_APPROX_HLL_P} bits pick the
+    register; the next 52 bits (unsigned shift — xxhash64 is a full
+    signed 64-bit value) feed rho, keeping the worst-case integer zsum
+    at 256 * 2^52 = 2^60 (exact BIGINT, no overflow)."""
+    stack = ", ".join(
+        f"'{c}', IF({c} IS NULL, CAST(NULL AS BIGINT), xxhash64({c}))"
+        for c, _, _ in _CANON_COLS
+    )
+    up = li.selectExpr(f"stack({len(_CANON_COLS)}, {stack}) AS (column_name, h)")
+    h = F.col("h")
+    w = F.shiftrightunsigned(h, _APPROX_HLL_P).bitwiseAND(
+        F.lit((1 << (_APPROX_RHO_MAX - 1)) - 1)
+    )
+    return up.select(
+        "column_name",
+        F.when(
+            h.isNotNull(),
+            h.bitwiseAND(F.lit(_APPROX_HLL_M - 1).cast("long")),
+        ).alias("bucket"),  # NULL bucket = the null-count register
+        F.when(
+            h.isNotNull(),
+            F.when(w == 0, F.lit(_APPROX_RHO_MAX)).otherwise(
+                _APPROX_RHO_MAX - F.length(F.bin(w))
+            ),
+        ).alias("rho"),
     )
 
 

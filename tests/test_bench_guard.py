@@ -445,3 +445,43 @@ def test_band_rate_direction_and_reporting(tmp_path):
     # below the committed floor -> hard flag
     flags = find_regressions({"ingest_events_per_sec": 55000.0}, 0.1, 1.0, here=d)
     assert sorted(flags) == ["ingest_events_per_sec"], flags
+
+
+def test_median_residual_cap_tracks_probe_magnitude():
+    """A 1.06 probe drift must not re-admit a 1.5 median: with axis
+    baselines present the median may exceed the worst probe only by the
+    residual 1.15 margin, so a large uniform engine regression cannot
+    launder itself through a mild real host shift."""
+    timings = {f"q{i}": 2.0 for i in range(10)}
+    prev = {f"q{i}": 1.0 for i in range(10)}
+    detail: dict = {}
+    shift = host_shift_factor(
+        timings, prev, 0.1, 0.1,
+        serial_now=1.06, serial_prev=1.0,
+        detail=detail,
+    )
+    assert detail["signals"]["median_capped"] <= round(1.06 * 1.15, 3) + 1e-9
+    assert shift <= 1.22, shift
+
+
+def test_band_excludes_self_flagged_values(tmp_path):
+    """A value a run ITSELF flagged must not become band evidence — else
+    a genuine regression's first flagged run poisons the band and the
+    next run demotes the same regression to oscillation."""
+    d = str(tmp_path)
+    _write(d, "BENCH_r07.json",
+           {"sf": 0.1, "calibration_s": 0.2, "queries": {"q_slow": 1.0}})
+    history = [
+        {"sf": 0.1, "calibration_s": 0.2, "queries": {"q_slow": 1.0}},
+        {"sf": 0.1, "calibration_s": 0.18, "queries": {"q_slow": 1.05}},
+        {"sf": 0.1, "calibration_s": 0.19, "queries": {"q_slow": 0.95}},
+        # the regression round: 2.0 was FLAGGED by its own run
+        {"sf": 0.1, "calibration_s": 0.2, "queries": {"q_slow": 2.0},
+         "regressions": {"q_slow": {"prev": 1.0, "now": 2.0}}},
+    ]
+    _write(d, "BENCH_HISTORY.jsonl", history)
+    flags = find_regressions({"q_slow": 1.95}, 0.1, 1.0, here=d)
+    assert sorted(flags) == ["q_slow"], (
+        "the band absorbed a self-flagged value and demoted a real regression",
+        flags,
+    )

@@ -208,11 +208,14 @@ def test_four_monitors_one_state_soak(spark, tmp_path):
             frame = _frame(spark, rows)
 
             if i == 3:
-                # funnel crash window: the batch file is visible but the
-                # query dies before processing it — the restarted query
-                # must resume from the checkpoint and fold it exactly once
-                _write_funnel_batch(fsrc, f"b{i}", rows)
+                # funnel crash window: the query dies, THEN the batch file
+                # lands (stop-before-write pins the scenario — written
+                # before the stop, a fast poll could commit the batch
+                # pre-crash and the restart would have nothing to replay),
+                # and the restarted query must resume from the checkpoint
+                # and fold it exactly once
                 q.stop()
+                _write_funnel_batch(fsrc, f"b{i}", rows)
                 q = _start_funnel(spark, fsrc, fck, fout)
                 q.processAllAvailable()
                 # count-state crash window: the batch's part lands but the

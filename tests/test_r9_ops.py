@@ -29,9 +29,11 @@ TWIN_AGREE_BOUND = 2 * APPROX_PER_COL_BOUND
 
 
 def _keyed_registers(spark, sf_dir, use_xxhash):
-    """Rebuild each form's (column, bucket) -> m_j register table by
-    re-running the query's own keyed stage (same code path: the register
-    frame is the groupBy.max the query computes before estimating)."""
+    """Each form's (column, bucket) -> m_j register table. The xxhash
+    branch runs THE production keyed stage (profiling._fast_hll_keyed —
+    a private re-derivation could drift from the code it claims to pin);
+    the md5 branch re-derives independently (its true cross-check is the
+    DuckDB oracle, so an independent copy here is the right shape)."""
     from pyspark.sql import functions as F
 
     from jetstream_spark.queries import profiling as P
@@ -39,28 +41,16 @@ def _keyed_registers(spark, sf_dir, use_xxhash):
 
     li = table(spark, sf_dir, "lineitem")
     if use_xxhash:
-        # the fast form hashes NATIVE values per column and stacks the
-        # BIGINT hashes (no canonical string rendering anywhere)
-        stack = ", ".join(
-            f"'{c}', IF({c} IS NULL, CAST(NULL AS BIGINT), xxhash64({c}))"
-            for c, _, _ in P._CANON_COLS
+        keyed = P._fast_hll_keyed(li).where(F.col("bucket").isNotNull())
+        return keyed.groupBy("column_name", "bucket").agg(
+            F.max("rho").alias("m_j")
         )
-        up = li.selectExpr(
-            f"stack({len(P._CANON_COLS)}, {stack}) AS (column_name, v)"
-        )
-        h = F.col("v")
-        w = F.shiftrightunsigned(h, P._APPROX_HLL_P).bitwiseAND(
-            F.lit((1 << (P._APPROX_RHO_MAX - 1)) - 1)
-        )
-    else:
-        stack = ", ".join(f"'{c}', {expr}" for c, expr, _ in P._CANON_COLS)
-        up = li.selectExpr(
-            f"stack({len(P._CANON_COLS)}, {stack}) AS (column_name, v)"
-        )
-        h = F.conv(
-            F.substring(F.md5(F.col("v").cast("binary")), 1, 15), 16, 10
-        ).cast("long")
-        w = F.shiftright(h, P._APPROX_HLL_P)
+    stack = ", ".join(f"'{c}', {expr}" for c, expr, _ in P._CANON_COLS)
+    up = li.selectExpr(f"stack({len(P._CANON_COLS)}, {stack}) AS (column_name, v)")
+    h = F.conv(
+        F.substring(F.md5(F.col("v").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(h, P._APPROX_HLL_P)
     keyed = (
         up.where(F.col("v").isNotNull())
         .select(
