@@ -23,97 +23,79 @@ from jetstream_spark.queries.spec import QuerySpec
 #   3. then the rest, OLDEST driver evidence first — every in-window entry
 #      must be at least as stale as every out-of-window entry (pinned by
 #      tests/test_registry_priority.py::test_window_is_oldest_evidence_first).
-# Round-8 rotation (VERDICT r7 #2: the window MUST surface the 43
-# r4-stale entries — the oldest evidence block — so the new-operator
-# batch was capped at 5 to leave room): 5 never-checked debuts, then the
-# 2 entries whose code changed this round, then ALL 43 r4-stale entries
-# in their r4 driver order (kmeans_train sits in the code-changed tier —
-# it is one of the 43, so the stale tier lists 42), then the first
-# r5-stale entry — exactly 50.
+# Round-10 rotation (VERDICT r9 #1: finish the stale-evidence ledger —
+# 52 entries are due against the 50-slot window, so the round is
+# debut-free and code-change-free on query modules): the 4 r5-stale
+# overflow entries named by the r9 window lead, then the OLDEST 46 of
+# the 48 r6-stale entries in their r6 driver order — exactly 50. The
+# LAST TWO in r6 order (embedding_quantize_int8, tfidf_top_terms)
+# overflow to the r11 window — they must lead r11's stale tier (still
+# the joint-stalest evidence then), followed by the r7-stale block.
 
 # Entries whose engine/oracle CODE changed this round: they re-enter the
 # window ahead of the staleness order so the change gets driver evidence
 # in the round it ships. Reset this tuple each round.
-_CODE_CHANGED = (
-    # r8 plan-only changes that could not displace the mandated r4-stale
-    # block (VERDICT r7 #2) — re-verified locally in r8 (sf0.01 oracle +
-    # sf0.001 suite parity), queued first-in-line for this window:
-    "kneser_ney_perplexity",  # r8: tokenize-once (6 corpus scans -> 4)
-    "hbos_outliers",  # r8: tokenize-once feature frame (7 scans -> 1)
-    "fingerprint_winnowing",  # r8: tokenize-once (8 scans -> 1)
-    # r9 review refactor: the HLL estimator tail + zint fold are now
-    # SHARED expressions between the md5 oracle form and the xxhash64
-    # production twin (the parity contract is structural instead of
-    # copy-synchronized). Plan and values are unchanged, but the rule is
-    # code-changed -> in-window.
-    "profile_columns_approx",
-)
+_CODE_CHANGED = ()  # r10 touches no query module (bench guard + streaming only)
 
 _PRIORITY = (
-    # ---- never driver-checked (new in r9) — must lead the window ----
-    # rows-only by declaration (xxhash64 has no DuckDB analogue); the
-    # driver records the rows-only check, correctness is pinned by the
-    # register-parity + error-bound tests in tests/test_r9_ops.py
-    "profile_columns_fast",
-    # ---- code changed (see _CODE_CHANGED) ----
-    "kneser_ney_perplexity",
-    "hbos_outliers",
-    "fingerprint_winnowing",
-    "profile_columns_approx",
-    # ---- r5-latest driver evidence (the stalest block), r5 driver order ----
-    # 49 entries are r5-stale; 45 fit after the debut + code-changed tiers,
-    # so the LAST FOUR in r5 order (sample_split, doc_packing,
-    # embedding_downproject, hopping_window_hourly) overflow to the r10
-    # window — they must lead r10's stale tier (still the joint-stalest
-    # evidence then).
-    "embedding_pca_project",
-    "bpe_encode_stats",
-    "compression_ratio",
-    "embedding_outliers",
-    "cube_segment_priority",
-    "range_frame_window",
-    "ntile_quartiles",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "replay_scan",
-    "subscribe_filter",
-    "monotonic_delivery",
-    "per_key_ordering",
-    "asof_join_purchases",
-    "anti_join_idle_customers",
-    "window_running_revenue",
-    "rollup_revenue",
-    "set_symdiff_buyers",
-    "full_outer_nation_activity",
-    "percentiles_price",
-    "unpivot_measures",
-    "dedup_embedding_cosine",
-    "semi_join_late_orders",
-    "grouping_sets_status",
-    "range_join_part_pairs",
-    "pivot_segment_revenue",
-    "scalar_functions",
-    "tumbling_window_hourly",
-    "json_props_stats",
-    "conversion_funnel",
-    "ann_brute_force_topk",
-    "doc_chunking",
-    "null_semantics",
-    "variant_props_stats",
-    "geomean_value",
-    "text_token_count",
-    "text_quality_score",
-    "embedding_norms",
-    "text_repetition",
-    "text_lang_id",
-    "text_fingerprint",
-    "multimodal_metadata",
-    "multimodal_byte_stats",
-    "multimodal_frame_sample",
+    # ---- r5-latest driver evidence (joint-stalest), r5 driver order ----
+    # the four entries the r9 window could not fit (named overflow,
+    # VERDICT r8 #2 / r9 #1) — first-in-line by the standing rule
+    "sample_split",
+    "doc_packing",
+    "embedding_downproject",
+    "hopping_window_hourly",
+    # ---- r6-latest driver evidence (the stalest block), r6 driver order ----
+    "zipf_alpha",
+    "quality_classifier_lr",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "multimodal_phash_dedup",
+    "dedup_substring_spans",
+    "ab_bootstrap_ci",
+    "wordpiece_encode_stats",
+    "training_shards",
+    "dedup_exact",
+    "salted_join_revenue",
+    "bm25_topk",
+    "dedup_containment",
+    "q2_min_cost_supplier",
+    "q4_priority_checking",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_by_linestatus",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q20_excess_shippers",
+    "q13_order_count_distribution",
+    "q11_revenue_concentration",
+    "q21_sole_blame_suppliers",
+    "q22_idle_rich_customers",
+    "cms_heavy_hitters",
+    "kmeans_cluster_stats",
+    "semdedup_pairs",
+    "curation_pipeline",
+    "quality_gopher_rules",
+    "unigram_perplexity",
+    "domain_mix_weights",
+    "importance_weights_dsir",
+    "sessionization",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_lsh_indexed",
+    "ann_ivf_indexed",
+    "vocab_top_terms",
+    "text_pii_scrub",
+    "stratified_sample",
+    "dedup_components",
+    "dedup_keep_canonical",
+    "dedup_incremental",
     # ================= driver window boundary (50) ==================
-    # r10 window must LEAD with the four overflow r5-stale entries named
-    # above, then the r6 block. Everything else follows in module order.
+    # r11 window must LEAD with the two overflow r6-stale entries
+    # (embedding_quantize_int8, tfidf_top_terms), then the r7-stale
+    # block. Everything else follows in module order.
 )
 
 
