@@ -5,6 +5,37 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 Each query is forced through the noop sink (full materialization, no
 driver-side collect cost). First a warmup pass of q1 amortizes JVM/codegen
 startup out of the per-query numbers.
+
+PROTOCOL — flag disposition (the mechanical escalation path; every step
+is committed machinery, not judgment). The round VMs oscillate 1-2x on
+their serial/Python axes at minute scale (r8 post-mortem), so a raw
+would-be flag is evidence of SOMETHING, but not yet of an engine
+regression. A flag is dispositioned in three steps:
+
+  1. IN-RUN: the sampler itself retests — adaptive_min re-samples with a
+     block-store release (clean retest), then apply_second_window
+     re-measures every surviving flag minutes later in a second window.
+     Burst flags die here; whatever survives is reproducible ON THIS
+     host TODAY.
+  2. BAND CHECK: a surviving flag on UNTOUCHED code whose value sits
+     inside the query's committed cross-round band (_history_band:
+     settled-host rows only, self-flagged values excluded, per-query
+     reset at the last code change) is the environment revisiting its
+     own recorded range — reported as within_band evidence, never
+     silently dropped. Code-changed queries skip this step: they always
+     hard-flag.
+  3. SETTLED A/B: a flag that survives 1-2 is attributed by a worktree
+     A/B against the last official commit (tools/probe_queries.py, the
+     BENCH_AB_r09.json protocol): check out the baseline commit in a
+     worktree, run the flagged queries alternately HEAD/baseline/HEAD in
+     the SAME measurement windows on a settled host. Engine regression
+     := HEAD measurably slower than byte-identical old code side-by-side;
+     if the old code is slow too, it is the host, and the flag is
+     cleared with the A/B file as committed evidence.
+
+tests/test_bench_guard.py pins steps 1-2 (the r8 six-flag shape, band
+direction/exclusion rules, the uniform-1.5x adversarial probe) and the
+r9 A/B artifact documents step 3's executed form.
 """
 
 from __future__ import annotations
@@ -345,22 +376,33 @@ def host_shift_factor(
     # the capped cross-query median is a FALLBACK signal, not a peer of
     # the probes (ADVICE r8: an unconditional median could normalize away
     # a genuinely uniform engine regression up to the 1.5 cap even when
-    # all three probes read 1.0). It joins only when (a) the serial/python
-    # axis probes have NO baseline yet (pre-r8 rounds: the median was the
-    # only signal covering that axis), or (b) a probe corroborates that
-    # the host really shifted (>5% on some probed axis) — then the median
-    # may capture residual drift on an axis the probes undersample. The
-    # 1.5 cap and the per-query 1.15 factor on top still apply.
-    no_axis_baseline = serial_prev is None and python_prev is None
+    # all three probes read 1.0). It joins only when (a) ANY probe axis
+    # lacks a baseline — a partial baseline set is treated the same as
+    # none (ADVICE r9 #3: with exactly one axis baselined, a host shift
+    # on an un-probed axis with flat present probes used to exclude the
+    # median entirely, hard-flagging pure host drift with no backstop) —
+    # or (b) a probe corroborates that the host really shifted (>5% on
+    # some probed axis) — then the median may capture residual drift on
+    # an axis the probes undersample. The 1.5 cap and the per-query 1.15
+    # factor on top still apply.
+    all_axes_baselined = (
+        bool(cal_now and cal_prev)
+        and bool(serial_now and serial_prev)
+        and bool(python_now and python_prev)
+    )
     probes_corroborate = signals and max(signals.values()) > 1.05
-    if len(ratios) >= 8 and (no_axis_baseline or probes_corroborate):
+    if len(ratios) >= 8 and (not all_axes_baselined or probes_corroborate):
         ratios.sort()
-        # when the probes are the ADMISSION ticket (baselines exist), the
-        # median may only exceed the worst probe by a residual margin —
-        # a probe drifting 1.06 must not re-admit a 1.5 median, or a
-        # mild real host shift could launder a large uniform engine
-        # regression (the ADVICE r8 hole, second order)
-        cap = 1.5 if no_axis_baseline else min(1.5, max(signals.values()) * 1.15)
+        # when the probes are the ADMISSION ticket (every axis has a
+        # baseline), the median may only exceed the worst probe by a
+        # residual margin — a probe drifting 1.06 must not re-admit a
+        # 1.5 median, or a mild real host shift could launder a large
+        # uniform engine regression (the ADVICE r8 hole, second order)
+        cap = (
+            min(1.5, max(signals.values()) * 1.15)
+            if all_axes_baselined
+            else 1.5
+        )
         signals["median_capped"] = min(ratios[len(ratios) // 2], cap)
     if detail is not None:
         detail["signals"] = {k: round(v, 3) for k, v in signals.items()}
@@ -440,6 +482,26 @@ def apply_second_window(timings: dict, extras: dict, flagged, remeasure) -> list
     return redone
 
 
+# Queries whose most recent engine-code change predates history rows
+# recording their run's code-changed set (the "code_changed" key exists
+# from r10 on). A band row that cannot be classified as pre- or
+# post-change for these queries is NOT band evidence: pre-change rows
+# measured OLD code, so a regression that reverts the optimization
+# would sit inside the stale band and be demoted to oscillation
+# (ADVICE r9 #2). The set is additive-only and shrinks in effect as
+# legacy rows age out of the 6-row band window.
+_BAND_PRE_LOG_CHANGED = frozenset({
+    "dedup_embedding_lsh",  # r7: N-adaptive band width
+    "label_propagation",  # r7: broadcast label join
+    "fingerprint_winnowing",  # r8: tokenize-once
+    "hbos_outliers",  # r8: tokenize-once feature frame
+    "kmeans_train",  # r8: persisted frame + two-tier round reduce
+    "kneser_ney_perplexity",  # r8: tokenize-once
+    "naive_bayes_domain",  # r8: tokenize-once checkpoint
+    "profile_columns_approx",  # r9: shared estimator expressions
+})
+
+
 def _history_band(current_sf, here: str | None = None, last_n: int = 6, min_samples: int = 3) -> dict:
     """{query: (lo, hi, n)} over the last ``last_n`` committed bench runs
     at this SF (BENCH_HISTORY.jsonl, which the current run has not yet
@@ -451,7 +513,25 @@ def _history_band(current_sf, here: str | None = None, last_n: int = 6, min_samp
     happened to be the band's minimum — the r7 official run caught all
     six serial-axis queries at their historical minima SIMULTANEOUSLY.
     Bands with fewer than ``min_samples`` committed values carry no
-    evidence and are omitted."""
+    evidence and are omitted.
+
+    Two staleness guards (ADVICE r9):
+      1. rows benched on a recognized-slow host (their recorded
+         host_shift > 1.05) contribute NO band evidence — their raw
+         values are inflated by a shift that was computed as a global
+         max-of-axes, so they were unflagged only because of shift
+         normalization, and as band_hi they would hide a later genuine
+         regression of up to that ratio from a settled host. (Excluded
+         rather than divided back: the global shift is not a per-query
+         factor — queries off the shifted axis would be over-corrected,
+         e.g. dividing the r9 1.894x-host row would put skyline_parts'
+         band floor at 0.34 s against a real settled ~0.6 s.)
+      2. values older than a query's most recent CODE change are not
+         evidence for it: rows record their run's code-changed set (the
+         "code_changed" key), a row declaring the query changed resets
+         its accumulation (that row measured the new code), and for
+         queries in _BAND_PRE_LOG_CHANGED legacy rows without the key
+         are skipped outright."""
     here = here or os.path.dirname(os.path.abspath(__file__))
     rows: list[dict] = []
     try:
@@ -472,9 +552,18 @@ def _history_band(current_sf, here: str | None = None, last_n: int = 6, min_samp
         # value into history, and the next run would find it inside the
         # band and demote the same real regression to "oscillation"
         flagged = set(r.get("regressions") or ())
+        if (r.get("host_shift") or 1.0) > 1.05:
+            continue  # slow-host row: raw values inflated, not band evidence
+        changed = r.get("code_changed")
+        legacy_row = changed is None  # predates code-change recording
         for k, v in {**(r.get("queries") or {}), **(r.get("extras") or {})}.items():
-            if isinstance(v, (int, float)) and k not in flagged:
-                vals.setdefault(k, []).append(float(v))
+            if not isinstance(v, (int, float)) or k in flagged:
+                continue
+            if legacy_row and k in _BAND_PRE_LOG_CHANGED:
+                continue  # unclassifiable: may have measured pre-change code
+            if not legacy_row and k in changed:
+                vals[k] = []  # this row measured NEW code; older values did not
+            vals.setdefault(k, []).append(float(v))
     return {
         k: (min(vs), max(vs), len(vs))
         for k, vs in vals.items()
@@ -536,7 +625,11 @@ def find_regressions(
         if name in changed or name not in band:
             return False
         lo, hi, n = band[name]
-        inside = now >= lo if name.endswith("_per_sec") else now <= hi
+        # band values are settled-host normalized (_history_band), so the
+        # current raw reading is normalized by THIS run's shift before the
+        # comparison (rates deflate on a slow host, seconds inflate)
+        adj = now * shift if name.endswith("_per_sec") else now / shift
+        inside = adj >= lo if name.endswith("_per_sec") else adj <= hi
         if inside and band_out is not None:
             band_out[name] = {
                 "now": now,
@@ -661,8 +754,20 @@ def bench_ingest_pipeline(spark, sf_dir: str) -> tuple[float, int, dict]:
     return best, n, conservation
 
 
+def pick_burst(bursts: list[dict]) -> dict:
+    """Headline burst selection for the fan-out bench: the best COMPLETE
+    measured burst by per-sub rate, falling back to the best measured
+    partial rate (never a fabricated 0.0) when no burst delivered
+    everything. The warmup burst is never eligible — it exists to absorb
+    streaming-query start + first-tick listing + Python-worker spawn, the
+    same costs the query protocol amortizes with its warmup pass."""
+    measured = [b for b in bursts if not b.get("warmup")]
+    rated = [b for b in measured if b["complete"]] or measured
+    return max(rated, key=lambda b: b["events_per_sec_per_sub"])
+
+
 def bench_delivery_fanout(
-    spark, sf_dir: str, n_subs: int = 10, cap: int = 20000
+    spark, sf_dir: str, n_subs: int = 10, cap: int = 20000, n_bursts: int = 3
 ) -> dict:
     """Sustained fan-out through the SHARED live tail (serving/hub.py): ten
     concurrent subscribers attached to one LiveTailHub, one ingested burst,
@@ -670,7 +775,19 @@ def bench_delivery_fanout(
     subscriber. Returns delivered counts + events/s, the number comparable
     to the reference's 5k events/s per-subscriber live-delivery ceiling
     (BASELINE.md). Measures delivery only — ingest is timed separately by
-    bench_ingest_pipeline."""
+    bench_ingest_pipeline.
+
+    Measurement protocol (VERDICT r9 #2 — the one bench metric still
+    oscillating 11.6k-28.4k/sub within a round now gets the query
+    treatment): one WARMUP burst absorbs first-tick costs and is reported
+    but never rated; then ``n_bursts`` measured bursts, each preceded by
+    the block-store release the query sampler uses, with the headline
+    rate = the best complete measured burst (max across windows, the
+    throughput analogue of min-of-N). The result carries runs/agg so the
+    committed history records the protocol alongside the number, and the
+    per-sub floor accumulating in BENCH_HISTORY.jsonl feeds the
+    rate-direction band (a dip above the committed floor is oscillation
+    evidence; below it hard-flags — tests/test_bench_guard.py)."""
     import shutil
     import tempfile
 
@@ -705,15 +822,20 @@ def bench_delivery_fanout(
         q = hub.start()
         normalized = normalize_frames(_events_as_frames(spark, sf_dir, limit=cap)).cache()
         n = normalized.count()
-        # best-of-2 bursts (same policy as the query timings): delivery is
-        # one streaming tick, so a single GC pause or host-contention spike
-        # would otherwise masquerade as a throughput regression. Each burst
-        # is recorded as its own (elapsed, delivered) pair; the headline
-        # rate is the best COMPLETE burst, falling back to the best
-        # measured partial rate (never a fabricated 0.0) when neither
-        # burst delivered everything.
+        # warmup burst + max-of-n_bursts (see the protocol note in the
+        # docstring): delivery is one streaming tick, so a single GC pause
+        # or host-contention spike would otherwise masquerade as a
+        # throughput regression. Each burst is recorded as its own
+        # (elapsed, delivered) pair; burst 0 is the warmup.
         bursts: list[dict] = []
-        for burst in range(2):
+        for burst in range(n_bursts + 1):
+            if burst > 0:
+                # the query sampler's clean-retest release: measured
+                # bursts run against a drained block store, not against
+                # the previous burst's GC debt. The release also drops
+                # normalized's cache — its recompute lands in the UNTIMED
+                # ingest below, never inside the timed tick.
+                _release_memory(spark)
             before = sum(counts)
             eventlog.ingest_batch(
                 normalized,
@@ -727,6 +849,7 @@ def bench_delivery_fanout(
             got = sum(counts) - before
             bursts.append(
                 {
+                    "warmup": burst == 0,
                     "sec": round(elapsed, 3),
                     "delivered": got,
                     "complete": got == n * n_subs,
@@ -737,19 +860,20 @@ def bench_delivery_fanout(
             )
         normalized.unpersist()
         delivered = sum(counts)
-        rated = [b for b in bursts if b["complete"]] or bursts
-        best_burst = max(rated, key=lambda b: b["events_per_sec_per_sub"])
+        best_burst = pick_burst(bursts)
         best = best_burst["events_per_sec_per_sub"]
         return {
             "n_events": n,
             "n_subs": n_subs,
             "delivered": delivered,
-            "complete": delivered == 2 * n * n_subs,
+            "complete": delivered == (n_bursts + 1) * n * n_subs,
             "ordered": all(orderly),
             "sec": best_burst["sec"],
             "bursts": bursts,
             "events_per_sec_total": round(best * n_subs, 1),
             "events_per_sec_per_sub": best,
+            "runs": n_bursts,  # measured bursts (one warmup burst excluded)
+            "agg": "max",
         }
     finally:
         hub.stop()
@@ -1229,6 +1353,10 @@ def main() -> None:
         "second_window_remeasured": second_window,  # flags re-tested minutes later
         "host_shift": shift,  # >1: this VM is uniformly slower than last round's
         "host_shift_detail": shift_detail,  # which signal won (probe vs median)
+        # this run's code-changed set, recorded so future bands can drop
+        # per-query values older than the query's most recent code change
+        # (ADVICE r9 #2 — see _history_band)
+        "code_changed": sorted(_code_changed_queries()),
         "calibration_s": calibration_s,
         "calibration_serial_s": calibration_serial_s,  # r8: single-thread axis
         "calibration_python_s": calibration_python_s,  # r8: Python/Arrow axis

@@ -194,6 +194,29 @@ def read_log(spark: SparkSession, log_dir: str) -> DataFrame:
     return df
 
 
+def _is_swap_retryable(msg: str) -> bool:
+    """Only the mid-swap shapes are retryable: a task-time
+    FileNotFoundException or Spark's explicit stale-listing marker. A
+    broad "does not exist" match also caught genuine planning errors
+    (e.g. a virgin/missing log dir surfaces as PATH_NOT_FOUND), delaying
+    the real failure by 8 attempts and ~6 s of backoff (ADVICE r8).
+
+    Spark's structured error-class markers (FAILED_READ_FILE.FILE_NOT_EXIST)
+    are matched alongside the Java exception name (ADVICE r9): a Spark
+    version bump can surface the same task failure with the error class
+    but without the Java class name in str(e), and a silently-narrowed
+    match would crash live consumers on a transient compaction race."""
+    return any(
+        marker in msg
+        for marker in (
+            "FileNotFoundException",
+            "underlying files have been updated",
+            "FILE_NOT_EXIST",
+            "FAILED_READ_FILE",
+        )
+    )
+
+
 def replay_rows(
     spark: SparkSession,
     log_dir: str,
@@ -215,19 +238,10 @@ def replay_rows(
         try:
             return build().collect()
         except Exception as e:  # Py4J wraps the JVM FileNotFound
-            msg = str(e)
-            # Only the mid-swap shapes are retryable: a task-time
-            # FileNotFoundException or Spark's explicit stale-listing
-            # marker. A broad "does not exist" match also caught genuine
-            # planning errors (e.g. a virgin/missing log dir surfaces as
-            # PATH_NOT_FOUND), delaying the real failure by 8 attempts and
-            # ~6 s of backoff (ADVICE r8). A missing log_dir is never a
-            # swap window — compaction swaps files INSIDE an existing dir.
-            retryable = (
-                "FileNotFoundException" in msg
-                or "underlying files have been updated" in msg
-            )
-            if not retryable or not os.path.isdir(log_dir):
+            # retryable shapes: see _is_swap_retryable. A missing log_dir
+            # is never a swap window — compaction swaps files INSIDE an
+            # existing dir.
+            if not _is_swap_retryable(str(e)) or not os.path.isdir(log_dir):
                 raise
             last = e
             spark.catalog.refreshByPath(log_dir)

@@ -11,6 +11,10 @@ tests pin the repaired contract:
   2. a >15% host-adjusted drift on any stored-baseline query ALWAYS flags
      (threshold pinned, both wall-time and throughput directions);
   3. the thresholds themselves are pinned so a silent loosening fails CI.
+
+These tests pin steps 1-2 of the flag-disposition PROTOCOL documented in
+bench.py's module docstring (in-run retest -> band check -> settled
+worktree A/B); step 3's executed form is the committed BENCH_AB_r09.json.
 """
 
 from __future__ import annotations
@@ -448,20 +452,248 @@ def test_band_rate_direction_and_reporting(tmp_path):
 
 
 def test_median_residual_cap_tracks_probe_magnitude():
-    """A 1.06 probe drift must not re-admit a 1.5 median: with axis
-    baselines present the median may exceed the worst probe only by the
-    residual 1.15 margin, so a large uniform engine regression cannot
-    launder itself through a mild real host shift."""
+    """A 1.06 probe drift must not re-admit a 1.5 median: with EVERY axis
+    baselined the median may exceed the worst probe only by the residual
+    1.15 margin, so a large uniform engine regression cannot launder
+    itself through a mild real host shift."""
     timings = {f"q{i}": 2.0 for i in range(10)}
     prev = {f"q{i}": 1.0 for i in range(10)}
     detail: dict = {}
     shift = host_shift_factor(
         timings, prev, 0.1, 0.1,
         serial_now=1.06, serial_prev=1.0,
+        python_now=1.0, python_prev=1.0,
         detail=detail,
     )
     assert detail["signals"]["median_capped"] <= round(1.06 * 1.15, 3) + 1e-9
     assert shift <= 1.22, shift
+
+
+def test_median_admitted_when_any_axis_lacks_baseline():
+    """ADVICE r9 #3: with exactly one axis baselined (serial present,
+    python absent) and every present probe flat, a uniform drift on the
+    un-probed axis must still reach the median backstop — partial
+    baselines are treated the same as none for the admission gate."""
+    timings = {f"q{i}": 1.3 for i in range(10)}
+    prev = {f"q{i}": 1.0 for i in range(10)}
+    detail: dict = {}
+    shift = host_shift_factor(
+        timings, prev, 0.1, 0.1,
+        serial_now=1.0, serial_prev=1.0,  # python axis has NO baseline
+        detail=detail,
+    )
+    assert detail["signals"]["median_capped"] == 1.3
+    assert detail["winner"] == "median_capped"
+    assert shift == 1.3, shift
+
+
+def test_band_excludes_slow_host_rows(tmp_path):
+    """ADVICE r9 #1: a history row benched on a recognized-slow host
+    (host_shift > 1.05) committed raw values inflated by that shift —
+    they were unflagged only BECAUSE of shift normalization. As band_hi
+    they would hide a genuine engine regression of up to that ratio
+    measured later on a settled host. Slow-host rows contribute no band
+    evidence (excluded, not divided back — the recorded shift is a
+    global max-of-axes, not a per-query factor), so the settled-host
+    regression hard-flags while genuine settled-band revisits stay
+    suppressed."""
+    d = str(tmp_path)
+    _write(d, "BENCH_r07.json",
+           {"sf": 0.1, "calibration_s": 0.2, "queries": {"q_n": 0.9}})
+    history = [
+        {"sf": 0.1, "calibration_s": 0.2, "host_shift": 1.0, "queries": {"q_n": 1.0}},
+        {"sf": 0.1, "calibration_s": 0.19, "host_shift": 1.0, "queries": {"q_n": 1.1}},
+        {"sf": 0.1, "calibration_s": 0.18, "host_shift": 1.0, "queries": {"q_n": 1.05}},
+        # the slow-VM round: raw 1.9 s on a 1.894x host = settled ~1.0 s
+        {"sf": 0.1, "calibration_s": 0.38, "host_shift": 1.894, "queries": {"q_n": 1.9}},
+    ]
+    _write(d, "BENCH_HISTORY.jsonl", history)
+    # a settled-host 1.8 s reading is a real regression: it must NOT hide
+    # under the raw 1.9 band ceiling the slow host wrote
+    flags = find_regressions({"q_n": 1.8}, 0.1, 1.0, here=d)
+    assert sorted(flags) == ["q_n"], flags
+    # a reading inside the NORMALIZED band stays suppressed-with-evidence
+    band_out: dict = {}
+    flags = find_regressions({"q_n": 1.08}, 0.1, 1.0, here=d, band_out=band_out)
+    assert flags == {}, flags
+    assert band_out["q_n"]["band_hi"] <= 1.11, band_out
+
+
+def test_band_normalizes_current_slow_host_reading(tmp_path):
+    """The inverse direction: with the band settled-host normalized, a
+    raw reading taken on a CURRENTLY slow host (shift > 1) must be
+    deflated by the current shift before the band comparison — otherwise
+    pure host oscillation the band exists to absorb would hard-flag."""
+    d = str(tmp_path)
+    # the r8 shape: the baseline run caught the query at its band MINIMUM
+    _write(d, "BENCH_r07.json",
+           {"sf": 0.1, "calibration_s": 0.2, "queries": {"q_n": 0.95}})
+    history = [
+        {"sf": 0.1, "calibration_s": 0.2, "host_shift": 1.0, "queries": {"q_n": 0.95}},
+        {"sf": 0.1, "calibration_s": 0.19, "host_shift": 1.0, "queries": {"q_n": 1.3}},
+        {"sf": 0.1, "calibration_s": 0.18, "host_shift": 1.0, "queries": {"q_n": 1.05}},
+    ]
+    _write(d, "BENCH_HISTORY.jsonl", history)
+    # raw 1.75 on a 1.4x host clears the shifted flag threshold
+    # (0.95 * 1.4 * 1.15 = 1.53) but deflates to 1.25, inside the
+    # settled 0.95-1.3 band — oscillation, not a flag. Comparing the RAW
+    # reading against the normalized band would have hard-flagged it.
+    band_out: dict = {}
+    flags = find_regressions({"q_n": 1.75}, 0.1, 1.4, here=d, band_out=band_out)
+    assert flags == {}, flags
+    assert "q_n" in band_out
+
+
+def test_band_drops_values_older_than_code_change(tmp_path):
+    """ADVICE r9 #2: the 6-row band window can still contain rows that
+    predate a prior round's optimization of a query, so a regression that
+    reverts the optimization back to old-code speed would sit inside the
+    stale band and be suppressed as oscillation. Rows now record their
+    run's code-changed set, and a query's band starts at its most recent
+    change row."""
+    d = str(tmp_path)
+    _write(d, "BENCH_r07.json",
+           {"sf": 0.1, "calibration_s": 0.2, "queries": {"q_opt": 1.0}})
+    history = [
+        # old-code rows (pre-optimization): 2.0-2.1 s
+        {"sf": 0.1, "calibration_s": 0.2, "code_changed": [], "queries": {"q_opt": 2.0}},
+        {"sf": 0.1, "calibration_s": 0.19, "code_changed": [], "queries": {"q_opt": 2.1}},
+        {"sf": 0.1, "calibration_s": 0.18, "code_changed": [], "queries": {"q_opt": 2.05}},
+        # the optimization round: this row measured the NEW code
+        {"sf": 0.1, "calibration_s": 0.2, "code_changed": ["q_opt"], "queries": {"q_opt": 1.0}},
+        {"sf": 0.1, "calibration_s": 0.19, "code_changed": [], "queries": {"q_opt": 1.25}},
+        {"sf": 0.1, "calibration_s": 0.2, "code_changed": [], "queries": {"q_opt": 1.04}},
+    ]
+    _write(d, "BENCH_HISTORY.jsonl", history)
+    # a revert to old-code speed must hard-flag — the stale 2.1 ceiling
+    # is not evidence for the post-change code
+    flags = find_regressions({"q_opt": 2.0}, 0.1, 1.0, here=d)
+    assert sorted(flags) == ["q_opt"], flags
+    # post-change oscillation inside the fresh (post-change) band stays
+    # suppressed — the reset keeps the new-code rows as evidence
+    band_out: dict = {}
+    flags = find_regressions({"q_opt": 1.2}, 0.1, 1.0, here=d, band_out=band_out)
+    assert flags == {}, flags
+    assert band_out["q_opt"]["band_hi"] <= 1.25 + 1e-9, band_out
+
+
+def test_band_skips_legacy_rows_for_pre_log_changed_queries(tmp_path):
+    """Rows written before code-change recording existed cannot be
+    classified pre- or post-change; for queries whose last change
+    predates the recording (_BAND_PRE_LOG_CHANGED) they contribute no
+    band evidence — fail-closed: the revert scenario hard-flags."""
+    import bench as bench_mod
+
+    assert "kmeans_train" in bench_mod._BAND_PRE_LOG_CHANGED
+    d = str(tmp_path)
+    _write(d, "BENCH_r07.json",
+           {"sf": 0.1, "calibration_s": 0.2, "queries": {"kmeans_train": 1.766}})
+    history = [  # legacy rows (no code_changed key) at pre-rewrite speed
+        {"sf": 0.1, "calibration_s": 0.2, "queries": {"kmeans_train": 5.0}},
+        {"sf": 0.1, "calibration_s": 0.19, "queries": {"kmeans_train": 5.5}},
+        {"sf": 0.1, "calibration_s": 0.18, "queries": {"kmeans_train": 5.2}},
+        {"sf": 0.1, "calibration_s": 0.2, "queries": {"kmeans_train": 5.1}},
+    ]
+    _write(d, "BENCH_HISTORY.jsonl", history)
+    flags = find_regressions({"kmeans_train": 5.2}, 0.1, 1.0, here=d)
+    assert sorted(flags) == ["kmeans_train"], (
+        "legacy pre-change rows must not band-absorb an optimization revert",
+        flags,
+    )
+
+
+def test_uniform_regression_flags_end_to_end(tmp_path):
+    """VERDICT r9 #6, the adversarial probe of the band machinery itself:
+    a SYNTHETIC genuine 1.5x uniform slowdown must survive the WHOLE
+    guard chain — shift computation with all probe axes baselined and
+    flat (median excluded), band lookup against settled history — and
+    produce non-empty regressions. Second variant: a mild REAL 1.06 host
+    shift admits the residual-capped median, and the cap must preserve
+    detection (1.5 > 1.219 * 1.15)."""
+    d = str(tmp_path)
+    names = [f"q{i}" for i in range(10)]
+    _write(d, "BENCH_r07.json",
+           {"sf": 0.1, "calibration_s": 0.2,
+            "queries": {n: 1.0 for n in names}})
+    history = [
+        {"sf": 0.1, "calibration_s": 0.2, "host_shift": 1.0,
+         "queries": {n: v for n in names}}
+        for v in (0.95, 1.0, 1.05)
+    ]
+    _write(d, "BENCH_HISTORY.jsonl", history)
+    now = {n: 1.5 for n in names}
+    # variant 1: flat probes, every axis baselined -> shift stays 1.0
+    detail: dict = {}
+    shift = host_shift_factor(
+        dict(now), {n: 1.0 for n in names}, 0.1, 0.1,
+        serial_now=1.0, serial_prev=1.0,
+        python_now=1.0, python_prev=1.0,
+        detail=detail,
+    )
+    assert shift == 1.0, (shift, detail)
+    flags = find_regressions(dict(now), 0.1, shift, here=d)
+    assert sorted(flags) == sorted(names), flags
+    # variant 2: a real 1.06 serial drift -> residual-capped median joins,
+    # shift <= 1.22, and the uniform 1.5x still clears 1.22 * 1.15
+    detail = {}
+    shift = host_shift_factor(
+        dict(now), {n: 1.0 for n in names}, 0.1, 0.1,
+        serial_now=1.06, serial_prev=1.0,
+        python_now=1.0, python_prev=1.0,
+        detail=detail,
+    )
+    assert shift <= 1.22, (shift, detail)
+    flags = find_regressions(dict(now), 0.1, shift, here=d)
+    assert sorted(flags) == sorted(names), flags
+
+
+def test_fanout_below_floor_flags(tmp_path):
+    """VERDICT r9 #2: the fan-out per-sub rate gets the same floor-band
+    machinery as every other metric — a dip above the committed floor is
+    within_band evidence, below the committed floor it hard-flags."""
+    d = str(tmp_path)
+    _write(d, "BENCH_r09.json",
+           {"sf": 0.1, "calibration_s": 0.2,
+            "queries": {"q_head": 1.0},
+            "extras": {"delivery_fanout_events_per_sec": 26514.0}})
+    history = [
+        {"sf": 0.1, "calibration_s": 0.2, "host_shift": 1.0,
+         "queries": {"q_head": 1.0},
+         "extras": {"delivery_fanout_events_per_sec": v}}
+        for v in (17566.0, 26514.0, 11600.0)
+    ]
+    _write(d, "BENCH_HISTORY.jsonl", history)
+    # 15000/sub: >1.15x below the 26514 baseline but above the 11600
+    # committed floor -> oscillation evidence, not a flag
+    band_out: dict = {}
+    flags = find_regressions(
+        {"delivery_fanout_events_per_sec": 15000.0}, 0.1, 1.0,
+        here=d, band_out=band_out,
+    )
+    assert flags == {}, flags
+    assert band_out["delivery_fanout_events_per_sec"]["band_lo"] == 11600.0
+    # below the committed floor -> hard flag
+    flags = find_regressions(
+        {"delivery_fanout_events_per_sec": 9000.0}, 0.1, 1.0, here=d
+    )
+    assert sorted(flags) == ["delivery_fanout_events_per_sec"], flags
+
+
+def test_fanout_burst_selection_excludes_warmup():
+    """The fan-out warmup burst absorbs first-tick costs and must never
+    set the headline rate — even when it is the fastest or the only
+    complete burst."""
+    from bench import pick_burst
+
+    warm = {"warmup": True, "complete": True, "events_per_sec_per_sub": 99999.0, "sec": 0.1}
+    slow = {"warmup": False, "complete": True, "events_per_sec_per_sub": 17000.0, "sec": 1.2}
+    fast = {"warmup": False, "complete": True, "events_per_sec_per_sub": 24000.0, "sec": 0.8}
+    assert pick_burst([warm, slow, fast]) is fast
+    # no complete measured burst: best PARTIAL measured rate, never the
+    # warmup, never a fabricated zero
+    p1 = {"warmup": False, "complete": False, "events_per_sec_per_sub": 9000.0, "sec": 2.0}
+    p2 = {"warmup": False, "complete": False, "events_per_sec_per_sub": 12000.0, "sec": 1.5}
+    assert pick_burst([warm, p1, p2]) is p2
 
 
 def test_band_excludes_self_flagged_values(tmp_path):

@@ -236,3 +236,20 @@ def test_backfill_interleaved_with_live_compaction(spark, tmp_path, normalized):
     times = [t_ for t_, _ in got]
     assert times == sorted(times), "delivery order broke under compaction"
     assert len(set(times)) == len(times)
+
+
+def test_swap_retryable_matches_error_class_and_java_shapes():
+    """ADVICE r9 #4: the mid-swap retry must recognize BOTH the Java
+    exception name and Spark's structured error-class markers — a Spark
+    bump that surfaces the task failure as FAILED_READ_FILE.FILE_NOT_EXIST
+    without the Java class name in str(e) must not silently stop the
+    compaction-swap retry (live consumers would crash on a transient
+    race). Genuine planning errors stay non-retryable."""
+    retryable = eventlog._is_swap_retryable
+    assert retryable("java.io.FileNotFoundException: File file:/x/part-0 does not exist")
+    assert retryable("It is possible the underlying files have been updated.")
+    assert retryable("[FAILED_READ_FILE.FILE_NOT_EXIST] Error while reading file ...")
+    assert retryable("FILE_NOT_EXIST")
+    # not swap shapes: virgin/missing dir and arbitrary analysis errors
+    assert not retryable("[PATH_NOT_FOUND] Path does not exist: file:/x/log")
+    assert not retryable("[UNRESOLVED_COLUMN] A column cannot be resolved")
