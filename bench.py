@@ -25,13 +25,16 @@ regression. A flag is dispositioned in three steps:
      silently dropped. Code-changed queries skip this step: they always
      hard-flag.
   3. SETTLED A/B: a flag that survives 1-2 is attributed by a worktree
-     A/B against the last official commit (tools/probe_queries.py, the
-     BENCH_AB_r09.json protocol): check out the baseline commit in a
-     worktree, run the flagged queries alternately HEAD/baseline/HEAD in
-     the SAME measurement windows on a settled host. Engine regression
-     := HEAD measurably slower than byte-identical old code side-by-side;
-     if the old code is slow too, it is the host, and the flag is
-     cleared with the A/B file as committed evidence.
+     A/B against the last official commit — mechanized as
+     `python tools/probe_queries.py --ab <commit> <queries...>` (the
+     executed BENCH_AB_r09.json protocol): the baseline commit is
+     checked out into a worktree, the CURRENT probe tool is copied in
+     (identical measurement bytes both sides), and alternating
+     HEAD/baseline windows run as fresh processes across the same span
+     of host weather. Engine regression := the HEAD floor across its
+     windows > 1.15x the baseline floor (ab_verdict); if the old code's
+     floor is just as slow, it is the host, and the flag is cleared
+     with the A/B JSON as committed evidence.
 
 tests/test_bench_guard.py pins steps 1-2 (the r8 six-flag shape, band
 direction/exclusion rules, the uniform-1.5x adversarial probe) and the

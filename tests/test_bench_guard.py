@@ -696,6 +696,35 @@ def test_fanout_burst_selection_excludes_warmup():
     assert pick_burst([warm, p1, p2]) is p2
 
 
+def test_ab_verdict_attributes_engine_vs_host():
+    """PROTOCOL step 3's attribution rule (tools/probe_queries.py --ab):
+    min-of-windows on both sides, engine regression iff the HEAD floor is
+    >1.15x the baseline floor. The r9 shape: identical old code slow in
+    one window (host burst) must NOT convict HEAD when another baseline
+    window was fast; a HEAD that is slow in EVERY window while the
+    baseline floor stays low is the engine."""
+    from tools.probe_queries import ab_verdict
+
+    windows = {
+        "W1_head": {"side": "head", "queries": {"q_host": 1.2, "q_eng": 2.0}},
+        "W2_baseline": {"side": "base", "queries": {"q_host": 1.25, "q_eng": 1.0}},
+        "W3_head": {"side": "head", "queries": {"q_host": 0.95, "q_eng": 2.1}},
+        "W4_baseline": {"side": "base", "queries": {"q_host": 0.9, "q_eng": 1.05}},
+    }
+    v = ab_verdict(windows)
+    # q_host: both sides oscillate together; floors 0.95 vs 0.9 -> host
+    assert not v["q_host"]["engine_regression"], v
+    # q_eng: head floor 2.0 vs baseline floor 1.0 -> engine
+    assert v["q_eng"]["engine_regression"], v
+    assert v["q_eng"]["ratio"] == 2.0
+    # boundary: exactly at the factor does not convict
+    at = ab_verdict({
+        "W1": {"side": "head", "queries": {"q": 1.15}},
+        "W2": {"side": "base", "queries": {"q": 1.0}},
+    })
+    assert not at["q"]["engine_regression"], at
+
+
 def test_band_excludes_self_flagged_values(tmp_path):
     """A value a run ITSELF flagged must not become band evidence — else
     a genuine regression's first flagged run poisons the band and the

@@ -5,6 +5,7 @@ committed evidence").
 
 Usage:
     python tools/probe_queries.py [--sf-dir DIR] [--runs N] [--sf1] q1 q2 ...
+    python tools/probe_queries.py --ab COMMIT [--windows N] q1 q2 ...
 
 --sf1 scales the base dir 10x first (bench.ensure_scaled_sf1) and probes
 against the replica corpus — for sf1-variance attribution runs
@@ -13,6 +14,18 @@ against the replica corpus — for sf1-variance attribution runs
 Each query is preceded by a block-store release so it measures a clean
 session (the bench's clean-retest discipline); calibration probes run
 LAST so they sample the same host window the queries did.
+
+--ab mechanizes STEP 3 of the bench PROTOCOL (bench.py docstring): the
+settled worktree A/B that dispositions a flag surviving the in-run
+retest and the band check. It checks COMMIT out into a git worktree,
+copies THIS probe tool into it (identical measurement bytes on both
+sides), and runs alternating probe windows — HEAD, baseline, HEAD, ... —
+each in its own fresh process/JVM, so both code versions are sampled
+across the same span of host weather. Verdict per query: engine
+regression iff min(HEAD windows) > 1.15 x min(baseline windows); if the
+baseline code is slow too, it was the host. Output is one JSON document
+in the BENCH_AB_r09.json shape — redirect it to BENCH_AB_r{N}.json as
+the committed evidence.
 """
 
 from __future__ import annotations
@@ -26,6 +39,108 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+AB_FACTOR = 1.15  # same threshold as the bench regression guard
+
+
+def ab_verdict(windows: dict, factor: float = AB_FACTOR) -> dict:
+    """Pure attribution rule over alternating A/B probe windows (PROTOCOL
+    step 3): per query, engine regression iff the best HEAD sample across
+    all HEAD windows is more than ``factor`` slower than the best
+    baseline sample across all baseline windows. Min-of-windows on BOTH
+    sides: host bursts inflate individual windows, and both sides sampled
+    the same span of host weather, so comparing the two floors isolates
+    the code difference. If the baseline floor is just as slow, it was
+    the host, not the engine."""
+    head_best: dict[str, float] = {}
+    base_best: dict[str, float] = {}
+    for w in windows.values():
+        tgt = head_best if w.get("side") == "head" else base_best
+        for q, v in (w.get("queries") or {}).items():
+            if isinstance(v, (int, float)):
+                tgt[q] = min(float(v), tgt.get(q, float("inf")))
+    verdict: dict = {}
+    for q in sorted(set(head_best) & set(base_best)):
+        ratio = round(head_best[q] / base_best[q], 3) if base_best[q] > 0 else None
+        verdict[q] = {
+            "head_best": head_best[q],
+            "baseline_best": base_best[q],
+            "ratio": ratio,
+            "engine_regression": bool(ratio is not None and ratio > factor),
+        }
+    return verdict
+
+
+def _run_window(tree: str, queries: list[str], sf_dir: str, runs: int) -> dict:
+    """One probe window in its own process/JVM rooted at ``tree`` (the
+    tool copy inside that tree imports that tree's engine)."""
+    import subprocess
+
+    cmd = [
+        sys.executable,
+        os.path.join(tree, "tools", "probe_queries.py"),
+        "--sf-dir",
+        sf_dir,
+        "--runs",
+        str(runs),
+        *queries,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=tree)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"probe window failed in {tree}: {proc.stderr.strip().splitlines()[-5:]}"
+        )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def run_ab(args) -> int:
+    """The mechanized settled-host worktree A/B (PROTOCOL step 3)."""
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def git(*a: str) -> str:
+        return subprocess.run(
+            ["git", *a], cwd=repo, capture_output=True, text=True, check=True
+        ).stdout.strip()
+
+    base_sha = git("rev-parse", "--short", args.ab)
+    head_sha = git("rev-parse", "--short", "HEAD")
+    tree = os.path.join("/tmp", f"jetstream_ab_{base_sha}")
+    if not os.path.isdir(tree):
+        git("worktree", "add", "--detach", tree, args.ab)
+    # identical measurement bytes on both sides: the CURRENT tool is
+    # copied over the baseline checkout's copy (old commits may predate
+    # protocol fixes, or the tool itself)
+    os.makedirs(os.path.join(tree, "tools"), exist_ok=True)
+    shutil.copy2(os.path.abspath(__file__), os.path.join(tree, "tools", "probe_queries.py"))
+
+    windows: dict = {}
+    sides = ["head", "base"] * ((args.windows + 1) // 2)
+    for i, side in enumerate(sides[: args.windows], start=1):
+        name = f"W{i}_{'head' if side == 'head' else 'baseline'}"
+        print(f"[ab] window {name}", file=sys.stderr, flush=True)
+        w = _run_window(repo if side == "head" else tree, args.queries, args.sf_dir, args.runs)
+        w["side"] = side
+        windows[name] = w
+    out = {
+        "purpose": (
+            "PROTOCOL step 3 (bench.py): settled-host worktree A/B — "
+            "alternating HEAD/baseline probe windows, each a fresh "
+            "process/JVM with session warmup + min-of-N + block-store "
+            "release, sampling the same span of host weather. Engine "
+            f"regression iff head floor > {AB_FACTOR} x baseline floor."
+        ),
+        "head_commit": head_sha,
+        "baseline_commit": base_sha,
+        "worktree": tree,
+        "windows": windows,
+        "verdict": ab_verdict(windows),
+    }
+    print(json.dumps(out, indent=1, sort_keys=True))
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
@@ -33,7 +148,11 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf1", action="store_true")
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--ab", metavar="COMMIT", help="worktree A/B against COMMIT (PROTOCOL step 3)")
+    ap.add_argument("--windows", type=int, default=4, help="alternating A/B windows (--ab only)")
     args = ap.parse_args()
+    if args.ab:
+        return run_ab(args)
 
     import bench
     from jetstream_spark.queries import all_queries
