@@ -106,6 +106,9 @@ def run_ab(args) -> int:
 
     base_sha = git("rev-parse", "--short", args.ab)
     head_sha = git("rev-parse", "--short", "HEAD")
+    # the head windows measure the WORKING TREE — evidence must say when
+    # that tree differs from the commit it names
+    head_dirty = bool(git("status", "--porcelain", "--untracked-files=no"))
     tree = os.path.join("/tmp", f"jetstream_ab_{base_sha}")
     if not os.path.isdir(tree):
         git("worktree", "add", "--detach", tree, args.ab)
@@ -132,6 +135,7 @@ def run_ab(args) -> int:
             f"regression iff head floor > {AB_FACTOR} x baseline floor."
         ),
         "head_commit": head_sha,
+        "head_uncommitted_changes": head_dirty,
         "baseline_commit": base_sha,
         "worktree": tree,
         "windows": windows,
