@@ -382,14 +382,26 @@ def compact_bucket(
     aside = os.path.join(log_dir, f"_compact_old_{bucket}")
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(aside, ignore_errors=True)
-    (
-        spark.read.parquet(part)
-        .coalesce(target_files)
-        .sortWithinPartitions("time_us")
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    os.rename(part, aside)
+    try:
+        (
+            spark.read.parquet(part)
+            .coalesce(target_files)
+            .sortWithinPartitions("time_us")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(part, aside)
+    except Exception as e:
+        # A concurrent TTL trim may legally delete this partition at any
+        # point before the swap lands (trim and compaction are independent
+        # maintenance loops over the same buckets at scale): expired data
+        # vanishing mid-compaction is a no-op compaction, not an error.
+        # Anything else (part still present and not a plain missing-dir
+        # rename failure) is a real failure and propagates.
+        if os.path.isdir(part) and not isinstance(e, FileNotFoundError):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+        return 0
     os.rename(tmp, part)
     shutil.rmtree(aside)
     # drop the session FileStatusCache entries for the swapped partition:
@@ -405,16 +417,40 @@ def trim_events(spark: SparkSession, log_dir: str, now_us: int, ttl_us: int = DE
     the partition-drop analogue of Pebble's DeleteRange (persist.go:130, P9).
     Only FULLY expired buckets are dropped (bucket end < cutoff), matching
     the reference's conservative key-range bound. Returns #partitions dropped.
+
+    Compaction leftovers of expired buckets are trimmed too: a crash
+    mid-swap leaves the bucket's data under `_compact_old_{b}` (which
+    recover_compaction would rename BACK into the live log — resurrecting
+    expired events forever if trim ignored it), and an abandoned
+    `_compact_tmp_{b}` stage holds a full expired copy on disk. An aside
+    WITHOUT a live partition is the partition (counted in the return);
+    an aside alongside a live partition is a duplicate copy (removed,
+    not counted). One known benign window remains: a bucket that is
+    renamed aside DURING this listdir and swapped back in by a live
+    compactor survives this pass and is dropped by the next one.
     """
     cutoff_bucket = (now_us - ttl_us) // US_PER_HOUR  # buckets < this are fully expired
     dropped = 0
     if not os.path.isdir(log_dir):
         return 0
-    for entry in os.listdir(log_dir):
-        if not entry.startswith("hour_bucket="):
+    entries = os.listdir(log_dir)  # one snapshot: live-presence below must
+    # not observe this loop's own removals (live + expired aside would
+    # double-count the same partition depending on listing order)
+    live = {e.split("=", 1)[1] for e in entries if e.startswith("hour_bucket=")}
+    for entry in entries:
+        if entry.startswith("hour_bucket="):
+            bucket_s, counted = entry.split("=", 1)[1], True
+        elif entry.startswith("_compact_old_"):
+            bucket_s = entry[len("_compact_old_"):]
+            # only the data copy counts as a dropped partition
+            counted = bucket_s not in live
+        elif entry.startswith("_compact_tmp_"):
+            bucket_s, counted = entry[len("_compact_tmp_"):], False
+        else:
             continue
-        bucket = int(entry.split("=", 1)[1])
-        if bucket < cutoff_bucket:
-            shutil.rmtree(os.path.join(log_dir, entry))
-            dropped += 1
+        if not bucket_s.lstrip("-").isdigit():
+            continue
+        if int(bucket_s) < cutoff_bucket:
+            shutil.rmtree(os.path.join(log_dir, entry), ignore_errors=True)
+            dropped += counted
     return dropped

@@ -111,6 +111,11 @@ class LiveTailHub:
         tick = (
             self.spark.readStream.schema("time_us bigint, hour_bucket bigint")
             .option("maxFilesPerTrigger", 1000)
+            # same contract as start_subscription's tick: the heartbeat
+            # must not die on files a TTL trim removed between listing and
+            # read — delivery correctness lives in the seq-guarded replay
+            # re-read (_on_tick), not in this stream's contents
+            .option("ignoreMissingFiles", "true")
             .parquet(self.log_dir)
         )
         self._query = (

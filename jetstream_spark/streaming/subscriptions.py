@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from jetstream_spark.atproto.log import apply_subscription_filters
 from jetstream_spark.atproto.subscribe import Subscription
 from jetstream_spark.atproto.wire import to_wire
 
@@ -116,38 +115,6 @@ def backfill(
     return delivered
 
 
-def live_stream(
-    spark: SparkSession,
-    log_dir: str,
-    sub: Subscription,
-    max_files_per_trigger: int = 100,
-) -> DataFrame:
-    """The live tail: stream new log files as they are committed, with the
-    subscriber's filter stack + monotonic guard. One shared upstream
-    (the log) serves every subscriber — serialize-once (P3) holds because
-    to_wire is computed from the stored envelope, not per subscriber."""
-    stream = (
-        spark.readStream.schema(
-            "did string, time_us bigint, type string, "
-            "commit struct<rev:string,type:string,collection:string,rkey:string,record:string,cid:string>, "
-            "account struct<active:boolean,did:string,seq:bigint,time:string,status:string>, "
-            "identity struct<did:string,handle:string,seq:bigint,time:string>, "
-            "hour_bucket bigint"
-        )
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(log_dir)
-        .drop("hour_bucket")
-    )
-    filtered = apply_subscription_filters(
-        stream,
-        sub.wanted_collections or None,
-        sub.wanted_dids or None,
-    )
-    # S18 monotonic guard: drop anything at or below the replay watermark
-    filtered = filtered.where(F.col("time_us") > F.lit(sub.seq))
-    return to_wire(filtered)
-
-
 def start_subscription(
     spark: SparkSession,
     log_dir: str,
@@ -187,10 +154,19 @@ def start_subscription(
         )
     pacer = ReplayPacer(rate_per_s)  # shared across ticks: one contract per subscriber
     # minimal tick stream: only new-file arrival matters, so read just the
-    # cheapest column — the delivery query below re-reads with pruning
+    # cheapest column — the delivery query below re-reads with pruning.
+    # ignoreMissingFiles: the tick's FIRST trigger lists every existing
+    # file, so a TTL trim landing between that listing and the read would
+    # otherwise kill the subscriber's query over data nobody reads (the
+    # tick is a heartbeat; delivery is the seq-guarded replay re-read in
+    # handle). Deliberately NOT set on the replay/backfill batch reads:
+    # there a vanished file can be a mid-compaction swap whose data lives
+    # on at the aside copy, and silently skipping it would lose events —
+    # the replay_rows re-plan retry is the correct tool on that path.
     tick = (
         spark.readStream.schema("time_us bigint, hour_bucket bigint")
         .option("maxFilesPerTrigger", 1000)
+        .option("ignoreMissingFiles", "true")
         .parquet(log_dir)
     )
 

@@ -1,0 +1,258 @@
+"""TTL trim (S13) racing the other maintenance and read paths.
+
+trim_events drops whole hour-partition directories; at 100 TB retention
+runs continuously while replay consumers drain the log and the compactor
+rewrites buckets, so three races are routine and must be pinned
+deterministically (same discipline as test_log_compaction_concurrent):
+
+  1. reader vs trim — a replay frame listed BEFORE the trim collects
+     AFTER it: the task-time FileNotFound must be absorbed by the same
+     re-plan retry the compaction swap uses, and the rebuilt frame
+     legally serves only the surviving (unexpired) buckets. Vanishing
+     expired events are TTL semantics, not data loss (the reference's
+     analogue: a Pebble DeleteRange landing under a replay iterator,
+     persist.go:120-137).
+  2. compactor vs trim — trim deletes the partition between the
+     compactor's staged rewrite and its rename-aside: compaction of a
+     just-expired bucket is a no-op, never a crash.
+  3. crash leftovers vs trim — a mid-swap crash parks the bucket's only
+     copy at `_compact_old_{b}`; if trim ignored it, recover_compaction
+     would rename expired data BACK into the live log forever.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from jetstream_spark.atproto import log as eventlog
+from jetstream_spark.atproto.log import US_PER_HOUR
+from jetstream_spark.atproto.normalize import normalize_frames
+from jetstream_spark.atproto.schema import RAW_FRAME_SCHEMA
+from jetstream_spark.atproto.subscribe import Subscription
+from jetstream_spark.streaming.subscriptions import backfill
+from tests.fixtures import make_frames
+
+
+@pytest.fixture(scope="module")
+def normalized(spark):
+    return normalize_frames(
+        spark.createDataFrame(make_frames(), schema=RAW_FRAME_SCHEMA)
+    ).cache()
+
+
+def _mk_hourly_log(spark, tmp_path, normalized, n_hours=3) -> str:
+    """One ingested batch per hour bucket, so trim has real bucket
+    boundaries to cut at."""
+    log_dir = str(tmp_path / "log")
+    for b in range(n_hours):
+        eventlog.ingest_batch(
+            normalized, log_dir, wall_clock_us=b * US_PER_HOUR + 1_000, batch_id=b
+        )
+        eventlog.mark_batch_done(log_dir, b)
+    return log_dir
+
+
+def _keys(rows) -> list:
+    return sorted((r["time_us"], r["did"]) for r in rows)
+
+
+def test_backfill_survives_concurrent_ttl_trim(spark, tmp_path, normalized):
+    """Race 1, pinned deterministically: the first replay frame the
+    consumer builds gets a TTL trim injected right after its file
+    listing, so its collect fails task-time on the vanished bucket-0
+    files. The retry must rebuild with a fresh listing and the consumer
+    must finish with exactly the surviving buckets' events, in order,
+    without crashing."""
+    log_dir = _mk_hourly_log(spark, tmp_path, normalized)
+    all_keys = _keys(eventlog.replay(spark, log_dir).collect())
+    surviving = [k for k in all_keys if k[0] >= US_PER_HOUR]  # buckets 1..2
+    assert surviving and len(surviving) < len(all_keys)
+
+    real_replay = eventlog.replay
+    trimmed: list = []
+
+    def racy_replay(spark_, log_dir_, **kw):
+        df = real_replay(spark_, log_dir_, **kw)
+        if not trimmed:  # first frame only: trim lands AFTER its listing
+            trimmed.append(
+                eventlog.trim_events(
+                    spark, log_dir, now_us=US_PER_HOUR + eventlog.DEFAULT_TTL_US
+                )
+            )
+        return df
+
+    delivered: list = []
+    eventlog.replay = racy_replay
+    try:
+        n = backfill(
+            spark,
+            log_dir,
+            Subscription(cursor=0),
+            server_head_us=lambda: 10**15,  # never "caught up" early: drain to empty
+            deliver=lambda rows: delivered.extend(rows),
+            max_rounds=1000,
+            batch_limit=7,
+            rate_per_s=1e9,
+        )
+    finally:
+        eventlog.replay = real_replay
+
+    assert trimmed == [1], "the race was never injected (or trimmed != bucket 0)"
+    got = [(r["time_us"], r["did"]) for r in delivered]
+    assert sorted(got) == surviving, "lost surviving events or resurrected expired ones"
+    times = [t for t, _ in got]
+    assert times == sorted(times), "delivery order broke across the trim"
+    assert n == len(surviving)
+
+
+def test_live_subscription_survives_ttl_trim_between_ticks(spark, tmp_path, normalized):
+    """Race 1 on the live-tail path: a subscriber attached to the log keeps
+    delivering across a TTL trim of already-delivered buckets — the tick
+    stream must not die on vanished files (ignoreMissingFiles: the tick is
+    a heartbeat, delivery is the seq-guarded replay re-read), and events
+    ingested AFTER the trim must still arrive complete and in order."""
+    from jetstream_spark.streaming.subscriptions import start_subscription
+
+    log_dir = _mk_hourly_log(spark, tmp_path, normalized)
+    all_keys = _keys(eventlog.replay(spark, log_dir).collect())
+
+    delivered: list = []
+    sub = Subscription()  # cursor=None: live tail from seq 0
+    q = start_subscription(
+        spark,
+        log_dir,
+        sub,
+        server_head_us=lambda: 0,
+        deliver=lambda rows: delivered.extend(rows),
+        checkpoint_dir=str(tmp_path / "subckpt"),
+        batch_limit=7,
+        rate_per_s=1e9,
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None, q.exception()
+        assert len(delivered) == len(all_keys)
+
+        # TTL trim drops bucket 0 while the subscriber stays attached,
+        # then a fresh batch lands in a new bucket
+        assert eventlog.trim_events(
+            spark, log_dir, now_us=US_PER_HOUR + eventlog.DEFAULT_TTL_US
+        ) == 1
+        eventlog.ingest_batch(
+            normalized, log_dir, wall_clock_us=3 * US_PER_HOUR + 1_000, batch_id=9
+        )
+        eventlog.mark_batch_done(log_dir, 9)
+        q.processAllAvailable()
+        assert q.exception() is None, f"subscription died across the trim: {q.exception()}"
+    finally:
+        q.stop()
+
+    new_keys = [
+        k
+        for k in _keys(eventlog.replay(spark, log_dir).collect())
+        if k[0] >= 3 * US_PER_HOUR
+    ]
+    assert new_keys
+    got = [(r["time_us"], r["did"]) for r in delivered]
+    assert sorted(got) == sorted(all_keys + new_keys), (
+        "post-trim deliveries incomplete or duplicated"
+    )
+    times = [t for t, _ in got]
+    assert times == sorted(times), "delivery order broke across the trim"
+
+
+def test_compact_bucket_tolerates_concurrent_trim(spark, tmp_path, normalized, monkeypatch):
+    """Race 2, pinned deterministically: the trim wins the window between
+    compact_bucket's staged rewrite and its rename-aside. Compaction must
+    report a no-op (0), leave no `_compact_*` litter, and leave the
+    surviving buckets readable."""
+    log_dir = _mk_hourly_log(spark, tmp_path, normalized)
+    # fragment bucket 0 so compaction has work to do
+    eventlog.ingest_batch(normalized, log_dir, wall_clock_us=2_000, batch_id=7)
+    eventlog.mark_batch_done(log_dir, 7)
+    part = os.path.join(log_dir, "hour_bucket=0")
+    assert len(os.listdir(part)) > 1
+    surviving = _keys(
+        eventlog.replay(spark, log_dir).where(f"time_us >= {US_PER_HOUR}").collect()
+    )
+
+    real_rename = os.rename
+    injected: list = []
+
+    def racy_rename(src, dst):
+        if src == part and not injected:  # the rename-aside step
+            injected.append(
+                eventlog.trim_events(
+                    spark, log_dir, now_us=US_PER_HOUR + eventlog.DEFAULT_TTL_US
+                )
+            )
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(eventlog.os, "rename", racy_rename)
+    assert eventlog.compact_bucket(spark, log_dir, bucket=0) == 0
+    monkeypatch.undo()
+
+    assert injected == [1], "the race was never injected"
+    leftovers = [e for e in os.listdir(log_dir) if e.startswith("_compact_")]
+    assert not leftovers, leftovers
+    assert eventlog.recover_compaction(log_dir) == 0
+    assert _keys(eventlog.replay(spark, log_dir).collect()) == surviving
+
+
+def test_compact_bucket_noop_when_partition_already_trimmed(spark, tmp_path, normalized):
+    """Race 2, widest window: the bucket is gone before compaction even
+    lists it — a plain no-op, and genuine failures on a PRESENT partition
+    still propagate (the guard must not swallow real errors)."""
+    log_dir = _mk_hourly_log(spark, tmp_path, normalized)
+    shutil.rmtree(os.path.join(log_dir, "hour_bucket=0"))
+    assert eventlog.compact_bucket(spark, log_dir, bucket=0) == 0
+
+
+def test_trim_drops_expired_compaction_leftovers(spark, tmp_path, normalized):
+    """Race 3: a mid-swap crash leaves `_compact_old_0` as bucket 0's only
+    copy. Trim must count and drop it — otherwise recover_compaction
+    renames the expired data back into the live log."""
+    log_dir = _mk_hourly_log(spark, tmp_path, normalized)
+    part = os.path.join(log_dir, "hour_bucket=0")
+    os.rename(part, os.path.join(log_dir, "_compact_old_0"))  # crash between renames
+    # an abandoned stage of the same expired bucket: removed, not counted
+    os.makedirs(os.path.join(log_dir, "_compact_tmp_0"))
+
+    dropped = eventlog.trim_events(
+        spark, log_dir, now_us=US_PER_HOUR + eventlog.DEFAULT_TTL_US
+    )
+    assert dropped == 1  # the aside WAS the partition; the tmp stage is not
+    assert not any(e.startswith("_compact_") for e in os.listdir(log_dir))
+    assert eventlog.recover_compaction(log_dir) == 0, "expired data resurrected"
+    got = _keys(eventlog.replay(spark, log_dir).collect())
+    assert got and all(t >= US_PER_HOUR for t, _ in got)
+
+
+def test_trim_counts_live_plus_aside_once_and_keeps_unexpired(spark, tmp_path, normalized):
+    """Count integrity + conservatism: a live partition AND its expired
+    aside (post-swap crash before cleanup) are ONE partition dropped, and
+    an aside of an UNEXPIRED bucket is untouched — trim must never cut
+    ahead of the TTL line, whatever shape compaction left behind."""
+    log_dir = _mk_hourly_log(spark, tmp_path, normalized)
+    part0 = os.path.join(log_dir, "hour_bucket=0")
+    # expired bucket 0: live + aside copy (swap completed, cleanup crashed)
+    shutil.copytree(part0, os.path.join(log_dir, "_compact_old_0"))
+    # unexpired bucket 2: mid-swap crash shape — aside only
+    os.rename(
+        os.path.join(log_dir, "hour_bucket=2"), os.path.join(log_dir, "_compact_old_2")
+    )
+
+    dropped = eventlog.trim_events(
+        spark, log_dir, now_us=US_PER_HOUR + eventlog.DEFAULT_TTL_US
+    )
+    assert dropped == 1, "live+aside double-counted or unexpired aside trimmed"
+    assert not os.path.isdir(part0)
+    assert os.path.isdir(os.path.join(log_dir, "_compact_old_2"))
+    # recovery restores the unexpired bucket; the log is buckets 1..2
+    assert eventlog.recover_compaction(log_dir) == 1
+    got = _keys(eventlog.replay(spark, log_dir).collect())
+    assert got and all(t >= US_PER_HOUR for t, _ in got)
+    assert max(t for t, _ in got) >= 2 * US_PER_HOUR
