@@ -164,6 +164,69 @@ def test_live_subscription_survives_ttl_trim_between_ticks(spark, tmp_path, norm
     assert times == sorted(times), "delivery order broke across the trim"
 
 
+def test_subscription_restart_from_checkpoint_after_trim(spark, tmp_path, normalized):
+    """A subscriber that detaches, misses a TTL trim while down, and
+    reattaches from the SAME checkpoint: the file source's seen-file log
+    references files that no longer exist, and the restart must come up
+    clean and deliver exactly the events appended since (seq guard), not
+    crash on the vanished history. This is the reference's reconnect-
+    after-downtime shape (server.go:240-356 with a cursor inside the
+    retention window while older data expired)."""
+    from jetstream_spark.streaming.subscriptions import start_subscription
+
+    log_dir = _mk_hourly_log(spark, tmp_path, normalized)
+    all_keys = _keys(eventlog.replay(spark, log_dir).collect())
+    ckpt = str(tmp_path / "subckpt")
+
+    delivered: list = []
+    sub = Subscription()  # live tail from seq 0
+    q = start_subscription(
+        spark, log_dir, sub,
+        server_head_us=lambda: 0,
+        deliver=lambda rows: delivered.extend(rows),
+        checkpoint_dir=ckpt, batch_limit=7, rate_per_s=1e9,
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None, q.exception()
+    finally:
+        q.stop()
+    assert len(delivered) == len(all_keys)
+
+    # while detached: retention passes, then fresh events land
+    assert eventlog.trim_events(
+        spark, log_dir, now_us=US_PER_HOUR + eventlog.DEFAULT_TTL_US
+    ) == 1
+    eventlog.ingest_batch(
+        normalized, log_dir, wall_clock_us=3 * US_PER_HOUR + 1_000, batch_id=9
+    )
+    eventlog.mark_batch_done(log_dir, 9)
+
+    resumed: list = []
+    q2 = start_subscription(
+        spark, log_dir, sub,  # same sub: seq is the subscriber's watermark
+        server_head_us=lambda: 0,
+        deliver=lambda rows: resumed.extend(rows),
+        checkpoint_dir=ckpt, batch_limit=7, rate_per_s=1e9,
+    )
+    try:
+        q2.processAllAvailable()
+        assert q2.exception() is None, f"restart died on trimmed history: {q2.exception()}"
+    finally:
+        q2.stop()
+
+    new_keys = [
+        k
+        for k in _keys(eventlog.replay(spark, log_dir).collect())
+        if k[0] >= 3 * US_PER_HOUR
+    ]
+    assert new_keys
+    got = [(r["time_us"], r["did"]) for r in resumed]
+    assert sorted(got) == new_keys, "resumed delivery incomplete, duplicated, or resurrected"
+    times = [t for t, _ in got]
+    assert times == sorted(times)
+
+
 def test_compact_bucket_tolerates_concurrent_trim(spark, tmp_path, normalized, monkeypatch):
     """Race 2, pinned deterministically: the trim wins the window between
     compact_bucket's staged rewrite and its rename-aside. Compaction must
@@ -256,3 +319,60 @@ def test_trim_counts_live_plus_aside_once_and_keeps_unexpired(spark, tmp_path, n
     got = _keys(eventlog.replay(spark, log_dir).collect())
     assert got and all(t >= US_PER_HOUR for t, _ in got)
     assert max(t for t, _ in got) >= 2 * US_PER_HOUR
+
+
+# --- property: trim over arbitrary maintenance layouts -------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_layout = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # bucket
+        st.sampled_from(["live", "old", "tmp"]),  # entry kind
+    ),
+    min_size=0,
+    max_size=12,
+    unique=True,
+)
+
+
+@given(layout=_layout, cutoff=st.integers(min_value=0, max_value=6))
+@settings(max_examples=60, deadline=None)
+def test_trim_invariants_over_any_layout(layout, cutoff):
+    """For EVERY mix of live partitions and compaction leftovers:
+    trim removes exactly the expired entries (of all three kinds), never
+    touches an unexpired one, and its count equals the number of expired
+    PARTITIONS — a live dir, or an orphan aside standing in for one —
+    regardless of duplicates or orphan stages. trim_events takes the
+    session for interface symmetry but is filesystem-only, so this runs
+    Spark-free."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as log_dir:
+        names = {
+            "live": "hour_bucket={b}",
+            "old": "_compact_old_{b}",
+            "tmp": "_compact_tmp_{b}",
+        }
+        for b, kind in layout:
+            os.makedirs(os.path.join(log_dir, names[kind].format(b=b)))
+        live = {b for b, k in layout if k == "live"}
+        asides = {b for b, k in layout if k == "old"}
+        expired_partitions = {b for b in (live | asides) if b < cutoff}
+        # an aside shadowed by its live dir is a copy, not a partition,
+        # but either way each expired bucket with data counts exactly once
+
+        dropped = eventlog.trim_events(
+            None, log_dir, now_us=cutoff * US_PER_HOUR + eventlog.DEFAULT_TTL_US
+        )
+
+        assert dropped == len(expired_partitions)
+        left = set(os.listdir(log_dir))
+        for b, kind in layout:
+            entry = names[kind].format(b=b)
+            if b < cutoff:
+                assert entry not in left, f"expired {entry} survived"
+            else:
+                assert entry in left, f"unexpired {entry} trimmed"
