@@ -319,6 +319,88 @@ def test_trim_counts_live_plus_aside_once_and_keeps_unexpired(spark, tmp_path, n
     got = _keys(eventlog.replay(spark, log_dir).collect())
     assert got and all(t >= US_PER_HOUR for t, _ in got)
     assert max(t for t, _ in got) >= 2 * US_PER_HOUR
+def test_consumer_drains_under_trim_and_compaction_churn(spark, tmp_path, normalized):
+    """The combined maintenance soak: a cursor-paced replay consumer
+    drains a 5-bucket log while ONE maintenance thread alternates real
+    compaction (compact_bucket on surviving buckets) with an ADVANCING
+    TTL trim (buckets expire one per cycle, youngest-first order never
+    violated) plus recover_compaction sweeps. Nondeterministic by design —
+    the consumer may or may not reach a bucket before it expires — so the
+    assertions are the invariants that hold under EVERY interleaving:
+
+      * neither thread crashes;
+      * delivered events are duplicate-free and time-ordered;
+      * conservation: every event is either delivered or belonged to a
+        bucket the trim expired — maintenance can never lose an
+        UNEXPIRED event, whatever the interleaving.
+    """
+    import threading
+    import time as _time
+
+    n_hours = 5
+    log_dir = _mk_hourly_log(spark, tmp_path, normalized, n_hours=n_hours)
+    all_keys = _keys(eventlog.replay(spark, log_dir).collect())
+    by_bucket = {
+        b: {k for k in all_keys if k[0] // US_PER_HOUR == b} for b in range(n_hours)
+    }
+
+    stop = threading.Event()
+    maint_error: list = []
+    trimmed_buckets: set = set()
+
+    def maintenance():
+        try:
+            expire_next = 0
+            while not stop.is_set() and expire_next < 3:  # buckets 0-2 expire
+                for b in range(expire_next + 1, n_hours):
+                    if os.path.isdir(os.path.join(log_dir, f"hour_bucket={b}")):
+                        assert eventlog.compact_bucket(spark, log_dir, bucket=b) >= 0
+                        break
+                if eventlog.trim_events(
+                    spark,
+                    log_dir,
+                    now_us=(expire_next + 1) * US_PER_HOUR + eventlog.DEFAULT_TTL_US,
+                ):
+                    trimmed_buckets.add(expire_next)
+                    expire_next += 1
+                eventlog.recover_compaction(log_dir)
+                _time.sleep(0.8)
+        except Exception as e:
+            maint_error.append(e)
+
+    delivered: list = []
+    t = threading.Thread(target=maintenance, daemon=True)
+    t.start()
+    try:
+        _time.sleep(0.2)
+        backfill(
+            spark,
+            log_dir,
+            Subscription(cursor=0),
+            server_head_us=lambda: 10**15,
+            deliver=lambda rows: delivered.extend(rows),
+            max_rounds=1000,
+            batch_limit=7,
+            rate_per_s=1e9,
+        )
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not maint_error, maint_error
+
+    got = [(r["time_us"], r["did"]) for r in delivered]
+    assert len(set(got)) == len(got), "duplicate delivery under maintenance churn"
+    times = [t_ for t_, _ in got]
+    assert times == sorted(times), "delivery order broke under maintenance churn"
+    missed = set(all_keys) - set(got)
+    expendable = set().union(*(by_bucket[b] for b in trimmed_buckets)) if trimmed_buckets else set()
+    assert missed <= expendable, (
+        f"maintenance lost {len(missed - expendable)} UNEXPIRED events "
+        f"(trimmed buckets: {sorted(trimmed_buckets)})"
+    )
+    # the schedule guarantees at least the last two buckets never expire
+    for b in (n_hours - 2, n_hours - 1):
+        assert by_bucket[b] <= set(got), f"never-trimmed bucket {b} not fully delivered"
 
 
 # --- property: trim over arbitrary maintenance layouts -------------------------
