@@ -35,7 +35,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
 
-from jetstream_spark.atproto.log import replay
+from jetstream_spark.atproto.log import replay, replay_rows
 from jetstream_spark.atproto.sequencer import SequencerState
 from jetstream_spark.atproto.subscribe import Subscription, SubscriptionError
 from jetstream_spark.atproto.wire import to_wire
@@ -179,14 +179,24 @@ class SubscribeServer:
         return SequencerState.load(self.log_dir).last_time_us
 
     def _fetch_batch(self, sub: Subscription, limit: int) -> list:
-        df = replay(
+        # replay_rows, frame rebuilt per attempt: a compaction swap or TTL
+        # trim landing between this fetch's file listing and its collect
+        # must not drop the subscriber's connection (same contract as the
+        # hub slice loop and the subscription delivery loop; the seq
+        # watermark advances only after a delivered batch)
+        return replay_rows(
             self.spark,
             self.log_dir,
-            cursor=(sub.seq + 1) if sub.seq else sub.cursor,
-            wanted_collections=sub.wanted_collections or None,
-            wanted_dids=sub.wanted_dids or None,
+            lambda: to_wire(
+                replay(
+                    self.spark,
+                    self.log_dir,
+                    cursor=(sub.seq + 1) if sub.seq else sub.cursor,
+                    wanted_collections=sub.wanted_collections or None,
+                    wanted_dids=sub.wanted_dids or None,
+                ).limit(limit)
+            ).orderBy("time_us"),
         )
-        return to_wire(df.limit(limit)).orderBy("time_us").collect()
 
     async def _live_via_hub(self, info: "SubscriberInfo", sub: Subscription, queue: "asyncio.Queue[bytes]") -> None:
         """Attach to the shared LiveTailHub for the live phase. The hub's

@@ -32,7 +32,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from jetstream_spark.atproto.log import replay
+from jetstream_spark.atproto.log import replay, replay_rows
 from jetstream_spark.atproto.sequencer import SequencerState
 from jetstream_spark.atproto.subscribe import Subscription
 from jetstream_spark.atproto.wire import to_wire
@@ -143,8 +143,23 @@ class LiveTailHub:
             if not behind:
                 return
             lo = min(h.sub.seq for h in behind)
-            df = replay(self.spark, self.log_dir, cursor=lo + 1).where(F.col("time_us") <= hi)
-            rows = to_wire(df).orderBy("time_us").limit(self.batch_limit).collect()
+            # replay_rows, frame rebuilt per attempt: a compaction swap or
+            # TTL trim landing between this slice's file listing and its
+            # collect must not kill the ONE query every subscriber shares
+            # (same contract as the subscription path's delivery loop;
+            # watermarks advance only after a delivered slice, so the
+            # retry is exactly-once)
+            rows = replay_rows(
+                self.spark,
+                self.log_dir,
+                lambda: to_wire(
+                    replay(self.spark, self.log_dir, cursor=lo + 1).where(
+                        F.col("time_us") <= hi
+                    )
+                )
+                .orderBy("time_us")
+                .limit(self.batch_limit),
+            )
             if not rows:
                 return
             if self.on_slice is not None:

@@ -238,6 +238,45 @@ def test_backfill_interleaved_with_live_compaction(spark, tmp_path, normalized):
     assert len(set(times)) == len(times)
 
 
+def test_hub_delivery_survives_mid_slice_swap(spark, tmp_path, normalized):
+    """The shared LiveTailHub slice loop gets the same deterministic pin
+    as the per-subscriber delivery loop: a compaction swap lands right
+    after the FIRST slice frame's file listing, so its collect fails on
+    the vanished pre-swap files. The hub must retry with a rebuilt frame
+    and deliver the COMPLETE log (the swap keeps a full copy at every
+    instant) — one unretried slice here kills the single streaming query
+    every subscriber shares."""
+    from jetstream_spark.serving import hub as hubmod
+
+    log_dir = _mk_log(spark, tmp_path, normalized, n_batches=3)
+    expected = _replay_keys(spark, log_dir)
+
+    real_replay = hubmod.replay
+    swapped: list = []
+
+    def racy_replay(spark_, log_dir_, **kw):
+        df = real_replay(spark_, log_dir_, **kw)
+        if not swapped:  # first slice frame only
+            swapped.append(1)
+            _swap_cycle(spark, log_dir)
+        return df
+
+    delivered: list = []
+    hub = hubmod.LiveTailHub(spark, log_dir, str(tmp_path / "hubckpt"), batch_limit=7)
+    hubmod.replay = racy_replay
+    try:
+        # register's synchronous catch-up drives _deliver through the race
+        hub.register(Subscription(), lambda rows: delivered.extend(rows))
+    finally:
+        hubmod.replay = real_replay
+
+    assert swapped, "the race was never injected"
+    got = [(r["time_us"], r["did"]) for r in delivered]
+    assert sorted(got) == expected, "hub lost or duplicated events across the swap"
+    times = [t_ for t_, _ in got]
+    assert times == sorted(times), "hub delivery order broke across the swap"
+
+
 def test_swap_retryable_matches_error_class_and_java_shapes():
     """ADVICE r9 #4: the mid-swap retry must recognize BOTH the Java
     exception name and Spark's structured error-class markers — a Spark

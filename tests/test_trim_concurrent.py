@@ -319,6 +319,82 @@ def test_trim_counts_live_plus_aside_once_and_keeps_unexpired(spark, tmp_path, n
     got = _keys(eventlog.replay(spark, log_dir).collect())
     assert got and all(t >= US_PER_HOUR for t, _ in got)
     assert max(t for t, _ in got) >= 2 * US_PER_HOUR
+def test_hub_delivery_survives_mid_slice_trim(spark, tmp_path, normalized):
+    """Race 1 on the SHARED hub path: a TTL trim lands right after the
+    first slice frame's file listing. The hub's slice loop must absorb the
+    task-time FileNotFound via its rebuilt-frame retry and deliver exactly
+    the surviving buckets to the catching-up subscriber — a crash here
+    takes down every subscriber at once."""
+    from jetstream_spark.serving import hub as hubmod
+
+    log_dir = _mk_hourly_log(spark, tmp_path, normalized)
+    all_keys = _keys(eventlog.replay(spark, log_dir).collect())
+    surviving = [k for k in all_keys if k[0] >= US_PER_HOUR]
+
+    real_replay = hubmod.replay
+    trimmed: list = []
+
+    def racy_replay(spark_, log_dir_, **kw):
+        df = real_replay(spark_, log_dir_, **kw)
+        if not trimmed:  # first slice frame only
+            trimmed.append(
+                eventlog.trim_events(
+                    spark, log_dir, now_us=US_PER_HOUR + eventlog.DEFAULT_TTL_US
+                )
+            )
+        return df
+
+    delivered: list = []
+    hub = hubmod.LiveTailHub(spark, log_dir, str(tmp_path / "hubckpt"), batch_limit=7)
+    hubmod.replay = racy_replay
+    try:
+        hub.register(Subscription(), lambda rows: delivered.extend(rows))
+    finally:
+        hubmod.replay = real_replay
+
+    assert trimmed == [1], "the race was never injected"
+    got = [(r["time_us"], r["did"]) for r in delivered]
+    assert sorted(got) == surviving, "hub lost surviving events or resurrected expired ones"
+    times = [t for t, _ in got]
+    assert times == sorted(times)
+
+
+def test_edge_fetch_survives_mid_batch_trim(spark, tmp_path, normalized):
+    """Race 1 on the websocket edge's replay/polling path: _fetch_batch's
+    frame is listed pre-trim and collected post-trim. The retry must
+    rebuild and return the surviving events instead of dropping the
+    subscriber's connection."""
+    from jetstream_spark.serving import edge as edgemod
+
+    log_dir = _mk_hourly_log(spark, tmp_path, normalized)
+    all_keys = _keys(eventlog.replay(spark, log_dir).collect())
+    surviving = [k for k in all_keys if k[0] >= US_PER_HOUR]
+
+    real_replay = edgemod.replay
+    trimmed: list = []
+
+    def racy_replay(spark_, log_dir_, **kw):
+        df = real_replay(spark_, log_dir_, **kw)
+        if not trimmed:
+            trimmed.append(
+                eventlog.trim_events(
+                    spark, log_dir, now_us=US_PER_HOUR + eventlog.DEFAULT_TTL_US
+                )
+            )
+        return df
+
+    server = edgemod.SubscribeServer(spark, log_dir)
+    edgemod.replay = racy_replay
+    try:
+        rows = server._fetch_batch(Subscription(cursor=0), limit=len(all_keys))
+    finally:
+        edgemod.replay = real_replay
+
+    assert trimmed == [1], "the race was never injected"
+    got = sorted((r["time_us"], r["did"]) for r in rows)
+    assert got == surviving, "edge fetch lost surviving events or resurrected expired ones"
+
+
 def test_consumer_drains_under_trim_and_compaction_churn(spark, tmp_path, normalized):
     """The combined maintenance soak: a cursor-paced replay consumer
     drains a 5-bucket log while ONE maintenance thread alternates real
