@@ -96,11 +96,28 @@ def cmd_ingest(args) -> int:
         from jetstream_spark.streaming.pipeline import start_ingest
 
         q = start_ingest(spark, args.frames_dir, args.data_dir, ckpt)
+    # the reference trims expired events on a ticker INSIDE the consumer
+    # process (main.go:188-205 → persist.go TrimEvents every 15 s); the
+    # writer owns retention + sealed-bucket compaction here for the same
+    # reason — exactly one maintenance loop per log
+    maint = None
+    if args.event_ttl_hours > 0:
+        from jetstream_spark.atproto.maintenance import MaintenanceLoop
+
+        maint = MaintenanceLoop(
+            spark,
+            args.data_dir,
+            ttl_us=args.event_ttl_hours * 3_600_000_000,
+            interval_s=args.maintenance_interval,
+        ).start()
     print(f"ingesting into {args.data_dir} (checkpoint {ckpt})", flush=True)
     try:
         q.awaitTermination()
     except KeyboardInterrupt:
         q.stop()
+    finally:
+        if maint is not None:
+            maint.stop()
     return 0
 
 
@@ -455,6 +472,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--source-url", default="", help="ndjson socket transport host:port (bridge wire)")
     p.add_argument("--frames-dir", default="./frames", help="JSONL frames drop directory (bridge transport)")
     p.add_argument("--worker-count", type=int, default=8, help="source partitions (main.go --worker-count)")
+    p.add_argument(
+        "--event-ttl-hours", type=int, default=24,
+        help="standing retention: trim on a ticker like main.go:188-205 (0 disables maintenance)",
+    )
+    p.add_argument(
+        "--maintenance-interval", type=float, default=15.0,
+        help="seconds between trim/compaction ticks (main.go's 15 s)",
+    )
     p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("replay", help="print wire frames from a cursor")

@@ -217,6 +217,19 @@ def _is_swap_retryable(msg: str) -> bool:
     )
 
 
+def _is_vanished_subpath(msg: str, log_dir: str) -> bool:
+    """Planning-time maintenance race: PATH_NOT_FOUND naming a path INSIDE
+    the log dir means a partition vanished between read_log's directory
+    listing and Spark's path resolution (a TTL trim landing in that
+    window — task-time vanishing surfaces as _is_swap_retryable shapes
+    instead). Retryable: the rebuild lists fresh. PATH_NOT_FOUND for the
+    log dir itself (virgin/missing log) stays fatal — retrying would
+    delay the real error by the whole backoff budget (ADVICE r8)."""
+    if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+        return False
+    return (os.path.abspath(log_dir).rstrip(os.sep) + os.sep) in msg
+
+
 def replay_rows(
     spark: SparkSession,
     log_dir: str,
@@ -238,10 +251,13 @@ def replay_rows(
         try:
             return build().collect()
         except Exception as e:  # Py4J wraps the JVM FileNotFound
-            # retryable shapes: see _is_swap_retryable. A missing log_dir
-            # is never a swap window — compaction swaps files INSIDE an
-            # existing dir.
-            if not _is_swap_retryable(str(e)) or not os.path.isdir(log_dir):
+            # retryable shapes: task-time (_is_swap_retryable) and
+            # planning-time (_is_vanished_subpath). A missing log_dir is
+            # never a maintenance window — compaction swaps files INSIDE
+            # an existing dir and trim drops subdirectories of it.
+            msg = str(e)
+            retryable = _is_swap_retryable(msg) or _is_vanished_subpath(msg, log_dir)
+            if not retryable or not os.path.isdir(log_dir):
                 raise
             last = e
             spark.catalog.refreshByPath(log_dir)

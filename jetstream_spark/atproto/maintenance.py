@@ -1,0 +1,166 @@
+"""M-loop — the ingest process's standing retention + compaction ticker.
+
+The reference runs retention CONTINUOUSLY inside the server process: the
+liveness-checker goroutine calls TrimEvents every 15 seconds
+(cmd/jetstream/main.go:188-205 → pkg/consumer/persist.go:120-137, a
+Pebble DeleteRange over expired keys). Pebble also compacts its own LSM
+in the background, so the reference never accumulates small files. This
+engine's log needs both jobs made explicit:
+
+  * TRIM — drop hour partitions (and expired compaction leftovers) past
+    the TTL (log.trim_events, the DeleteRange analogue);
+  * COMPACT — rewrite SEALED fragmented hour buckets (every micro-batch
+    appends a file; a day of 5 s batches is 17k files/partition at scale)
+    into few time-sorted files (log.compact_bucket, the LSM-compaction
+    analogue). At most one bucket per tick, so a compaction backlog can
+    never starve retention.
+
+The loop is safe to run beside live readers and the ingest writer: trim
+vs reader/compactor races and compaction-swap vs reader races are each
+absorbed by the engine (replay_rows' rebuilt-frame retry, read_log's
+aside-fallback, compact_bucket's vanished-partition no-op — pinned in
+tests/test_trim_concurrent.py and tests/test_log_compaction_concurrent.py).
+Exactly one maintenance loop per log (the writer's): trim and compaction
+are not mutually concurrency-safe with a SECOND maintenance process, the
+same single-owner contract as the reference's embedded store.
+
+A tick failure is counted and retried next tick, never raised out of the
+thread — transient Spark failures must not silently end retention (the
+reference couples trim to the liveness checker for the same reason: the
+ticker survives as long as the process does).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+
+from jetstream_spark.atproto.log import (
+    DEFAULT_TTL_US,
+    US_PER_HOUR,
+    compact_bucket,
+    trim_events,
+)
+
+
+def _now_us() -> int:
+    return time.time_ns() // 1_000
+
+
+class MaintenanceLoop:
+    """Background retention + sealed-bucket compaction on a ticker.
+
+    ``now_fn`` is injectable so tests drive the clock; production uses
+    wall micros — the same clock the sequencer assigns time_us from, so
+    "expired" means the same thing to the trimmer and the data.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        log_dir: str,
+        ttl_us: int = DEFAULT_TTL_US,
+        interval_s: float = 15.0,  # the reference's ticker (main.go:188)
+        compact: bool = True,
+        target_files: int = 1,
+        now_fn: Callable[[], int] = _now_us,
+    ):
+        self.spark = spark
+        self.log_dir = log_dir
+        self.ttl_us = ttl_us
+        self.interval_s = interval_s
+        self.compact = compact
+        self.target_files = target_files
+        self.now_fn = now_fn
+        # observability: scraped by callers the same way the consumer
+        # metrics families are (S27) — counts, not gauges, so deltas
+        # survive scrape gaps
+        self.counters = {
+            "ticks": 0,
+            "partitions_trimmed": 0,
+            "buckets_compacted": 0,
+            "buckets_skipped_unsafe": 0,  # compact_bucket -1: unmarked batch
+            "errors": 0,
+        }
+        self._stop = threading.Event()
+        self._woke = threading.Event()  # test hook: set after every tick
+        self._thread: threading.Thread | None = None
+
+    # --- one tick (public so tests and operators can drive it directly) ----
+
+    def tick(self) -> None:
+        now = self.now_fn()
+        self.counters["partitions_trimmed"] += trim_events(
+            self.spark, self.log_dir, now_us=now, ttl_us=self.ttl_us
+        )
+        if self.compact:
+            self._compact_one_sealed(now)
+        self.counters["ticks"] += 1
+
+    def _compact_one_sealed(self, now_us: int) -> None:
+        """Compact the OLDEST fragmented sealed bucket, at most one per
+        tick. Sealed = strictly before the active hour (the writer only
+        appends at the head, matching the sequencer's monotonic clock);
+        the active bucket is never touched."""
+        active = now_us // US_PER_HOUR
+        if not os.path.isdir(self.log_dir):
+            return
+        buckets = sorted(
+            int(e.split("=", 1)[1])
+            for e in os.listdir(self.log_dir)
+            if e.startswith("hour_bucket=") and e.split("=", 1)[1].lstrip("-").isdigit()
+        )
+        for b in buckets:
+            if b >= active:
+                return  # active (or future-skewed) bucket: writer territory
+            part = os.path.join(self.log_dir, f"hour_bucket={b}")
+            try:
+                n_files = sum(1 for f in os.listdir(part) if f.endswith(".parquet"))
+            except OSError:
+                continue  # trimmed between listing and here
+            if n_files <= self.target_files:
+                continue
+            got = compact_bucket(
+                self.spark, self.log_dir, bucket=b, target_files=self.target_files
+            )
+            if got == -1:
+                # an unmarked batch is still replayable into this bucket —
+                # ineligible until the pipeline marks it; try the next one
+                self.counters["buckets_skipped_unsafe"] += 1
+                continue
+            if got > self.target_files:
+                self.counters["buckets_compacted"] += 1
+            return  # one Spark rewrite per tick, fragmented or not
+
+    # --- lifecycle ----------------------------------------------------------
+
+    def start(self) -> "MaintenanceLoop":
+        assert self._thread is None, "maintenance loop already started"
+        self._thread = threading.Thread(target=self._run, daemon=True, name="jetstream-maintenance")
+        self._thread.start()
+        return self
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                self.tick()
+            except Exception:
+                self.counters["errors"] += 1
+            self._woke.set()
+            self._stop.wait(self.interval_s)
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=60)
+            self._thread = None
+
+    def wait_for_tick(self, timeout: float = 30.0) -> bool:
+        """Test hook: block until at least one full tick has completed
+        since the last call."""
+        self._woke.clear()
+        return self._woke.wait(timeout)

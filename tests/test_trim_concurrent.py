@@ -108,6 +108,73 @@ def test_backfill_survives_concurrent_ttl_trim(spark, tmp_path, normalized):
     assert n == len(surviving)
 
 
+def test_backfill_survives_planning_time_trim_race(spark, tmp_path, normalized, monkeypatch):
+    """Race 1, the PLANNING window: the trim lands between read_log's
+    os.listdir and Spark's path resolution, so frame CREATION (not the
+    collect) fails with PATH_NOT_FOUND naming the vanished partition.
+    That shape must be retryable — only PATH_NOT_FOUND for the log dir
+    itself (virgin log) is fatal. Pinned by feeding read_log a stale
+    directory listing that still names the just-trimmed bucket."""
+    log_dir = _mk_hourly_log(spark, tmp_path, normalized)
+    all_keys = _keys(eventlog.replay(spark, log_dir).collect())
+    surviving = [k for k in all_keys if k[0] >= US_PER_HOUR]
+
+    real_listdir = os.listdir
+    injected: list = []
+
+    def stale_listdir(path):
+        entries = real_listdir(path)
+        if os.path.abspath(str(path)) == os.path.abspath(log_dir) and not injected:
+            # the trim wins the window AFTER the listing: the caller
+            # proceeds to resolve a partition that no longer exists.
+            # (mark BEFORE trimming — trim_events lists log_dir itself)
+            injected.append(None)
+            injected[0] = eventlog.trim_events(
+                spark, log_dir, now_us=US_PER_HOUR + eventlog.DEFAULT_TTL_US
+            )
+        return entries
+
+    delivered: list = []
+    monkeypatch.setattr(eventlog.os, "listdir", stale_listdir)
+    try:
+        n = backfill(
+            spark,
+            log_dir,
+            Subscription(cursor=0),
+            server_head_us=lambda: 10**15,
+            deliver=lambda rows: delivered.extend(rows),
+            max_rounds=1000,
+            batch_limit=7,
+            rate_per_s=1e9,
+        )
+    finally:
+        monkeypatch.undo()
+
+    assert injected == [1], "the race was never injected"
+    assert sorted((r["time_us"], r["did"]) for r in delivered) == surviving
+    assert n == len(surviving)
+
+
+def test_vanished_subpath_classifier():
+    """Planning-time retry classification: PATH_NOT_FOUND inside the log
+    dir = maintenance race (retryable); the log dir itself = virgin log
+    (fatal, ADVICE r8's delayed-error hazard); unrelated paths fatal."""
+    is_sub = eventlog._is_vanished_subpath
+    assert is_sub(
+        "[PATH_NOT_FOUND] Path does not exist: file:/data/log/hour_bucket=24. SQLSTATE: 42K03",
+        "/data/log",
+    )
+    assert not is_sub(
+        "[PATH_NOT_FOUND] Path does not exist: file:/data/log. SQLSTATE: 42K03",
+        "/data/log",
+    )
+    assert not is_sub(
+        "[PATH_NOT_FOUND] Path does not exist: file:/other/place/x. SQLSTATE: 42K03",
+        "/data/log",
+    )
+    assert not is_sub("[UNRESOLVED_COLUMN] no path here at all", "/data/log")
+
+
 def test_live_subscription_survives_ttl_trim_between_ticks(spark, tmp_path, normalized):
     """Race 1 on the live-tail path: a subscriber attached to the log keeps
     delivering across a TTL trim of already-delivered buckets — the tick
