@@ -231,6 +231,22 @@ def test_live_subscription_survives_ttl_trim_between_ticks(spark, tmp_path, norm
     assert times == sorted(times), "delivery order broke across the trim"
 
 
+def test_ignore_missing_files_suppresses_task_time_vanish(spark, tmp_path, normalized):
+    """Pins the Spark contract the tick streams lean on: with
+    ignoreMissingFiles, a file deleted between a frame's listing and its
+    task execution is skipped, not fatal. If a Spark bump breaks this,
+    the tick heartbeats lose their trim protection — fail here, loudly,
+    instead of in a live subscriber."""
+    log_dir = _mk_hourly_log(spark, tmp_path, normalized)
+    # frame listed WITH bucket 0, files deleted before task execution
+    df = spark.read.option("ignoreMissingFiles", "true").parquet(log_dir)
+    shutil.rmtree(os.path.join(log_dir, "hour_bucket=0"))
+    got = df.count()  # without the option this raises FAILED_READ_FILE
+    surviving = eventlog.read_log(spark, log_dir).count()
+    assert surviving > 0
+    assert got == surviving, got
+
+
 def test_subscription_restart_from_checkpoint_after_trim(spark, tmp_path, normalized):
     """A subscriber that detaches, misses a TTL trim while down, and
     reattaches from the SAME checkpoint: the file source's seen-file log
