@@ -157,6 +157,11 @@ class MaintenanceLoop:
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=60)
+            if self._thread.is_alive():
+                # a hung Spark job is still holding the ticker: keep the
+                # handle so a later start() cannot spawn a SECOND loop over
+                # the same log (single-owner contract)
+                raise TimeoutError("maintenance loop did not stop within 60 s")
             self._thread = None
 
     def wait_for_tick(self, timeout: float = 30.0) -> bool:
