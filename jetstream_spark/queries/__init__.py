@@ -23,79 +23,80 @@ from jetstream_spark.queries.spec import QuerySpec
 #   3. then the rest, OLDEST driver evidence first — every in-window entry
 #      must be at least as stale as every out-of-window entry (pinned by
 #      tests/test_registry_priority.py::test_window_is_oldest_evidence_first).
-# Round-10 rotation (VERDICT r9 #1: finish the stale-evidence ledger —
-# 52 entries are due against the 50-slot window, so the round is
-# debut-free and code-change-free on query modules): the 4 r5-stale
-# overflow entries named by the r9 window lead, then the OLDEST 46 of
-# the 48 r6-stale entries in their r6 driver order — exactly 50. The
-# LAST TWO in r6 order (embedding_quantize_int8, tfidf_top_terms)
-# overflow to the r11 window — they must lead r11's stale tier (still
-# the joint-stalest evidence then), followed by the r7-stale block.
+# Round-11 rotation (VERDICT r10 #1: finish the evidence-freshness
+# story): the 2 r6-stale overflow entries named by the r10 window lead
+# (embedding_quantize_int8, tfidf_top_terms), then ALL 46 entries whose
+# latest driver evidence is r7, in their r7 driver order, then the
+# OLDEST 2 of the 49 r8-stale entries in their r8 driver order
+# (profile_entropy, funnel_steps_strict) — exactly 50. After this round
+# nothing in the ledger is older than r8 and the rotation is
+# steady-state (~50 due per round against 50 slots).
 
 # Entries whose engine/oracle CODE changed this round: they re-enter the
 # window ahead of the staleness order so the change gets driver evidence
 # in the round it ships. Reset this tuple each round.
-_CODE_CHANGED = ()  # r10 touches no query module (bench guard + streaming only)
+_CODE_CHANGED = ()  # r11 touches no query module (maintenance/metrics/bench only)
 
 _PRIORITY = (
-    # ---- r5-latest driver evidence (joint-stalest), r5 driver order ----
-    # the four entries the r9 window could not fit (named overflow,
-    # VERDICT r8 #2 / r9 #1) — first-in-line by the standing rule
-    "sample_split",
-    "doc_packing",
-    "embedding_downproject",
-    "hopping_window_hourly",
-    # ---- r6-latest driver evidence (the stalest block), r6 driver order ----
-    "zipf_alpha",
-    "quality_classifier_lr",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "multimodal_phash_dedup",
-    "dedup_substring_spans",
-    "ab_bootstrap_ci",
-    "wordpiece_encode_stats",
-    "training_shards",
-    "dedup_exact",
-    "salted_join_revenue",
-    "bm25_topk",
-    "dedup_containment",
-    "q2_min_cost_supplier",
-    "q4_priority_checking",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_by_linestatus",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q20_excess_shippers",
-    "q13_order_count_distribution",
-    "q11_revenue_concentration",
-    "q21_sole_blame_suppliers",
-    "q22_idle_rich_customers",
-    "cms_heavy_hitters",
-    "kmeans_cluster_stats",
-    "semdedup_pairs",
-    "curation_pipeline",
-    "quality_gopher_rules",
-    "unigram_perplexity",
-    "domain_mix_weights",
-    "importance_weights_dsir",
-    "sessionization",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_lsh_indexed",
-    "ann_ivf_indexed",
-    "vocab_top_terms",
-    "text_pii_scrub",
-    "stratified_sample",
-    "dedup_components",
-    "dedup_keep_canonical",
-    "dedup_incremental",
+    # ---- r6-latest driver evidence (joint-stalest), r6 driver order ----
+    # the two entries the r10 window could not fit (named overflow,
+    # VERDICT r9 #1 / r10 #1) — first-in-line by the standing rule
+    "embedding_quantize_int8",
+    "tfidf_top_terms",
+    # ---- r7-latest driver evidence (the stalest block), r7 driver order ----
+    "kcenter_coreset",
+    "seasonal_anomaly",
+    "dp_noisy_counts",
+    "kcore_decomposition",
+    "cusum_changepoint",
+    "sketch_quantile_bottomk",
+    "markov_transitions",
+    "embedding_drift_mmd",
+    "ann_hamming_topk",
+    "weak_label_analysis",
+    "zorder_layout",
+    "gini_concentration",
+    "benford_audit",
+    "rfm_segmentation",
+    "basket_lift_rules",
+    "ab_sequential_sprt",
+    "survival_km_retention",
+    "sketch_theta_setops",
+    "mutual_information",
+    "skyline_parts",
+    "hybrid_search_rrf",
+    "mmr_diverse_topk",
+    "adamic_adar_linkpred",
+    "k_anonymity_audit",
+    "ohlc_bars",
+    "textrank_keywords",
+    "attribution_last_touch",
+    "dedup_embedding_lsh",
+    "label_propagation",
+    "decontaminate_splits",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_share",
+    "intersect_repeat_buyers",
+    "date_functions",
+    "distinct_agg",
+    "topk_brand_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "ordered_string_agg",
+    "above_nation_avg",
+    "user_journey",
+    "monthly_density",
+    "bool_aggs",
+    "window_rank_customers",
+    "window_order_gaps",
+    # ---- r8-latest driver evidence (oldest 2), r8 driver order ----
+    "profile_entropy",
+    "funnel_steps_strict",
     # ================= driver window boundary (50) ==================
-    # r11 window must LEAD with the two overflow r6-stale entries
-    # (embedding_quantize_int8, tfidf_top_terms), then the r7-stale
-    # block. Everything else follows in module order.
+    # r12 window: the remaining 47 r8-stale entries lead (in r8 driver
+    # order), then the oldest r9-stale entries fill out the 50.
+    # Everything else follows in module order.
 )
 
 
