@@ -116,8 +116,11 @@ def cmd_ingest(args) -> int:
     except KeyboardInterrupt:
         q.stop()
     finally:
-        if maint is not None:
-            maint.stop()
+        if maint is not None and maint.stop() == "hung":
+            print(
+                "warning: maintenance loop did not stop within 60 s (wedged tick)",
+                flush=True,
+            )
     return 0
 
 

@@ -407,14 +407,17 @@ def compact_bucket(
             .parquet(tmp)
         )
         os.rename(part, aside)
-    except Exception as e:
+    except Exception:
         # A concurrent TTL trim may legally delete this partition at any
         # point before the swap lands (trim and compaction are independent
         # maintenance loops over the same buckets at scale): expired data
         # vanishing mid-compaction is a no-op compaction, not an error.
-        # Anything else (part still present and not a plain missing-dir
-        # rename failure) is a real failure and propagates.
-        if os.path.isdir(part) and not isinstance(e, FileNotFoundError):
+        # The no-op claim is checked, not assumed: ANY failure while the
+        # partition is still present propagates — including a
+        # FileNotFoundError whose missing path was the tmp STAGE (e.g.
+        # swept by a concurrent one-shot trim), which previously reported
+        # a silent no-op while the bucket stayed fragmented.
+        if os.path.isdir(part):
             raise
         shutil.rmtree(tmp, ignore_errors=True)
         return 0
@@ -447,6 +450,7 @@ def trim_events(spark: SparkSession, log_dir: str, now_us: int, ttl_us: int = DE
     """
     cutoff_bucket = (now_us - ttl_us) // US_PER_HOUR  # buckets < this are fully expired
     dropped = 0
+    failed: list[str] = []
     if not os.path.isdir(log_dir):
         return 0
     entries = os.listdir(log_dir)  # one snapshot: live-presence below must
@@ -467,6 +471,19 @@ def trim_events(spark: SparkSession, log_dir: str, now_us: int, ttl_us: int = DE
         if not bucket_s.lstrip("-").isdigit():
             continue
         if int(bucket_s) < cutoff_bucket:
-            shutil.rmtree(os.path.join(log_dir, entry), ignore_errors=True)
-            dropped += counted
+            path = os.path.join(log_dir, entry)
+            shutil.rmtree(path, ignore_errors=True)
+            # a partition only counts as dropped once it is actually gone:
+            # rmtree(ignore_errors) can fail partway (permissions, open
+            # handles) and a partially-deleted live bucket would otherwise
+            # be reported trimmed while still serving partial data. The
+            # failure surfaces AFTER the full sweep (one stuck entry must
+            # not shield later expired entries from this pass) and lands
+            # in the maintenance tick's error counter for retry next tick.
+            if os.path.exists(path):
+                failed.append(entry)
+            else:
+                dropped += counted
+    if failed:
+        raise OSError(f"trim could not fully remove expired entries: {failed}")
     return dropped

@@ -153,16 +153,23 @@ class MaintenanceLoop:
             self._woke.set()
             self._stop.wait(self.interval_s)
 
-    def stop(self) -> None:
+    def stop(self, join_timeout_s: float = 60.0) -> str:
+        """Signal the ticker and join it. Returns ``"stopped"``, or
+        ``"hung"`` when the thread is still alive after the join timeout
+        (a wedged Spark tick). A hang is REPORTED, not raised: stop() runs
+        in shutdown paths (cmd_ingest's finally), where a raise would
+        mask the original exception and turn a clean Ctrl-C into a
+        traceback. The thread handle is kept on a hang so a later start()
+        still refuses to spawn a SECOND loop over the same log
+        (single-owner contract)."""
         self._stop.set()
-        if self._thread is not None:
-            self._thread.join(timeout=60)
-            if self._thread.is_alive():
-                # a hung Spark job is still holding the ticker: keep the
-                # handle so a later start() cannot spawn a SECOND loop over
-                # the same log (single-owner contract)
-                raise TimeoutError("maintenance loop did not stop within 60 s")
-            self._thread = None
+        if self._thread is None:
+            return "stopped"
+        self._thread.join(timeout=join_timeout_s)
+        if self._thread.is_alive():
+            return "hung"
+        self._thread = None
+        return "stopped"
 
     def wait_for_tick(self, timeout: float = 30.0) -> bool:
         """Test hook: block until at least one full tick has completed

@@ -18,8 +18,11 @@ unbounded collect.
 Registration does an inline catch-up round so a subscriber attaching
 between ticks (the replay→live cutover instant, server.go:305-337) is
 brought to head immediately — the S18 guard makes the handover gapless and
-duplicate-free regardless of how the catch-up and the next tick interleave,
-because all delivery for one subscriber is serialized under the hub lock.
+duplicate-free regardless of how the catch-up and the next tick interleave:
+emits are serialized under the hub lock and re-filtered against the
+subscriber's CURRENT watermark at emit time, while slice collects (which
+can spend seconds retrying through maintenance races) run outside the
+lock so connect/disconnect never blocks on a delivery round.
 """
 
 from __future__ import annotations
@@ -55,6 +58,9 @@ class _HubSub:
     emit: Callable[[list], None]
     collections: frozenset[str] = field(default_factory=frozenset)
     dids: frozenset[str] = field(default_factory=frozenset)
+    # cleared by unregister: a delivery round that snapshotted this sub
+    # before the unregister must not emit to it afterwards
+    active: bool = True
 
 
 class LiveTailHub:
@@ -98,12 +104,18 @@ class LiveTailHub:
             self._next_id += 1
             hub_id = self._next_id
             self._subs[hub_id] = hs
-            self._deliver([hs], SequencerState.load(self.log_dir).last_time_us)
+        # catch-up runs OUTSIDE the lock (its collect can take seconds
+        # under a maintenance-race retry storm); the emit-time watermark
+        # check inside _deliver keeps it exactly-once against a
+        # concurrent tick delivering to the same subscriber
+        self._deliver([hs], SequencerState.load(self.log_dir).last_time_us)
         return hub_id
 
     def unregister(self, hub_id: int) -> None:
         with self._lock:
-            self._subs.pop(hub_id, None)
+            hs = self._subs.pop(hub_id, None)
+            if hs is not None:
+                hs.active = False
 
     # --- streaming tail -------------------------------------------------------
 
@@ -133,16 +145,32 @@ class LiveTailHub:
     def _on_tick(self, batch_df, batch_id: int) -> None:
         hi = SequencerState.load(self.log_dir).last_time_us
         with self._lock:
-            self._deliver(list(self._subs.values()), hi)
+            subs = list(self._subs.values())
+        self._deliver(subs, hi)
 
     def _deliver(self, subs: list[_HubSub], hi: int) -> None:
         """Bounded rounds: each round collects ONE ordered slice
-        (min watermark, hi] of ≤ batch_limit rows and fans it out."""
-        while subs:
-            behind = [h for h in subs if h.sub.seq < hi]
-            if not behind:
-                return
-            lo = min(h.sub.seq for h in behind)
+        (min watermark, hi] of ≤ batch_limit rows and fans it out.
+
+        Locking: the slice COLLECT runs outside the hub lock — under a
+        maintenance-race retry storm replay_rows can spend seconds in
+        capped-backoff retries, and holding the lock for that budget
+        would block subscriber connect/disconnect for the duration. The
+        lock is held only around watermark reads and the emit loop, and
+        each subscriber's exactly-once/monotonic guarantee comes from the
+        emit-time re-check under the lock (filter strictly above the
+        CURRENT watermark, then advance — Subscription.advance is
+        monotonic-max), not from serializing whole delivery rounds:
+        concurrent rounds for the same subscriber (tick vs registration
+        catch-up) may collect overlapping slices, but whichever emits
+        second drops everything at or below the watermark the first one
+        advanced."""
+        while True:
+            with self._lock:
+                behind = [h for h in subs if h.active and h.sub.seq < hi]
+                if not behind:
+                    return
+                lo = min(h.sub.seq for h in behind)
             # replay_rows, frame rebuilt per attempt: a compaction swap or
             # TTL trim landing between this slice's file listing and its
             # collect must not kill the ONE query every subscriber shares
@@ -165,16 +193,19 @@ class LiveTailHub:
             if self.on_slice is not None:
                 self.on_slice(rows)
             slice_hi = rows[-1]["time_us"]
-            for h in behind:
-                out = [
-                    r
-                    for r in rows
-                    if r["time_us"] > h.sub.seq and _matches(r, h.collections, h.dids)
-                ]
-                if out:
-                    h.emit(out)
-                # watermark advances over non-matching rows too — the slice
-                # was fully examined up to slice_hi
-                h.sub.advance(slice_hi)
+            with self._lock:
+                for h in behind:
+                    if not h.active:
+                        continue  # unregistered while the slice collected
+                    out = [
+                        r
+                        for r in rows
+                        if r["time_us"] > h.sub.seq and _matches(r, h.collections, h.dids)
+                    ]
+                    if out:
+                        h.emit(out)
+                    # watermark advances over non-matching rows too — the
+                    # slice was fully examined up to slice_hi
+                    h.sub.advance(slice_hi)
             if len(rows) < self.batch_limit:
                 return

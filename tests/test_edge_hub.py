@@ -170,3 +170,60 @@ def test_edge_hub_filters_applied_at_emit(spark, tmp_path):
 
         asyncio.run_coroutine_threadsafe(server.stop(), server._loop).result(timeout=10)
         hub.stop()
+
+
+@pytest.mark.timeout(300)
+def test_hub_register_unregister_never_block_on_a_slow_collect(spark, tmp_path, monkeypatch):
+    """ADVICE r10: a delivery round's slice collect can spend seconds in
+    replay_rows' maintenance-race retries — subscriber connect/disconnect
+    must not block on the hub lock for that budget, and a subscriber
+    unregistered while a slice is in flight must not be emitted to."""
+    from jetstream_spark.atproto.subscribe import Subscription
+    from jetstream_spark.serving import hub as hub_mod
+
+    log_dir = str(tmp_path / "log")
+    frames = spark.createDataFrame(make_frames(), schema=RAW_FRAME_SCHEMA)
+    normalized = normalize_frames(frames).cache()
+    head = eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1_000_000, batch_id=0)
+    n = normalized.count()
+
+    hub = LiveTailHub(spark, log_dir, str(tmp_path / "hubckpt"))
+    real_replay_rows = hub_mod.replay_rows
+    in_collect, release = threading.Event(), threading.Event()
+    slow_done = {"calls": 0}
+
+    def slow_first_collect(spark_, log_dir_, build):
+        slow_done["calls"] += 1
+        if slow_done["calls"] == 1:
+            in_collect.set()
+            assert release.wait(60), "test deadlock: release never set"
+        return real_replay_rows(spark_, log_dir_, build)
+
+    monkeypatch.setattr(hub_mod, "replay_rows", slow_first_collect)
+
+    got1, got2, got3 = [], [], []
+    # a pre-registered subscriber is behind head -> the tick round collects
+    hub._subs[0] = hub_mod._HubSub(Subscription(cursor=0), got1.extend)
+    t = threading.Thread(target=lambda: hub._on_tick(None, 0))
+    t.start()
+    assert in_collect.wait(30), "delivery round never reached the collect"
+    # while the collect is wedged: register (with its own catch-up round)
+    # and unregister must complete quickly
+    t0 = time.time()
+    id2 = hub.register(Subscription(cursor=0), got2.extend)
+    register_s = time.time() - t0
+    id3 = hub.register(Subscription(cursor=0), got3.extend)
+    hub.unregister(id3)
+    # also drop the wedged round's own target before its slice lands
+    hub._subs.pop(0).active = False
+    release.set()
+    t.join(120)
+    assert not t.is_alive()
+    assert register_s < 30, f"register blocked {register_s:.1f}s behind a wedged collect"
+    # the mid-flight registrations were caught up to head by their own
+    # rounds, while the first round's collect was still wedged
+    assert len(got2) == n and got2[-1]["time_us"] == head
+    assert len(got3) == n  # catch-up delivered before the unregister
+    # the subscriber dropped while the first round's slice was in flight
+    # must not be emitted to when that slice finally lands
+    assert got1 == []

@@ -196,3 +196,82 @@ def test_loop_runs_beside_a_draining_consumer(spark, tmp_path, normalized):
     # buckets 26-27 can never have expired
     assert missed <= by_bucket[24] | by_bucket[25], "maintenance lost unexpired events"
     assert by_bucket[26] | by_bucket[27] <= set(got)
+
+
+def test_stop_reports_hang_without_raising(spark, tmp_path, monkeypatch):
+    """ADVICE r10: stop() runs in shutdown paths (cmd_ingest's finally) —
+    a wedged Spark tick must yield a "hung" status, not a raise that masks
+    the original exception; the kept thread handle still blocks a second
+    start() (single-owner contract), and a later drain stops cleanly."""
+    loop = MaintenanceLoop(spark, str(tmp_path / "log"), interval_s=3600)
+    entered, release = threading.Event(), threading.Event()
+
+    def wedged_tick():
+        entered.set()
+        release.wait(30)
+
+    monkeypatch.setattr(loop, "tick", wedged_tick)
+    loop.start()
+    assert entered.wait(10), "ticker never entered the wedged tick"
+    assert loop.stop(join_timeout_s=0.5) == "hung"
+    with pytest.raises(AssertionError):
+        loop.start()  # the hung thread still owns the log
+    release.set()
+    assert loop.stop(join_timeout_s=30) == "stopped"
+
+
+def test_trim_counts_only_removed_partitions(spark, tmp_path, normalized, monkeypatch):
+    """ADVICE r10: an expired partition rmtree fails to remove must not be
+    counted as dropped (it still serves data); the failure surfaces AFTER
+    the sweep so other expired entries still go, and the standing loop's
+    tick routes it to the error counter for retry."""
+    import shutil as real_shutil
+
+    log_dir = str(tmp_path / "log")
+    _ingest(spark, log_dir, normalized, bucket=1, batch_id=0)
+    _ingest(spark, log_dir, normalized, bucket=2, batch_id=1)
+    stuck = os.path.join(log_dir, "hour_bucket=1")
+    orig_rmtree = real_shutil.rmtree
+
+    def sticky_rmtree(path, ignore_errors=False, **kw):
+        if os.path.abspath(str(path)) == os.path.abspath(stuck):
+            return  # simulated partial-delete failure (permissions/open handles)
+        orig_rmtree(path, ignore_errors=ignore_errors, **kw)
+
+    monkeypatch.setattr(eventlog.shutil, "rmtree", sticky_rmtree)
+    now = 100 * US_PER_HOUR
+    with pytest.raises(OSError, match="hour_bucket=1"):
+        eventlog.trim_events(spark, log_dir, now_us=now, ttl_us=US_PER_HOUR)
+    # the failing entry was not counted, the rest of the sweep still ran
+    assert _n_files(log_dir, 1) > 0, "stuck partition should survive"
+    assert _n_files(log_dir, 2) == 0, "later expired entries must still drop"
+    # the raise reaches the ticker thread's per-tick catch (the error
+    # counter + next-tick retry — test_loop_thread_survives_tick_failures
+    # pins that path); once the interference clears, the retry drops it
+    monkeypatch.undo()
+    assert eventlog.trim_events(spark, log_dir, now_us=now, ttl_us=US_PER_HOUR) == 1
+    assert _n_files(log_dir, 1) == 0
+
+
+def test_compact_failure_with_live_partition_propagates(spark, tmp_path, normalized, monkeypatch):
+    """ADVICE r10: a FileNotFoundError while the partition still EXISTS
+    (e.g. the tmp stage swept out from under the swap by a concurrent
+    one-shot trim) is a real failure — it must propagate, not report a
+    silent no-op while the bucket stays fragmented."""
+    log_dir = str(tmp_path / "log")
+    _ingest(spark, log_dir, normalized, bucket=5, batch_id=0)
+    _ingest(spark, log_dir, normalized, bucket=5, batch_id=1)
+    before = _n_files(log_dir, 5)
+    assert before >= 2
+
+    def vanished_stage(src, dst):
+        raise FileNotFoundError(src)
+
+    monkeypatch.setattr(eventlog.os, "rename", vanished_stage)
+    with pytest.raises(FileNotFoundError):
+        eventlog.compact_bucket(spark, log_dir, bucket=5)
+    monkeypatch.undo()
+    assert _n_files(log_dir, 5) == before, "failed compaction must leave the bucket intact"
+    # and the bucket is still compactable once the interference is gone
+    assert eventlog.compact_bucket(spark, log_dir, bucket=5) == before
+    assert _n_files(log_dir, 5) == 1
