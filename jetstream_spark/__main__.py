@@ -141,9 +141,30 @@ def cmd_replay(args) -> int:
     return 0
 
 
+def _refuse_if_owned(data_dir: str, force: bool) -> bool:
+    """One-shot maintenance vs the standing ticker: trim/compact are not
+    safe against a SECOND maintenance actor, so the one-shot commands
+    refuse while a standing MaintenanceLoop's owner marker is fresh
+    (enforced single-owner contract; --force overrides explicitly)."""
+    from jetstream_spark.atproto.maintenance import owner_info, owner_is_fresh
+
+    if owner_is_fresh(data_dir) and not force:
+        info = owner_info(data_dir) or {}
+        print(
+            f"refusing: a standing maintenance loop ({info.get('owner')}) owns "
+            f"{data_dir} (marker touched {info.get('age_s', 0):.0f}s ago). "
+            "Stop the ingest process, wait for the marker to expire, or pass --force.",
+            flush=True,
+        )
+        return True
+    return False
+
+
 def cmd_trim(args) -> int:
     from jetstream_spark.atproto.log import trim_events
 
+    if _refuse_if_owned(args.data_dir, args.force):
+        return 1
     spark = _spark(args.cpus)
     dropped = trim_events(
         spark,
@@ -158,6 +179,8 @@ def cmd_trim(args) -> int:
 def cmd_compact(args) -> int:
     from jetstream_spark.atproto.log import US_PER_HOUR, compact_bucket, recover_compaction
 
+    if _refuse_if_owned(args.data_dir, args.force):
+        return 1
     spark = _spark(args.cpus)
     recovered = recover_compaction(args.data_dir)
     if recovered:
@@ -496,10 +519,12 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("trim", help="drop hour partitions past the TTL")
     p.add_argument("--data-dir", **common["--data-dir"])
     p.add_argument("--event-ttl-hours", type=int, default=24, help="main.go --event-ttl")
+    p.add_argument("--force", action="store_true", help="run even if a standing maintenance loop owns the log")
     p.set_defaults(fn=cmd_trim)
 
     p = sub.add_parser("compact", help="compact sealed hour partitions")
     p.add_argument("--data-dir", **common["--data-dir"])
+    p.add_argument("--force", action="store_true", help="run even if a standing maintenance loop owns the log")
     p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("sql", help="run ANSI SQL over the log (events_log) and analytics tables")
