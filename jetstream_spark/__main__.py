@@ -110,6 +110,18 @@ def cmd_ingest(args) -> int:
             ttl_us=args.event_ttl_hours * 3_600_000_000,
             interval_s=args.maintenance_interval,
         ).start()
+    # the reference's consumer process serves its own /metrics (including
+    # the liveness-ticker health the trim runs under, main.go:216-218);
+    # --metrics-addr gives the ingest process the same scrape, with the
+    # standing maintenance counters joined in
+    if args.metrics_addr:
+        from jetstream_spark.serving.edge import run_server_in_thread
+
+        mhost, mport = _parse_listen(args.metrics_addr)
+        mserver, _ = run_server_in_thread(
+            spark, args.data_dir, host=mhost, port=mport, maintenance=maint
+        )
+        print(f"serving /metrics on {mserver.host}:{mserver.port}", flush=True)
     print(f"ingesting into {args.data_dir} (checkpoint {ckpt})", flush=True)
     try:
         q.awaitTermination()
@@ -501,6 +513,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--event-ttl-hours", type=int, default=24,
         help="standing retention: trim on a ticker like main.go:188-205 (0 disables maintenance)",
+    )
+    p.add_argument(
+        "--metrics-addr", default="",
+        help="host:port for an in-process /metrics scrape incl. maintenance counters (empty = off)",
     )
     p.add_argument(
         "--maintenance-interval", type=float, default=15.0,

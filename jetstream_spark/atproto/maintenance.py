@@ -164,6 +164,20 @@ def release_owner(log_dir: str, owner: str) -> None:
             pass
 
 
+# Prometheus families for the loop's counters (S27: the reference's trim
+# runs under the liveness ticker whose health is scraped from the same
+# /metrics listener, cmd/jetstream/main.go:188-218 — a standing loop whose
+# failures are only visible in-process is unobservable exactly where the
+# reference is observable). Keys match MaintenanceLoop.counters.
+MAINTENANCE_FAMILIES = {
+    "ticks": "jetstream_maintenance_ticks_total",
+    "partitions_trimmed": "jetstream_maintenance_partitions_trimmed_total",
+    "buckets_compacted": "jetstream_maintenance_buckets_compacted_total",
+    "buckets_skipped_unsafe": "jetstream_maintenance_buckets_skipped_unsafe_total",
+    "errors": "jetstream_maintenance_tick_errors_total",
+}
+
+
 class MaintenanceLoop:
     """Background retention + sealed-bucket compaction on a ticker.
 
@@ -304,6 +318,16 @@ class MaintenanceLoop:
         self._thread = None
         release_owner(self.log_dir, self._owner)
         return "stopped"
+
+    def render(self) -> str:
+        """Prometheus text exposition of the loop's counters — joined into
+        the edge's /metrics scrape the same way the consumer families are
+        (serving/edge.py wires `maintenance=`)."""
+        lines = []
+        for key, family in MAINTENANCE_FAMILIES.items():
+            lines.append(f"# TYPE {family} counter")
+            lines.append(f'{family}{{log_dir="{self.log_dir}"}} {self.counters[key]}')
+        return "\n".join(lines)
 
     def wait_for_tick(self, timeout: float = 30.0) -> bool:
         """Test hook: block until at least one full tick has completed

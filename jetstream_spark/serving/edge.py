@@ -127,6 +127,7 @@ class SubscribeServer:
         sub_buffer: int = SUB_BUFFER,
         consumer_metrics=None,
         tracer=None,
+        maintenance=None,
     ):
         self.spark = spark
         self.log_dir = log_dir
@@ -169,6 +170,11 @@ class SubscribeServer:
         # serves consumer + server families from one registry,
         # cmd/jetstream/main.go:216), its families join this scrape
         self.consumer_metrics = consumer_metrics
+        # optional atproto.maintenance.MaintenanceLoop: the standing
+        # retention ticker's counters join the scrape (the reference's
+        # trim runs under the liveness ticker whose health is served from
+        # the same metrics listener, cmd/jetstream/main.go:188-218)
+        self.maintenance = maintenance
         # optional operators.tracing.StageTracer serving /debug/traces
         self.tracer = tracer
         self._server: asyncio.AbstractServer | None = None
@@ -381,6 +387,8 @@ class SubscribeServer:
                 "# TYPE consumer_last_seq gauge",
                 f'consumer_last_seq{{socket_url="{self.log_dir}"}} {self._head()}',
             ]
+        if self.maintenance is not None:
+            lines.append(self.maintenance.render())
         return "\n".join(lines) + "\n"
 
     async def _handle_debug(self, writer: asyncio.StreamWriter, url) -> None:

