@@ -746,3 +746,32 @@ def test_band_excludes_self_flagged_values(tmp_path):
         "the band absorbed a self-flagged value and demoted a real regression",
         flags,
     )
+
+
+def test_ingest_below_floor_flags(tmp_path):
+    """VERDICT r10 #2: the ingest rate gets the same committed floor-band
+    treatment as the fan-out rate (it lives in the QUERIES dict of history
+    rows, not extras) — a dip above the committed floor is within_band
+    evidence, below the committed floor it hard-flags, so a real ingest
+    regression cannot hide in the 79-92k ev/s host spread."""
+    d = str(tmp_path)
+    _write(d, "BENCH_r10.json",
+           {"sf": 0.1, "calibration_s": 0.2,
+            "queries": {"ingest_events_per_sec": 91700.0}})
+    history = [
+        {"sf": 0.1, "calibration_s": 0.2, "host_shift": 1.0,
+         "queries": {"ingest_events_per_sec": v}}
+        for v in (85900.0, 91700.0, 79200.0)
+    ]
+    _write(d, "BENCH_HISTORY.jsonl", history)
+    # 79.5k: >1.15x below the 91.7k baseline but above the 79.2k committed
+    # floor -> oscillation evidence, not a flag
+    band_out: dict = {}
+    flags = find_regressions(
+        {"ingest_events_per_sec": 79500.0}, 0.1, 1.0, here=d, band_out=band_out,
+    )
+    assert flags == {}, flags
+    assert band_out["ingest_events_per_sec"]["band_lo"] == 79200.0
+    # below the committed floor -> hard flag
+    flags = find_regressions({"ingest_events_per_sec": 65000.0}, 0.1, 1.0, here=d)
+    assert sorted(flags) == ["ingest_events_per_sec"], flags
