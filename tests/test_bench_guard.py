@@ -775,3 +775,32 @@ def test_ingest_below_floor_flags(tmp_path):
     # below the committed floor -> hard flag
     flags = find_regressions({"ingest_events_per_sec": 65000.0}, 0.1, 1.0, here=d)
     assert sorted(flags) == ["ingest_events_per_sec"], flags
+
+
+def test_ab_verdict_rate_direction():
+    """Rate metrics (*_per_sec) attribute in the throughput direction:
+    best = MAX across windows on both sides, ratio = baseline/head, so a
+    HEAD whose best rate is >1.15x below the baseline's best rate is the
+    engine, while rates that dip together are the host — the same
+    mechanical step-3 path the query flags get."""
+    from tools.probe_queries import ab_verdict
+
+    windows = {
+        "W1_head": {"side": "head", "queries": {"host_r_per_sec": 20000.0, "eng_r_per_sec": 10000.0}},
+        "W2_base": {"side": "base", "queries": {"host_r_per_sec": 19000.0, "eng_r_per_sec": 21000.0}},
+        "W3_head": {"side": "head", "queries": {"host_r_per_sec": 26000.0, "eng_r_per_sec": 11000.0}},
+        "W4_base": {"side": "base", "queries": {"host_r_per_sec": 26500.0, "eng_r_per_sec": 22000.0}},
+    }
+    v = ab_verdict(windows)
+    # r_host: both sides reach ~26k in their best window -> host weather
+    assert not v["host_r_per_sec"]["engine_regression"], v
+    assert v["host_r_per_sec"]["head_best"] == 26000.0 and v["host_r_per_sec"]["baseline_best"] == 26500.0
+    # r_eng: head tops out at 11k while baseline reaches 22k -> engine
+    assert v["eng_r_per_sec"]["engine_regression"], v
+    assert v["eng_r_per_sec"]["ratio"] == 2.0
+    # boundary: exactly at the factor does not convict
+    at = ab_verdict({
+        "W1": {"side": "head", "queries": {"r_per_sec": 100.0}},
+        "W2": {"side": "base", "queries": {"r_per_sec": 115.0}},
+    })
+    assert not at["r_per_sec"]["engine_regression"], at

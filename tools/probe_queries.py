@@ -7,6 +7,13 @@ Usage:
     python tools/probe_queries.py [--sf-dir DIR] [--runs N] [--sf1] q1 q2 ...
     python tools/probe_queries.py --ab COMMIT [--windows N] q1 q2 ...
 
+Bench RATE metrics are probe-able by their bench names alongside queries
+(ingest_events_per_sec, delivery_fanout_events_per_sec,
+ingest_under_maintenance_events_per_sec) — max-of-runs, and --ab
+attributes them in the rate direction (regression iff the baseline rate
+floor is >1.15x the HEAD rate floor), so a below-floor rate flag has the
+same mechanical step-3 path as a query flag.
+
 --sf1 scales the base dir 10x first (bench.ensure_scaled_sf1) and probes
 against the replica corpus — for sf1-variance attribution runs
 (e.g. label_propagation, VERDICT r8 #6).
@@ -50,17 +57,29 @@ def ab_verdict(windows: dict, factor: float = AB_FACTOR) -> dict:
     sides: host bursts inflate individual windows, and both sides sampled
     the same span of host weather, so comparing the two floors isolates
     the code difference. If the baseline floor is just as slow, it was
-    the host, not the engine."""
+    the host, not the engine.
+
+    Rate metrics (names ending ``_per_sec`` — the ingest/fan-out/
+    maintenance-tax throughputs) attribute in the rate direction: best =
+    MAX across windows on both sides, and the reported ratio is
+    baseline_best / head_best, so ratio > factor still reads "engine
+    regression" for every metric kind."""
     head_best: dict[str, float] = {}
     base_best: dict[str, float] = {}
     for w in windows.values():
         tgt = head_best if w.get("side") == "head" else base_best
         for q, v in (w.get("queries") or {}).items():
             if isinstance(v, (int, float)):
-                tgt[q] = min(float(v), tgt.get(q, float("inf")))
+                if q.endswith("_per_sec"):
+                    tgt[q] = max(float(v), tgt.get(q, float("-inf")))
+                else:
+                    tgt[q] = min(float(v), tgt.get(q, float("inf")))
     verdict: dict = {}
     for q in sorted(set(head_best) & set(base_best)):
-        ratio = round(head_best[q] / base_best[q], 3) if base_best[q] > 0 else None
+        if q.endswith("_per_sec"):
+            ratio = round(base_best[q] / head_best[q], 3) if head_best[q] > 0 else None
+        else:
+            ratio = round(head_best[q] / base_best[q], 3) if base_best[q] > 0 else None
         verdict[q] = {
             "head_best": head_best[q],
             "baseline_best": base_best[q],
@@ -68,6 +87,31 @@ def ab_verdict(windows: dict, factor: float = AB_FACTOR) -> dict:
             "engine_regression": bool(ratio is not None and ratio > factor),
         }
     return verdict
+
+
+# Bench rate metrics probe-able by name like queries — so a below-floor
+# rate flag has the same mechanical step-3 path as a query flag. Each
+# entry returns the rate from ONE measurement (the bench functions carry
+# their own internal warmup exclusion); the probe takes max-of-runs.
+def _rate_probe(name: str):
+    import bench
+
+    if name == "ingest_events_per_sec":
+        fn = getattr(bench, "bench_ingest_pipeline", None)
+        if fn is None:
+            return None
+        return lambda spark, sf_dir: (lambda sec, n, _c: round(n / sec, 1))(*fn(spark, sf_dir))
+    if name == "delivery_fanout_events_per_sec":
+        fn = getattr(bench, "bench_delivery_fanout", None)
+        if fn is None:
+            return None
+        return lambda spark, sf_dir: fn(spark, sf_dir)["events_per_sec_per_sub"]
+    if name == "ingest_under_maintenance_events_per_sec":
+        fn = getattr(bench, "bench_ingest_under_maintenance", None)
+        if fn is None:
+            return None  # baseline checkout predates the metric: no sample
+        return lambda spark, sf_dir: fn(spark, sf_dir)["events_per_sec"]
+    return None
 
 
 def _run_window(tree: str, queries: list[str], sf_dir: str, runs: int) -> dict:
@@ -163,7 +207,9 @@ def main() -> int:
     from jetstream_spark.session import get_spark
 
     specs = all_queries()
-    unknown = [q for q in args.queries if q not in specs]
+    rate_names = [q for q in args.queries if q.endswith("_per_sec")]
+    query_names = [q for q in args.queries if not q.endswith("_per_sec")]
+    unknown = [q for q in query_names if q not in specs]
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
@@ -180,9 +226,9 @@ def main() -> int:
     # session's first samples plateau cold 2x-8x on this box class and
     # would bias a min-of-N probe high.
     if not args.no_warmup:
-        for name in args.queries:
+        for name in query_names:
             specs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    for name in args.queries:
+    for name in query_names:
         samples = []
         for _ in range(args.runs):
             bench._release_memory(spark)
@@ -190,6 +236,19 @@ def main() -> int:
             specs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
         out["queries"][name] = min(samples)
+        out["samples"][name] = samples
+    # rate metrics: max-of-runs (throughput floor analogue); each bench
+    # function excludes its own warmup internally. A baseline worktree
+    # that predates a metric yields no sample (skipped by ab_verdict).
+    for name in rate_names:
+        probe = _rate_probe(name)
+        if probe is None:
+            continue
+        samples = []
+        for _ in range(args.runs):
+            bench._release_memory(spark)
+            samples.append(probe(spark, sf_dir))
+        out["queries"][name] = max(samples)
         out["samples"][name] = samples
     # older checkouts (pre-r8) carry only the parallel probe — the tool
     # must run inside an A/B worktree of any round's code
