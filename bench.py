@@ -574,6 +574,21 @@ def _history_band(current_sf, here: str | None = None, last_n: int = 6, min_samp
     }
 
 
+# Bench metrics (non-registry names) whose ENGINE path changed this
+# round — same semantics as the registry's _CODE_CHANGED (no band
+# suppression this round; history rows record the change so older band
+# values reset), kept separate because the rotation test requires
+# _CODE_CHANGED names to sit inside the driver window and these are not
+# registry entries. Reset each round.
+# r11: ingest_batch gained the small-batch write coalesce
+# (log.py _write_coalesce_k) — the A/B measured it faster, but a
+# restore-old-slow regression must hard-flag, not band-absorb.
+_BENCH_CODE_CHANGED = (
+    "delivery_fanout_events_per_sec",  # untimed ingest, but ticks read the new file layout
+    "ingest_under_maintenance_events_per_sec",  # timed ingest_batch writes
+)
+
+
 def _code_changed_queries() -> frozenset:
     """Queries whose engine/oracle code changed this round (declared in
     the registry for the driver-window rotation) — band suppression must
@@ -582,9 +597,9 @@ def _code_changed_queries() -> frozenset:
     try:
         from jetstream_spark.queries import _CODE_CHANGED
 
-        return frozenset(_CODE_CHANGED)
+        return frozenset(_CODE_CHANGED) | frozenset(_BENCH_CODE_CHANGED)
     except Exception:
-        return frozenset()
+        return frozenset(_BENCH_CODE_CHANGED)
 
 
 def find_regressions(

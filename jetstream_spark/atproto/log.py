@@ -119,6 +119,31 @@ def _commit_batch(df: DataFrame, log_dir: str, batch_id: int) -> None:
     shutil.rmtree(staging, ignore_errors=True)
 
 
+# Micro-batch file-count control: a small batch written at full shuffle
+# parallelism appends `defaultParallelism` tiny parquet files per bucket
+# per batch (a day of 5 s batches at 32 partitions is 17k files/bucket —
+# the exact accumulation the maintenance loop compacts), and per-file
+# open/footer/commit overhead dominates the write itself at that size.
+# Batches coalesce to ~this many rows per file; a batch big enough to
+# want full write parallelism (rows >= target x parallelism) is left
+# untouched, so the hot path at scale pays nothing. Measured A/B at the
+# bench's 20k-row batches (sf0.1, two position-alternated windows):
+# coalesce-to-4 writes 14% FASTER than 32-file status quo (mean batch
+# 0.634 s vs 0.736 s floors), cuts files 8x (192 -> 24 across 6
+# batches), and reads back ~1.6x faster (0.14 s vs 0.22-0.25 s) — the
+# per-file overhead outweighs the lost sort/encode parallelism until
+# well past this row count.
+SMALL_BATCH_ROWS_PER_FILE = 5_000
+
+
+def _write_coalesce_k(spark: SparkSession, n_rows: int) -> int | None:
+    """Target file count for a sequenced batch of ``n_rows``, or None when
+    the batch should keep full write parallelism."""
+    par = spark.sparkContext.defaultParallelism
+    k = max(1, -(-n_rows // SMALL_BATCH_ROWS_PER_FILE))  # ceil div
+    return k if k < par else None
+
+
 def ingest_batch(
     frames_normalized: DataFrame,
     log_dir: str,
@@ -135,16 +160,33 @@ def ingest_batch(
     save — converges to exactly one copy of the batch with strictly
     monotonic time_us (a replay after the state save re-assigns from
     last+1; the old copy is deleted first). Without batch_id the write is a
-    plain append (one-shot/test usage)."""
+    plain append (one-shot/test usage).
+
+    Small batches are coalesced before the write (_write_coalesce_k): the
+    sequencer's dense assignment makes the row count free
+    (last - base + 1). Safe on the sequenced frame because the
+    nondeterministic time_us projection cannot be reordered across the
+    coalesce (it evaluates per PARENT partition at the RDD boundary —
+    verified dense/distinct at bench scale), and the write path's
+    sortWithinPartitions keeps every file time-sorted regardless of which
+    partitions merged."""
+    if wall_clock_us is None:
+        wall_clock_us = int(time.time() * 1_000_000)
     state = SequencerState.load(log_dir)
+    base = max(state.last_time_us + 1, wall_clock_us)
     sequenced, last, cached = sequence_events(
         frames_normalized, state.last_time_us, wall_clock_us=wall_clock_us
     )
     try:
+        out = sequenced.drop("_seq")
+        n_rows = last - base + 1 if last >= base else 0
+        k = _write_coalesce_k(out.sparkSession, n_rows)
+        if k is not None:
+            out = out.coalesce(k)
         if batch_id is None:
-            write_events(sequenced.drop("_seq"), log_dir)
+            write_events(out, log_dir)
         else:
-            _commit_batch(sequenced.drop("_seq"), log_dir, batch_id)
+            _commit_batch(out, log_dir, batch_id)
         state.last_time_us = last
         state.save(log_dir)
     finally:

@@ -309,3 +309,48 @@ def test_recover_compaction_all_crash_points(spark, normalized, tmp_path):
     assert after_c == baseline
 
     assert eventlog.recover_compaction(log_dir) == 0, "idempotent when clean"
+
+
+# --- micro-batch write coalesce (S11 file-count control) ----------------------
+def test_write_coalesce_k_thresholds(spark):
+    """Small batches coalesce to ceil(rows / SMALL_BATCH_ROWS_PER_FILE)
+    files; a batch big enough for full write parallelism is left alone
+    (None) — the 100 TB hot path pays nothing."""
+    from jetstream_spark.atproto.log import SMALL_BATCH_ROWS_PER_FILE, _write_coalesce_k
+
+    par = spark.sparkContext.defaultParallelism
+    assert _write_coalesce_k(spark, 0) == 1
+    assert _write_coalesce_k(spark, 1) == 1
+    assert _write_coalesce_k(spark, SMALL_BATCH_ROWS_PER_FILE) == 1
+    assert _write_coalesce_k(spark, SMALL_BATCH_ROWS_PER_FILE + 1) == 2
+    assert _write_coalesce_k(spark, (par - 1) * SMALL_BATCH_ROWS_PER_FILE) == par - 1
+    assert _write_coalesce_k(spark, par * SMALL_BATCH_ROWS_PER_FILE) is None
+    assert _write_coalesce_k(spark, 10 * par * SMALL_BATCH_ROWS_PER_FILE) is None
+
+
+def test_small_batch_writes_few_files_and_stays_dense(spark, tmp_path, normalized):
+    """A micro-batch append produces ONE file per bucket (not one per
+    shuffle partition), and the sequencer contract survives the coalesce:
+    time_us stays dense, distinct, and files time-sorted. Pins the
+    RDD-boundary safety argument in ingest_batch's docstring — the
+    nondeterministic time_us projection must evaluate per PARENT
+    partition, not per merged task (a per-task counter would collide
+    offsets across merged partitions)."""
+    import os
+
+    log_dir = str(tmp_path / "log")
+    n = normalized.count()
+    last = 0
+    for b in range(2):
+        last = eventlog.ingest_batch(
+            normalized, log_dir, wall_clock_us=1_000_000 + b, batch_id=b
+        )
+    part = os.path.join(log_dir, "hour_bucket=0")
+    files = sorted(f for f in os.listdir(part) if f.endswith(".parquet"))
+    assert len(files) == 2, f"expected 1 file per micro-batch, got {files}"
+    rows = eventlog.read_log(spark, log_dir)
+    ts = sorted(r["time_us"] for r in rows.select("time_us").collect())
+    assert len(ts) == 2 * n
+    assert len(set(ts)) == 2 * n, "coalesced write duplicated time_us"
+    assert ts == list(range(ts[0], ts[0] + 2 * n)), "coalesced write broke density"
+    assert ts[-1] == last

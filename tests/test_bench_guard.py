@@ -647,10 +647,16 @@ def test_uniform_regression_flags_end_to_end(tmp_path):
     assert sorted(flags) == sorted(names), flags
 
 
-def test_fanout_below_floor_flags(tmp_path):
+def test_fanout_below_floor_flags(tmp_path, monkeypatch):
     """VERDICT r9 #2: the fan-out per-sub rate gets the same floor-band
     machinery as every other metric — a dip above the committed floor is
-    within_band evidence, below the committed floor it hard-flags."""
+    within_band evidence, below the committed floor it hard-flags.
+    (The round-local _BENCH_CODE_CHANGED declaration is neutralized: this
+    test pins the steady-state band machinery, and a code-changed metric
+    correctly skips band suppression that round.)"""
+    import bench
+
+    monkeypatch.setattr(bench, "_BENCH_CODE_CHANGED", ())
     d = str(tmp_path)
     _write(d, "BENCH_r09.json",
            {"sf": 0.1, "calibration_s": 0.2,

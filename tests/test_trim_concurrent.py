@@ -315,10 +315,13 @@ def test_compact_bucket_tolerates_concurrent_trim(spark, tmp_path, normalized, m
     compact_bucket's staged rewrite and its rename-aside. Compaction must
     report a no-op (0), leave no `_compact_*` litter, and leave the
     surviving buckets readable."""
-    log_dir = _mk_hourly_log(spark, tmp_path, normalized)
-    # fragment bucket 0 so compaction has work to do
-    eventlog.ingest_batch(normalized, log_dir, wall_clock_us=2_000, batch_id=7)
-    eventlog.mark_batch_done(log_dir, 7)
+    # build the log with TWO batches inside hour 0 so bucket 0 is
+    # genuinely fragmented (the micro-batch write coalesce means one
+    # batch is one file now — fragmentation comes from batch COUNT)
+    log_dir = str(tmp_path / "log")
+    for b, wall in ((0, 1_000), (7, 2_000), (1, US_PER_HOUR + 1_000), (2, 2 * US_PER_HOUR + 1_000)):
+        eventlog.ingest_batch(normalized, log_dir, wall_clock_us=wall, batch_id=b)
+        eventlog.mark_batch_done(log_dir, b)
     part = os.path.join(log_dir, "hour_bucket=0")
     assert len(os.listdir(part)) > 1
     surviving = _keys(
