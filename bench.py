@@ -1445,9 +1445,21 @@ def main() -> None:
                 # rate is recomputed from the kept (best) pass time
                 return round(n2 / sec2, 1) if name == "ingest_events_per_sec" else None
             if name == "delivery_fanout_events_per_sec":
-                return bench_delivery_fanout(spark, sf_dir)["events_per_sec_per_sub"]
+                f2 = bench_delivery_fanout(spark, sf_dir)
+                if f2["events_per_sec_per_sub"] > fanout["events_per_sec_per_sub"]:
+                    # keep the kept window's FULL record: the compact stdout
+                    # line and detail["delivery_fanout"] read this dict, and
+                    # a cleared burst flag used to leave them showing the
+                    # burst-depressed first window while extras carried the
+                    # remeasured rate (observed live: 6,175 printed vs
+                    # 17,784 rated in this round's fifth window)
+                    fanout.update(f2)
+                return f2["events_per_sec_per_sub"]
             if name == "ingest_under_maintenance_events_per_sec":
-                return bench_ingest_under_maintenance(spark, sf_dir)["events_per_sec"]
+                m2 = bench_ingest_under_maintenance(spark, sf_dir)
+                if m2["events_per_sec"] > ingmaint["events_per_sec"]:
+                    ingmaint.update(m2)  # same record-consistency rule
+                return m2["events_per_sec"]
             if name in timings or name in extras:
                 return timed(name)
             return None
