@@ -580,13 +580,11 @@ def _history_band(current_sf, here: str | None = None, last_n: int = 6, min_samp
 # values reset), kept separate because the rotation test requires
 # _CODE_CHANGED names to sit inside the driver window and these are not
 # registry entries. Reset each round.
-# r11: ingest_batch gained the small-batch write coalesce
-# (log.py _write_coalesce_k) — the A/B measured it faster, but a
-# restore-old-slow regression must hard-flag, not band-absorb.
-_BENCH_CODE_CHANGED = (
-    "delivery_fanout_events_per_sec",  # untimed ingest, but ticks read the new file layout
-    "ingest_under_maintenance_events_per_sec",  # timed ingest_batch writes
-)
+# r12: reset per protocol — the r11 coalesce declaration recorded its
+# change in the r11 history rows; bands resume accruing from the first
+# settled r12 window. (Re-declare here if r12 code touches a measured
+# engine path.)
+_BENCH_CODE_CHANGED = ()
 
 
 def _code_changed_queries() -> frozenset:

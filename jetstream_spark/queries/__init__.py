@@ -23,79 +23,75 @@ from jetstream_spark.queries.spec import QuerySpec
 #   3. then the rest, OLDEST driver evidence first — every in-window entry
 #      must be at least as stale as every out-of-window entry (pinned by
 #      tests/test_registry_priority.py::test_window_is_oldest_evidence_first).
-# Round-11 rotation (VERDICT r10 #1: finish the evidence-freshness
-# story): the 2 r6-stale overflow entries named by the r10 window lead
-# (embedding_quantize_int8, tfidf_top_terms), then ALL 46 entries whose
-# latest driver evidence is r7, in their r7 driver order, then the
-# OLDEST 2 of the 49 r8-stale entries in their r8 driver order
-# (profile_entropy, funnel_steps_strict) — exactly 50. After this round
-# nothing in the ledger is older than r8 and the rotation is
-# steady-state (~50 due per round against 50 slots).
+# Round-12 rotation (VERDICT r11 #2: steady-state continues): the 47
+# remaining entries whose latest driver evidence is r8 lead, in their r8
+# driver order, then the OLDEST 3 of the 50 r9-stale entries in their r9
+# driver order (profile_columns_fast, kneser_ney_perplexity,
+# hbos_outliers) — exactly 50. After this round the evidence histogram
+# reads r9:47 / r10:50 / r11:50 / r12:50 and the ~50-due-per-round
+# rotation stays steady-state.
 
 # Entries whose engine/oracle CODE changed this round: they re-enter the
 # window ahead of the staleness order so the change gets driver evidence
 # in the round it ships. Reset this tuple each round.
-_CODE_CHANGED = ()  # r11 touches no query module (maintenance/metrics/bench only)
+_CODE_CHANGED = ()  # r12 touches no query module (maintenance/bench only)
 
 _PRIORITY = (
-    # ---- r6-latest driver evidence (joint-stalest), r6 driver order ----
-    # the two entries the r10 window could not fit (named overflow,
-    # VERDICT r9 #1 / r10 #1) — first-in-line by the standing rule
-    "embedding_quantize_int8",
-    "tfidf_top_terms",
-    # ---- r7-latest driver evidence (the stalest block), r7 driver order ----
-    "kcenter_coreset",
-    "seasonal_anomaly",
-    "dp_noisy_counts",
-    "kcore_decomposition",
-    "cusum_changepoint",
-    "sketch_quantile_bottomk",
-    "markov_transitions",
-    "embedding_drift_mmd",
-    "ann_hamming_topk",
-    "weak_label_analysis",
-    "zorder_layout",
-    "gini_concentration",
-    "benford_audit",
-    "rfm_segmentation",
-    "basket_lift_rules",
-    "ab_sequential_sprt",
-    "survival_km_retention",
-    "sketch_theta_setops",
-    "mutual_information",
-    "skyline_parts",
-    "hybrid_search_rrf",
-    "mmr_diverse_topk",
-    "adamic_adar_linkpred",
-    "k_anonymity_audit",
-    "ohlc_bars",
-    "textrank_keywords",
-    "attribution_last_touch",
-    "dedup_embedding_lsh",
-    "label_propagation",
-    "decontaminate_splits",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_share",
-    "intersect_repeat_buyers",
-    "date_functions",
-    "distinct_agg",
-    "topk_brand_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "ordered_string_agg",
-    "above_nation_avg",
-    "user_journey",
-    "monthly_density",
-    "bool_aggs",
-    "window_rank_customers",
-    "window_order_gaps",
-    # ---- r8-latest driver evidence (oldest 2), r8 driver order ----
-    "profile_entropy",
-    "funnel_steps_strict",
+    # ---- r8-latest driver evidence (the stalest block), r8 driver order ----
+    "pmi_collocations",
+    "dup_ratio_by_source",
+    "naive_bayes_domain",
+    "kmeans_train",
+    "latest_order_per_customer",
+    "regexp_extract_ids",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ab_test_conversion",
+    "timeseries_gapfill",
+    "ewma_hourly",
+    "negative_samples",
+    "scd2_user_tiers",
+    "phrase_search",
+    "domain_temperature_sample",
+    "profile_columns",
+    "profile_numeric",
+    "profile_histogram",
+    "profile_skew",
+    "fk_integrity",
+    "hll_distinct",
+    "fuzzy_join_names",
+    "pagerank_copurchase",
+    "triangle_count",
+    "degree_profile",
+    "quantile_norm",
+    "rate_anomaly",
+    "split_drift_psi",
+    "knn_graph_ivf",
+    "dedup_containment_kmv",
+    "embedding_covariance",
+    "knn_graph",
+    "weighted_sample",
+    "multimodal_audio_stats",
+    "multimodal_video_frames",
+    "multimodal_resize",
+    "retention_cohorts",
+    "bigram_perplexity",
+    "cluster_aware_split",
+    "dedup_span_scrub",
+    "dedup_two_tier",
+    "dedup_common_spans",
+    "decontaminate_bloom",
+    "corpus_budget_selection",
+    "bpe_pair_counts",
+    "bpe_learn_merges",
+    # ---- r9-latest driver evidence (oldest 3), r9 driver order ----
+    "profile_columns_fast",
+    "kneser_ney_perplexity",
+    "hbos_outliers",
     # ================= driver window boundary (50) ==================
-    # r12 window: the remaining 47 r8-stale entries lead (in r8 driver
-    # order), then the oldest r9-stale entries fill out the 50.
+    # r13 window: the remaining 47 r9-stale entries lead (in r9 driver
+    # order), then the oldest r10-stale entries fill out the 50.
     # Everything else follows in module order.
 )
 
