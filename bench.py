@@ -580,11 +580,13 @@ def _history_band(current_sf, here: str | None = None, last_n: int = 6, min_samp
 # values reset), kept separate because the rotation test requires
 # _CODE_CHANGED names to sit inside the driver window and these are not
 # registry entries. Reset each round.
-# r12: reset per protocol — the r11 coalesce declaration recorded its
-# change in the r11 history rows; bands resume accruing from the first
-# settled r12 window. (Re-declare here if r12 code touches a measured
-# engine path.)
-_BENCH_CODE_CHANGED = ()
+# r12: the r11 coalesce declaration is retired (recorded in the r11
+# history rows). New this round: the maintenance tick path gained the
+# in-flight lease heartbeat + atomic claim + trim partial-failure credit
+# (ADVICE r11 #1/#2/#4) — control-plane work inside the ticks that run
+# DURING the maintenance-tax measurement, so a regression there must
+# hard-flag, not band-absorb. Plain ingest and fan-out are untouched.
+_BENCH_CODE_CHANGED = ("ingest_under_maintenance_events_per_sec",)
 
 
 def _code_changed_queries() -> frozenset:

@@ -153,46 +153,74 @@ def cmd_replay(args) -> int:
     return 0
 
 
-def _refuse_if_owned(data_dir: str, force: bool) -> bool:
+def _claim_for_oneshot(data_dir: str, force: bool) -> str | None:
     """One-shot maintenance vs the standing ticker: trim/compact are not
     safe against a SECOND maintenance actor, so the one-shot commands
-    refuse while a standing MaintenanceLoop's owner marker is fresh
-    (enforced single-owner contract; --force overrides explicitly)."""
-    from jetstream_spark.atproto.maintenance import owner_info, owner_is_fresh
+    CLAIM the lease for their duration (checking without claiming left
+    the contract one-directional: a standing loop starting right after
+    the check would tick concurrently with the still-running one-shot —
+    now it fails fast on the one-shot's fresh marker instead). Returns
+    the owner token to release in a finally block, or None after
+    printing the refusal. --force claims over a fresh foreign marker,
+    fencing the standing loop (its next tick refuses into its error
+    counter) rather than racing it."""
+    from jetstream_spark.atproto.maintenance import claim_owner, new_owner_token
 
-    if owner_is_fresh(data_dir) and not force:
-        info = owner_info(data_dir) or {}
-        print(
-            f"refusing: a standing maintenance loop ({info.get('owner')}) owns "
-            f"{data_dir} (marker touched {info.get('age_s', 0):.0f}s ago). "
-            "Stop the ingest process, wait for the marker to expire, or pass --force.",
-            flush=True,
-        )
-        return True
-    return False
+    owner = new_owner_token()
+    try:
+        claim_owner(data_dir, interval_s=0.0, owner=owner, force=force)
+    except RuntimeError as e:
+        print(f"refusing: {e}; or pass --force.", flush=True)
+        return None
+    return owner
 
 
 def cmd_trim(args) -> int:
     from jetstream_spark.atproto.log import trim_events
+    from jetstream_spark.atproto.maintenance import heartbeat_owner, release_owner
 
-    if _refuse_if_owned(args.data_dir, args.force):
+    if not os.path.isdir(args.data_dir):
+        print("dropped 0 expired hour partitions")
+        return 0
+    owner = _claim_for_oneshot(args.data_dir, args.force)
+    if owner is None:
         return 1
-    spark = _spark(args.cpus)
-    dropped = trim_events(
-        spark,
-        args.data_dir,
-        now_us=int(time.time() * 1_000_000),
-        ttl_us=args.event_ttl_hours * 3_600_000_000,
-    )
-    print(f"dropped {dropped} expired hour partitions")
-    return 0
+    hb_stop = heartbeat_owner(args.data_dir, owner)
+    try:
+        spark = _spark(args.cpus)
+        dropped = trim_events(
+            spark,
+            args.data_dir,
+            now_us=int(time.time() * 1_000_000),
+            ttl_us=args.event_ttl_hours * 3_600_000_000,
+        )
+        print(f"dropped {dropped} expired hour partitions")
+        return 0
+    finally:
+        hb_stop.set()
+        release_owner(args.data_dir, owner)
 
 
 def cmd_compact(args) -> int:
+    from jetstream_spark.atproto.maintenance import heartbeat_owner, release_owner
+
+    if not os.path.isdir(args.data_dir):
+        print("compacted 0 partitions, skipped 0 unsafe")
+        return 0
+    owner = _claim_for_oneshot(args.data_dir, args.force)
+    if owner is None:
+        return 1
+    hb_stop = heartbeat_owner(args.data_dir, owner)
+    try:
+        return _compact_owned(args)
+    finally:
+        hb_stop.set()
+        release_owner(args.data_dir, owner)
+
+
+def _compact_owned(args) -> int:
     from jetstream_spark.atproto.log import US_PER_HOUR, compact_bucket, recover_compaction
 
-    if _refuse_if_owned(args.data_dir, args.force):
-        return 1
     spark = _spark(args.cpus)
     recovered = recover_compaction(args.data_dir)
     if recovered:

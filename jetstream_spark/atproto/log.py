@@ -473,6 +473,20 @@ def compact_bucket(
     return len(old_files)
 
 
+class TrimPartialFailure(OSError):
+    """trim_events removed `dropped` expired partitions but could not fully
+    remove the entries in `failed`. An OSError subclass so existing
+    handlers keep working; the partial-progress count rides ON the
+    exception because discarding it made the maintenance loop's scraped
+    partitions_trimmed counter permanently undercount work actually done
+    (the removals are real and irreversible even when the pass fails)."""
+
+    def __init__(self, failed: list[str], dropped: int):
+        super().__init__(f"trim could not fully remove expired entries: {failed}")
+        self.failed = failed
+        self.dropped = dropped
+
+
 def trim_events(spark: SparkSession, log_dir: str, now_us: int, ttl_us: int = DEFAULT_TTL_US) -> int:
     """S13 TTL retention: drop whole hour partitions older than now-TTL —
     the partition-drop analogue of Pebble's DeleteRange (persist.go:130, P9).
@@ -527,5 +541,5 @@ def trim_events(spark: SparkSession, log_dir: str, now_us: int, ttl_us: int = DE
             else:
                 dropped += counted
     if failed:
-        raise OSError(f"trim could not fully remove expired entries: {failed}")
+        raise TrimPartialFailure(failed, dropped)
     return dropped

@@ -43,9 +43,11 @@ from pyspark.sql import SparkSession
 from jetstream_spark.atproto.log import (
     DEFAULT_TTL_US,
     US_PER_HOUR,
+    TrimPartialFailure,
     compact_bucket,
     trim_events,
 )
+from jetstream_spark.operators.observability import prom_label
 
 
 def _now_us() -> int:
@@ -61,12 +63,15 @@ def _now_us() -> int:
 # _compact_tmp_ stage mid-swap). The reference cannot hit this — its
 # store is embedded, single-process. Here the contract is enforced with
 # an owner marker under the log dir: the standing loop claims it on
-# start, touches it every tick, and releases it on clean stop; anything
-# else doing maintenance refuses while the marker is FRESH (touched
-# within OWNER_FRESH_S — generous multiples of the 15 s tick, so a
-# wedged-but-alive loop keeps ownership but a dead process's marker
-# expires and the log is adoptable). The `_` prefix keeps the marker
-# invisible to Spark's directory listings, like the compaction stages.
+# start, touches it every tick AND heartbeats it from a side thread
+# while a tick is in flight (a single slow trim+compact pass must not
+# let the lease expire while the loop is alive), and releases it on
+# clean stop; anything else doing maintenance refuses while the marker
+# is FRESH (touched within OWNER_FRESH_S — generous multiples of the
+# 15 s tick, so a wedged-but-alive loop keeps ownership but a dead
+# process's marker expires and the log is adoptable). The `_` prefix
+# keeps the marker invisible to Spark's directory listings, like the
+# compaction stages.
 
 OWNER_MARKER = "_maintenance.owner"
 OWNER_FRESH_S = 120.0
@@ -128,23 +133,57 @@ def new_owner_token() -> str:
         return f"{os.getpid()}:{_owner_seq}"
 
 
-def claim_owner(log_dir: str, interval_s: float, owner: str) -> None:
+def _refuse_claim(log_dir: str, info: dict | None) -> None:
+    holder = info.get("owner") if info else "unknown"
+    age = f"{info['age_s']:.0f}s ago" if info and "age_s" in info else "just now"
+    raise RuntimeError(
+        f"another maintenance owner ({holder}) holds {log_dir} "
+        f"(marker touched {age}); exactly one maintenance "
+        "actor per log — stop it, wait for the marker to expire, or override "
+        "explicitly"
+    )
+
+
+def claim_owner(log_dir: str, interval_s: float, owner: str, force: bool = False) -> None:
     """Write (or re-assert) the owner marker. Raises RuntimeError when a
     FRESH marker belongs to a different owner — the enforced form of the
-    single-maintenance-owner contract."""
-    info = owner_info(log_dir)
-    if _marker_fences(info) and info.get("owner") != owner:
-        raise RuntimeError(
-            f"another maintenance owner ({info.get('owner')}) holds {log_dir} "
-            f"(marker touched {info['age_s']:.0f}s ago); exactly one maintenance "
-            "actor per log — stop it, wait for the marker to expire, or override "
-            "explicitly"
-        )
+    single-maintenance-owner contract. ``force=True`` is the explicit
+    operator override (`--force`): it claims over a fresh foreign marker,
+    which FENCES the previous owner (its next tick sees a foreign marker
+    and refuses) instead of racing it.
+
+    Two racing claimants cannot both win: the marker is created with an
+    atomic exclusive hard-link (so check-then-write cannot interleave,
+    and a concurrent reader never sees a half-written marker), and a
+    stale-takeover os.replace is RE-READ afterward — the claim only
+    returns when the marker on disk is this owner's."""
     os.makedirs(log_dir, exist_ok=True)
-    tmp = _owner_path(log_dir) + ".tmp"
+    path = _owner_path(log_dir)
+    # per-claimant staging name: concurrent claimants must not share it
+    tmp = f"{path}.claim.{owner.replace(':', '-')}"
     with open(tmp, "w") as f:
         json.dump({"owner": owner, "pid": os.getpid(), "interval_s": interval_s}, f)
-    os.replace(tmp, _owner_path(log_dir))
+    try:
+        os.link(tmp, path)  # atomic exclusive create, full content visible
+    except FileExistsError:
+        pass
+    else:
+        os.remove(tmp)
+        return
+    info = owner_info(log_dir)
+    if _marker_fences(info) and info.get("owner") != owner and not force:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        _refuse_claim(log_dir, info)
+    # stale / own / forced marker: take it over, then verify the takeover
+    # actually stuck — with two concurrent os.replace calls the last
+    # writer wins, so the loser must refuse instead of proceeding unfenced
+    os.replace(tmp, path)
+    after = owner_info(log_dir)
+    if after is None or after.get("owner") != owner:
+        _refuse_claim(log_dir, after)
 
 
 def touch_owner(log_dir: str) -> None:
@@ -152,6 +191,34 @@ def touch_owner(log_dir: str) -> None:
         os.utime(_owner_path(log_dir))
     except OSError:
         pass  # marker swept (e.g. log dir recreated): reclaimed next tick
+
+
+HEARTBEAT_S = OWNER_FRESH_S / 4.0
+
+
+def heartbeat_owner(log_dir: str, owner: str, interval_s: float = HEARTBEAT_S) -> threading.Event:
+    """Keep a HELD lease fresh from a side thread while long maintenance
+    work is in flight — per-tick touches alone let the lease expire
+    mid-work whenever a single trim+compact pass runs longer than
+    OWNER_FRESH_S (plausible for a large-bucket Spark rewrite on a loaded
+    host), at which point a one-shot trim passes the freshness check and
+    can sweep the live _compact_tmp_ stage mid-swap. The beat re-reads
+    the marker and touches it only while it is still OURS, so a
+    heartbeat can never fight a forced takeover or a post-release
+    adopter. Returns the stop Event; set it when the work completes."""
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(interval_s):
+            info = owner_info(log_dir)
+            if info is None or info.get("owner") != owner:
+                return  # no longer ours: never heartbeat a foreign marker
+            touch_owner(log_dir)
+
+    threading.Thread(
+        target=_beat, daemon=True, name="jetstream-maintenance-heartbeat"
+    ).start()
+    return stop
 
 
 def release_owner(log_dir: str, owner: str) -> None:
@@ -195,6 +262,7 @@ class MaintenanceLoop:
         compact: bool = True,
         target_files: int = 1,
         now_fn: Callable[[], int] = _now_us,
+        heartbeat_s: float = HEARTBEAT_S,
     ):
         self.spark = spark
         self.log_dir = log_dir
@@ -203,6 +271,7 @@ class MaintenanceLoop:
         self.compact = compact
         self.target_files = target_files
         self.now_fn = now_fn
+        self._heartbeat_s = heartbeat_s  # injectable so tests shrink it
         # observability: scraped by callers the same way the consumer
         # metrics families are (S27) — counts, not gauges, so deltas
         # survive scrape gaps
@@ -233,13 +302,26 @@ class MaintenanceLoop:
             touch_owner(self.log_dir)
         else:
             claim_owner(self.log_dir, self.interval_s, self._owner)  # adopts only if absent/stale
-        now = self.now_fn()
-        self.counters["partitions_trimmed"] += trim_events(
-            self.spark, self.log_dir, now_us=now, ttl_us=self.ttl_us
-        )
-        if self.compact:
-            self._compact_one_sealed(now)
-        self.counters["ticks"] += 1
+        # heartbeat for the tick's duration: a single slow trim+compact
+        # pass must not outlive the freshness window while the loop is
+        # alive (the lease exists to fence exactly that window)
+        hb_stop = heartbeat_owner(self.log_dir, self._owner, self._heartbeat_s)
+        try:
+            now = self.now_fn()
+            try:
+                self.counters["partitions_trimmed"] += trim_events(
+                    self.spark, self.log_dir, now_us=now, ttl_us=self.ttl_us
+                )
+            except TrimPartialFailure as e:
+                # the removals that DID land this pass are real work —
+                # credit them before the error surfaces to the counter
+                self.counters["partitions_trimmed"] += e.dropped
+                raise
+            if self.compact:
+                self._compact_one_sealed(now)
+            self.counters["ticks"] += 1
+        finally:
+            hb_stop.set()
 
     def _compact_one_sealed(self, now_us: int) -> None:
         """Compact the OLDEST fragmented sealed bucket, at most one per
@@ -324,9 +406,10 @@ class MaintenanceLoop:
         the edge's /metrics scrape the same way the consumer families are
         (serving/edge.py wires `maintenance=`)."""
         lines = []
+        label = prom_label(self.log_dir)
         for key, family in MAINTENANCE_FAMILIES.items():
             lines.append(f"# TYPE {family} counter")
-            lines.append(f'{family}{{log_dir="{self.log_dir}"}} {self.counters[key]}')
+            lines.append(f'{family}{{log_dir="{label}"}} {self.counters[key]}')
         return "\n".join(lines)
 
     def wait_for_tick(self, timeout: float = 30.0) -> bool:

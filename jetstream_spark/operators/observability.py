@@ -28,6 +28,21 @@ STALL_LIMIT_S = 15  # main.go:188
 _DURATION_BUCKETS = [0.0001 * (2**i) for i in range(18)]
 
 
+def prom_label(value) -> str:
+    """Escape a Prometheus text-format label VALUE: backslash, double
+    quote, and newline per the exposition-format spec (shared by every
+    family that interpolates runtime strings — paths, URLs, IPs — into a
+    label). An unescaped quote in one label value makes the WHOLE
+    /metrics page invalid text exposition, so scrapers reject all
+    families, not just the bad line."""
+    return (
+        str(value)
+        .replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+    )
+
+
 class ConsumerMetrics:
     """The consumer-side Prometheus families from pkg/consumer/metrics.go,
     batch-granular where Spark's execution model differs from per-event Go:
@@ -101,17 +116,17 @@ class ConsumerMetrics:
 
     def render(self) -> str:
         """Prometheus text exposition of all families."""
-        u = self.socket_url
+        u = prom_label(self.socket_url)
         with self._lock:
             lines = ["# TYPE consumer_events_processed_total counter"]
             for et, n in sorted(self.events_processed.items()):
                 lines.append(
-                    f'consumer_events_processed_total{{event_type="{et}",socket_url="{u}"}} {n}'
+                    f'consumer_events_processed_total{{event_type="{prom_label(et)}",socket_url="{u}"}} {n}'
                 )
             lines.append("# TYPE consumer_ops_processed_total counter")
             for (kind, path), n in sorted(self.ops_processed.items()):
                 lines.append(
-                    f'consumer_ops_processed_total{{kind="{kind}",op_path="{path}",socket_url="{u}"}} {n}'
+                    f'consumer_ops_processed_total{{kind="{prom_label(kind)}",op_path="{prom_label(path)}",socket_url="{u}"}} {n}'
                 )
             lines.append("# TYPE consumer_event_processing_duration_seconds histogram")
             cum = 0

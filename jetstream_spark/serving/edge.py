@@ -36,6 +36,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from jetstream_spark.atproto.log import replay, replay_rows
+from jetstream_spark.operators.observability import prom_label
 from jetstream_spark.atproto.sequencer import SequencerState
 from jetstream_spark.atproto.subscribe import Subscription, SubscriptionError
 from jetstream_spark.atproto.wire import to_wire
@@ -361,7 +362,7 @@ class SubscribeServer:
         counters never reset on disconnect, like a CounterVec."""
         lines = ["# TYPE jetstream_subscribers_connected gauge"]
         for ip, n in sorted(self.registry.connected_by_ip().items()):
-            lines.append(f'jetstream_subscribers_connected{{ip_address="{ip}"}} {n}')
+            lines.append(f'jetstream_subscribers_connected{{ip_address="{prom_label(ip)}"}} {n}')
         lines += [
             "# TYPE jetstream_events_emitted_total counter",
             f"jetstream_events_emitted_total {self.events_emitted_total}",
@@ -376,16 +377,16 @@ class SubscribeServer:
             "# TYPE jetstream_events_delivered_total counter",
         ]
         for ip, n in sorted(self.registry.events_by_ip.items()):
-            lines.append(f'jetstream_events_delivered_total{{ip_address="{ip}"}} {n}')
+            lines.append(f'jetstream_events_delivered_total{{ip_address="{prom_label(ip)}"}} {n}')
         lines.append("# TYPE jetstream_bytes_delivered_total counter")
         for ip, n in sorted(self.registry.bytes_by_ip.items()):
-            lines.append(f'jetstream_bytes_delivered_total{{ip_address="{ip}"}} {n}')
+            lines.append(f'jetstream_bytes_delivered_total{{ip_address="{prom_label(ip)}"}} {n}')
         if self.consumer_metrics is not None:
             lines.append(self.consumer_metrics.render())
         else:
             lines += [
                 "# TYPE consumer_last_seq gauge",
-                f'consumer_last_seq{{socket_url="{self.log_dir}"}} {self._head()}',
+                f'consumer_last_seq{{socket_url="{prom_label(self.log_dir)}"}} {self._head()}',
             ]
         if self.maintenance is not None:
             lines.append(self.maintenance.render())

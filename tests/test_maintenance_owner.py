@@ -111,7 +111,7 @@ def test_release_requires_matching_owner(tmp_path):
 def test_oneshot_cli_refuses_under_fresh_owner(tmp_path, capsys):
     """The one-shot trim/compact commands respect the lease (and bail
     before touching Spark); --force is the explicit override."""
-    from jetstream_spark.__main__ import _refuse_if_owned, main
+    from jetstream_spark.__main__ import _claim_for_oneshot, main
 
     log_dir = str(tmp_path / "log")
     claim_owner(log_dir, 15.0, owner=f"{os.getpid()}:standing")
@@ -119,9 +119,256 @@ def test_oneshot_cli_refuses_under_fresh_owner(tmp_path, capsys):
     assert main(["compact", "--data-dir", log_dir]) == 1
     out = capsys.readouterr().out
     assert "refusing" in out and "--force" in out
-    assert _refuse_if_owned(log_dir, force=True) is False
-    release_owner(log_dir, f"{os.getpid()}:standing")
-    assert _refuse_if_owned(log_dir, force=False) is False
+    forced = _claim_for_oneshot(log_dir, force=True)
+    assert forced is not None, "--force must claim over a fresh foreign marker"
+    # the forced claim FENCES the standing actor: the marker is now the
+    # one-shot's, so the standing loop's next re-assert would refuse
+    assert owner_info(log_dir)["owner"] == forced
+    release_owner(log_dir, forced)
+    unforced = _claim_for_oneshot(log_dir, force=False)
+    assert unforced is not None, "a released lease is claimable without force"
+    release_owner(log_dir, unforced)
+
+
+def test_oneshot_holds_lease_for_duration(tmp_path, monkeypatch, capsys):
+    """ADVICE r11 #3: the one-shot must CLAIM the lease, not just check it
+    — a standing loop starting mid-run must fail fast on the one-shot's
+    fresh marker instead of ticking concurrently."""
+    from jetstream_spark import __main__ as cli
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    seen: dict = {}
+
+    def observing_trim(spark, data_dir, now_us, ttl_us):
+        seen["fresh_during_run"] = owner_is_fresh(data_dir)
+        info = owner_info(data_dir)
+        seen["owner_during_run"] = info and info.get("owner")
+        # a rival claim DURING the one-shot must refuse
+        try:
+            claim_owner(data_dir, 15.0, new_owner_token())
+            seen["rival_refused"] = False
+        except RuntimeError:
+            seen["rival_refused"] = True
+        return 0
+
+    monkeypatch.setattr(cli, "_spark", lambda cpus: None)
+    monkeypatch.setattr(eventlog, "trim_events", observing_trim)
+    assert cli.main(["trim", "--data-dir", log_dir]) == 0
+    assert seen["fresh_during_run"], "one-shot must hold a fresh lease while working"
+    assert seen["rival_refused"], "a standing loop starting mid-run must be refused"
+    assert owner_info(log_dir) is None, "one-shot must release the lease when done"
+
+
+def test_forced_oneshot_fences_standing_loop(spark, tmp_path):
+    """--force fences the standing loop instead of racing it: while the
+    forced claimant holds the marker, the loop's tick refuses (lands in
+    its error counter via _run); once released, the loop re-adopts."""
+    log_dir = str(tmp_path / "log")
+    loop = _quiet_loop(spark, log_dir)
+    claim_owner(log_dir, 15.0, loop._owner)  # simulate the started loop's claim
+    claim_owner(log_dir, 0.0, "oneshot:force", force=True)
+    with pytest.raises(RuntimeError, match="another maintenance owner"):
+        loop.tick()
+    assert loop.counters["ticks"] == 0, "a fenced tick must not run maintenance"
+    release_owner(log_dir, "oneshot:force")
+    loop.tick()  # re-adopts the released lease
+    assert loop.counters["ticks"] == 1
+    release_owner(log_dir, loop._owner)
+
+
+def test_heartbeat_keeps_lease_fresh_during_long_tick(spark, tmp_path, monkeypatch):
+    """ADVICE r11 #1 (medium): a single trim+compact tick longer than
+    OWNER_FRESH_S must NOT let the lease expire while the loop is alive —
+    the marker is heartbeat from a side thread for the tick's duration,
+    independent of tick length."""
+    log_dir = str(tmp_path / "log")
+    entered, release = threading.Event(), threading.Event()
+
+    def slow_trim(spark_, data_dir, now_us, ttl_us):
+        entered.set()
+        release.wait(30)
+        return 0
+
+    monkeypatch.setattr(maint_mod, "trim_events", slow_trim)
+    loop = MaintenanceLoop(
+        spark, log_dir, interval_s=3600, compact=False, heartbeat_s=0.05
+    )
+    loop.start()
+    try:
+        assert entered.wait(10)
+        path = os.path.join(log_dir, maint_mod.OWNER_MARKER)
+        m0 = os.stat(path).st_mtime
+        deadline = time.time() + 10
+        while os.stat(path).st_mtime <= m0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert os.stat(path).st_mtime > m0, (
+            "the marker must be touched DURING a long tick, not only at its start"
+        )
+    finally:
+        release.set()
+        loop.stop()
+
+
+def test_claim_is_atomic_under_racing_claimants(tmp_path):
+    """ADVICE r11 #2: two actors starting in the same window must not both
+    win the claim. The marker is created with an atomic exclusive link, so
+    exactly one racing claimant succeeds and the rest refuse."""
+    log_dir = str(tmp_path / "log")
+    n = 8
+    barrier = threading.Barrier(n)
+    results: list = [None] * n
+
+    def racer(i: int) -> None:
+        owner = f"racer:{i}"
+        barrier.wait()
+        try:
+            claim_owner(log_dir, 15.0, owner)
+            results[i] = owner
+        except RuntimeError:
+            results[i] = None
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [r for r in results if r is not None]
+    assert len(winners) == 1, f"exactly one racing claimant may win, got {winners}"
+    assert owner_info(log_dir)["owner"] == winners[0]
+    # no staging leftovers from the losers
+    leftovers = [e for e in os.listdir(log_dir) if e != maint_mod.OWNER_MARKER]
+    assert not leftovers, f"losers must clean their staging files: {leftovers}"
+
+
+def test_stale_takeover_verifies_it_stuck(tmp_path, monkeypatch):
+    """ADVICE r11 #2, takeover half: when two actors replace a STALE marker
+    concurrently, the last writer wins — the loser must re-read, see the
+    rival's marker, and refuse instead of proceeding unfenced."""
+    log_dir = str(tmp_path / "log")
+    claim_owner(log_dir, 15.0, owner="dead:1")
+    path = os.path.join(log_dir, maint_mod.OWNER_MARKER)
+    old = time.time() - OWNER_FRESH_S - 1
+    os.utime(path, (old, old))
+    import json as _json
+
+    orig_replace = os.replace
+
+    def racing_replace(src, dst):
+        orig_replace(src, dst)
+        # a rival takeover lands right after ours
+        _json.dump({"owner": "rival:1", "pid": os.getpid(), "interval_s": 15.0},
+                   open(dst, "w"))
+
+    monkeypatch.setattr(maint_mod.os, "replace", racing_replace)
+    with pytest.raises(RuntimeError, match="another maintenance owner"):
+        claim_owner(log_dir, 15.0, owner="loser:1")
+    assert owner_info(log_dir)["owner"] == "rival:1"
+
+
+def test_kill9_owner_adopted_live_owner_fences(spark, tmp_path):
+    """VERDICT r11 ask #6: adopt under a LIVE owner, not just a dead-pid
+    marker. While a separate PROCESS holds and heartbeats the lease, a
+    local loop must refuse to start (no tick double-runs); after kill -9
+    the restart adopts immediately (pid-liveness beats the 120 s age
+    bound)."""
+    import subprocess
+    import sys
+
+    log_dir = str(tmp_path / "log")
+    script = (
+        "import sys, time\n"
+        "from jetstream_spark.atproto.maintenance import claim_owner, touch_owner\n"
+        f"log_dir = {log_dir!r}\n"
+        "claim_owner(log_dir, 0.2, owner='child-loop:1')\n"
+        "print('claimed', flush=True)\n"
+        "while True:\n"
+        "    time.sleep(0.1)\n"
+        "    touch_owner(log_dir)\n"
+    )
+    child = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        assert child.stdout.readline().strip() == "claimed"
+        assert owner_is_fresh(log_dir)
+        with pytest.raises(RuntimeError, match="another maintenance owner"):
+            _quiet_loop(spark, log_dir).start()
+        child.kill()  # SIGKILL: no release, marker left fresh by mtime
+        child.wait(timeout=10)
+        # fresh-aged marker + dead pid -> adoptable NOW
+        assert not owner_is_fresh(log_dir)
+        loop = _quiet_loop(spark, log_dir).start()
+        try:
+            assert owner_info(log_dir)["pid"] == os.getpid()
+        finally:
+            assert loop.stop() == "stopped"
+    finally:
+        if child.poll() is None:
+            child.kill()
+            child.wait(timeout=10)
+
+
+def test_trim_partial_failure_credits_dropped(spark, tmp_path, monkeypatch):
+    """ADVICE r11 #4: partitions removed in a partially-failed trim pass
+    must still be counted — the tick credits TrimPartialFailure.dropped
+    before the error surfaces."""
+    log_dir = str(tmp_path / "log")
+    for b in (1, 2, 3):
+        os.makedirs(os.path.join(log_dir, f"hour_bucket={b}"))
+    victim = os.path.join(log_dir, "hour_bucket=2")
+    orig_rmtree = eventlog.shutil.rmtree
+
+    def sticky_rmtree(path, ignore_errors=False):
+        if os.path.abspath(path) == os.path.abspath(victim):
+            return  # simulates EBUSY/open-handle: nothing removed
+        return orig_rmtree(path, ignore_errors=ignore_errors)
+
+    monkeypatch.setattr(eventlog.shutil, "rmtree", sticky_rmtree)
+    now_us = 10_000 * 3_600_000_000  # far future: buckets 1-3 all expired
+    with pytest.raises(eventlog.TrimPartialFailure) as exc:
+        eventlog.trim_events(spark, log_dir, now_us=now_us)
+    assert exc.value.dropped == 2
+    assert exc.value.failed == ["hour_bucket=2"]
+
+    # the loop credits the partial progress and still surfaces the error
+    for b in (1, 3):  # recreate what the direct call dropped
+        os.makedirs(os.path.join(log_dir, f"hour_bucket={b}"))
+    loop = MaintenanceLoop(
+        spark, log_dir, compact=False, interval_s=3600, now_fn=lambda: now_us
+    )
+    claim_owner(log_dir, 3600, loop._owner)
+    with pytest.raises(eventlog.TrimPartialFailure):
+        loop.tick()
+    assert loop.counters["partitions_trimmed"] == 2, (
+        "the two removals that DID land must be credited despite the error"
+    )
+    assert loop.counters["ticks"] == 0
+    release_owner(log_dir, loop._owner)
+
+
+def test_render_escapes_label_values(tmp_path):
+    """ADVICE r11 #5: a log_dir containing a quote/backslash/newline must
+    render as VALID Prometheus text exposition (escaped label value), not
+    take the whole /metrics page down."""
+    import re
+
+    from jetstream_spark.operators.observability import prom_label
+
+    assert prom_label('a"b') == 'a\\"b'
+    assert prom_label("a\\b") == "a\\\\b"
+    assert prom_label("a\nb") == "a\\nb"
+    weird = str(tmp_path / 'we"ird\\dir')
+    loop = MaintenanceLoop(None, weird, compact=False)
+    text = loop.render()
+    label_value = re.compile(r'^[a-zA-Z_:][a-zA-Z0-9_:]*\{log_dir="(?:[^"\\\n]|\\["\\n])*"\} \d+$')
+    for line in text.splitlines():
+        if line.startswith("#"):
+            continue
+        assert label_value.match(line), f"invalid exposition line: {line}"
 
 
 def test_marker_invisible_to_log_readers(spark, tmp_path):
