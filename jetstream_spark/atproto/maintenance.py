@@ -152,11 +152,15 @@ def claim_owner(log_dir: str, interval_s: float, owner: str, force: bool = False
     which FENCES the previous owner (its next tick sees a foreign marker
     and refuses) instead of racing it.
 
-    Two racing claimants cannot both win: the marker is created with an
-    atomic exclusive hard-link (so check-then-write cannot interleave,
-    and a concurrent reader never sees a half-written marker), and a
-    stale-takeover os.replace is RE-READ afterward — the claim only
-    returns when the marker on disk is this owner's."""
+    Two racing claimants cannot both win the CREATE path: the marker is
+    made with an atomic exclusive hard-link (so check-then-write cannot
+    interleave, and a concurrent reader never sees a half-written
+    marker). A stale-TAKEOVER os.replace is RE-READ afterward, so a lost
+    takeover refuses rather than proceeding unfenced; the verify narrows
+    but cannot fully close the two-replacer window (replace/verify pairs
+    can interleave so both see their own marker) — the loser in that
+    residual window self-corrects at its next tick, which re-reads the
+    marker and refuses under the winner's fresh foreign lease."""
     os.makedirs(log_dir, exist_ok=True)
     path = _owner_path(log_dir)
     # per-claimant staging name: concurrent claimants must not share it
