@@ -731,6 +731,71 @@ def test_ab_verdict_attributes_engine_vs_host():
     assert not at["q"]["engine_regression"], at
 
 
+def test_ab_verdict_self_reports_low_power():
+    """r12: a 2+2-window run convicted two metrics on paths with zero
+    changed code (min-of-2 floors flip easily on a noisy host); the 3+3
+    rerun cleared both. A regression verdict resting on <3 windows per
+    side must say so."""
+    from tools.probe_queries import ab_verdict
+
+    two_by_two = {
+        "W1_head": {"side": "head", "queries": {"q": 1.4}},
+        "W2_baseline": {"side": "base", "queries": {"q": 1.0}},
+        "W3_head": {"side": "head", "queries": {"q": 1.45}},
+        "W4_baseline": {"side": "base", "queries": {"q": 1.05}},
+    }
+    v = ab_verdict(two_by_two)
+    assert v["q"]["engine_regression"] and v["q"].get("low_power") is True, v
+    three_by_three = dict(two_by_two)
+    three_by_three["W5_head"] = {"side": "head", "queries": {"q": 1.42}}
+    three_by_three["W6_baseline"] = {"side": "base", "queries": {"q": 1.02}}
+    v3 = ab_verdict(three_by_three)
+    assert v3["q"]["engine_regression"], v3
+    assert "low_power" not in v3["q"], "3 windows/side is full power"
+    # a non-regression never carries the annotation
+    clear = ab_verdict({
+        "W1_head": {"side": "head", "queries": {"q": 1.0}},
+        "W2_baseline": {"side": "base", "queries": {"q": 1.0}},
+    })
+    assert "low_power" not in clear["q"], clear
+
+
+def test_ab_verdict_flags_monotone_drift():
+    """Monotone host drift with early baseline arms inflates the floor
+    ratio while every TIME-ADJACENT head/baseline pair stays near 1 —
+    the pairwise median must expose it as drift_suspect. A true engine
+    regression (head slower in every adjacent pair too) must NOT carry
+    the annotation."""
+    from tools.probe_queries import ab_verdict
+
+    # session slows 1.0 -> 2.2 uniformly; arms alternate base-first, so
+    # the baseline floor samples the fast early span
+    drift = {
+        "W1_baseline": {"side": "base", "queries": {"q": 1.0}},
+        "W2_head": {"side": "head", "queries": {"q": 1.2}},
+        "W3_baseline": {"side": "base", "queries": {"q": 1.5}},
+        "W4_head": {"side": "head", "queries": {"q": 1.7}},
+        "W5_baseline": {"side": "base", "queries": {"q": 2.0}},
+        "W6_head": {"side": "head", "queries": {"q": 2.2}},
+    }
+    v = ab_verdict(drift)
+    assert v["q"]["engine_regression"], v  # floor rule: 1.2 vs 1.0
+    assert v["q"].get("drift_suspect") is True, v
+    genuine = {
+        "W1_baseline": {"side": "base", "queries": {"q": 1.0}},
+        "W2_head": {"side": "head", "queries": {"q": 1.5}},
+        "W3_baseline": {"side": "base", "queries": {"q": 1.05}},
+        "W4_head": {"side": "head", "queries": {"q": 1.55}},
+        "W5_baseline": {"side": "base", "queries": {"q": 0.98}},
+        "W6_head": {"side": "head", "queries": {"q": 1.52}},
+    }
+    g = ab_verdict(genuine)
+    assert g["q"]["engine_regression"], g
+    assert "drift_suspect" not in g["q"], (
+        "a head slower in every adjacent pair is the engine, not drift"
+    )
+
+
 def test_band_excludes_self_flagged_values(tmp_path):
     """A value a run ITSELF flagged must not become band evidence — else
     a genuine regression's first flagged run poisons the band and the

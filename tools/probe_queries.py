@@ -63,10 +63,28 @@ def ab_verdict(windows: dict, factor: float = AB_FACTOR) -> dict:
     maintenance-tax throughputs) attribute in the rate direction: best =
     MAX across windows on both sides, and the reported ratio is
     baseline_best / head_best, so ratio > factor still reads "engine
-    regression" for every metric kind."""
+    regression" for every metric kind.
+
+    Self-reported confidence annotations (r12: a 2+2-window run read two
+    "engine regressions" on paths with ZERO changed code — min-of-2 vs
+    min-of-2 of a noisy host distribution flips easily — and the 3+3
+    rerun on the same commits cleared both, heads marginally FASTER):
+    a regression verdict resting on fewer than 3 windows per side
+    carries ``low_power: true`` — rerun with ``--windows 6`` before
+    believing it. Separately, every query reports the median ratio over
+    TIME-ADJACENT opposite-side window pairs (``pair_ratio_median``),
+    where monotone session drift mostly cancels; a regression whose
+    pairwise median does NOT clear the factor carries ``drift_suspect:
+    true``. The floor rule still decides ``engine_regression`` (an
+    annotated protocol, not a changed one)."""
     head_best: dict[str, float] = {}
     base_best: dict[str, float] = {}
-    for w in windows.values():
+    ordered: list[dict] = []
+    for name, w in sorted(
+        windows.items(),
+        key=lambda kv: int("".join(c for c in kv[0].split("_")[0] if c.isdigit()) or 0),
+    ):
+        ordered.append(w)
         tgt = head_best if w.get("side") == "head" else base_best
         for q, v in (w.get("queries") or {}).items():
             if isinstance(v, (int, float)):
@@ -74,18 +92,60 @@ def ab_verdict(windows: dict, factor: float = AB_FACTOR) -> dict:
                     tgt[q] = max(float(v), tgt.get(q, float("-inf")))
                 else:
                     tgt[q] = min(float(v), tgt.get(q, float("inf")))
+
+    def _pair_ratios(q: str) -> list[float]:
+        out = []
+        for a, b in zip(ordered, ordered[1:]):  # time-adjacent neighbors
+            if a.get("side") == b.get("side"):
+                continue
+            head_w, base_w = (a, b) if a.get("side") == "head" else (b, a)
+            hv = (head_w.get("queries") or {}).get(q)
+            bv = (base_w.get("queries") or {}).get(q)
+            if not isinstance(hv, (int, float)) or not isinstance(bv, (int, float)):
+                continue
+            if q.endswith("_per_sec"):
+                if hv > 0:
+                    out.append(float(bv) / float(hv))
+            elif bv > 0:
+                out.append(float(hv) / float(bv))
+        return out
+
     verdict: dict = {}
     for q in sorted(set(head_best) & set(base_best)):
         if q.endswith("_per_sec"):
             ratio = round(base_best[q] / head_best[q], 3) if head_best[q] > 0 else None
         else:
             ratio = round(head_best[q] / base_best[q], 3) if base_best[q] > 0 else None
-        verdict[q] = {
+        regression = bool(ratio is not None and ratio > factor)
+        entry = {
             "head_best": head_best[q],
             "baseline_best": base_best[q],
             "ratio": ratio,
-            "engine_regression": bool(ratio is not None and ratio > factor),
+            "engine_regression": regression,
         }
+        pairs = _pair_ratios(q)
+        if pairs:
+            pairs.sort()
+            pair_median = round(pairs[len(pairs) // 2], 3)
+            entry["pair_ratio_median"] = pair_median
+            if regression and pair_median <= factor:
+                entry["drift_suspect"] = True
+        if regression:
+            n_head = sum(
+                1
+                for w in ordered
+                if w.get("side") == "head"
+                and isinstance((w.get("queries") or {}).get(q), (int, float))
+            )
+            n_base = sum(
+                1
+                for w in ordered
+                if w.get("side") != "head"
+                and isinstance((w.get("queries") or {}).get(q), (int, float))
+            )
+            if min(n_head, n_base) < 3:
+                entry["low_power"] = True
+        verdict[q] = entry
     return verdict
 
 
