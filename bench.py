@@ -34,11 +34,18 @@ regression. A flag is dispositioned in three steps:
      of host weather. Engine regression := the HEAD floor across its
      windows > 1.15x the baseline floor (ab_verdict); if the old code's
      floor is just as slow, it is the host, and the flag is cleared
-     with the A/B JSON as committed evidence.
+     with the A/B JSON as committed evidence. A regression verdict the
+     tool annotates low_power (<3 windows/side) or drift_suspect
+     (adjacent-pair median disagrees with the floor rule) is NOT
+     final: run_ab SELF-ESCALATES by extending the alternating run to
+     6 windows before printing its verdict (needs_escalation — the r12
+     window-4 incident mechanized; a 2+2 verdict was believed over its
+     own printed flag until the 3+3 rerun cleared both arms).
 
 tests/test_bench_guard.py pins steps 1-2 (the r8 six-flag shape, band
-direction/exclusion rules, the uniform-1.5x adversarial probe) and the
-r9 A/B artifact documents step 3's executed form.
+direction/exclusion rules, the uniform-1.5x adversarial probe) plus
+step 3's annotations and self-escalation rule; the r9 A/B artifact
+documents step 3's executed form.
 """
 
 from __future__ import annotations
@@ -580,13 +587,14 @@ def _history_band(current_sf, here: str | None = None, last_n: int = 6, min_samp
 # values reset), kept separate because the rotation test requires
 # _CODE_CHANGED names to sit inside the driver window and these are not
 # registry entries. Reset each round.
-# r12: the r11 coalesce declaration is retired (recorded in the r11
-# history rows). New this round: the maintenance tick path gained the
-# in-flight lease heartbeat + atomic claim + trim partial-failure credit
-# (ADVICE r11 #1/#2/#4) — control-plane work inside the ticks that run
-# DURING the maintenance-tax measurement, so a regression there must
-# hard-flag, not band-absorb. Plain ingest and fan-out are untouched.
-_BENCH_CODE_CHANGED = ("ingest_under_maintenance_events_per_sec",)
+# r13: the r12 maintenance-lease declaration is retired — its band
+# re-formed from three settled r12 rows (28.1-31.9k ev/s) and the lease
+# A/B read neutral (ratio 1.034, BENCH_AB_r12_maint.json). The r13
+# takeover-flock change (ADVICE r12 #1) touches only the CLAIM path —
+# executed once per ticker start / one-shot, never inside the per-tick
+# loop the maintenance-tax measurement samples — and is A/B'd neutral
+# rather than band-reset (see COVERAGE.md Round 13).
+_BENCH_CODE_CHANGED = ()
 
 
 def _code_changed_queries() -> frozenset:

@@ -176,7 +176,7 @@ def _claim_for_oneshot(data_dir: str, force: bool) -> str | None:
 
 
 def cmd_trim(args) -> int:
-    from jetstream_spark.atproto.log import trim_events
+    from jetstream_spark.atproto.log import TrimPartialFailure, trim_events
     from jetstream_spark.atproto.maintenance import heartbeat_owner, release_owner
 
     if not os.path.isdir(args.data_dir):
@@ -188,12 +188,22 @@ def cmd_trim(args) -> int:
     hb_stop = heartbeat_owner(args.data_dir, owner)
     try:
         spark = _spark(args.cpus)
-        dropped = trim_events(
-            spark,
-            args.data_dir,
-            now_us=int(time.time() * 1_000_000),
-            ttl_us=args.event_ttl_hours * 3_600_000_000,
-        )
+        try:
+            dropped = trim_events(
+                spark,
+                args.data_dir,
+                now_us=int(time.time() * 1_000_000),
+                ttl_us=args.event_ttl_hours * 3_600_000_000,
+            )
+        except TrimPartialFailure as e:
+            # the removals that DID land are real, irreversible work — the
+            # standing loop credits them (maintenance.py tick); the CLI
+            # must report them, not lose them in a traceback (ADVICE r12 #2)
+            print(
+                f"partial trim: dropped {e.dropped} expired hour partitions, "
+                f"then failed to remove: {e.failed}"
+            )
+            return 1
         print(f"dropped {dropped} expired hour partitions")
         return 0
     finally:
@@ -202,6 +212,8 @@ def cmd_trim(args) -> int:
 
 
 def cmd_compact(args) -> int:
+    import threading
+
     from jetstream_spark.atproto.maintenance import heartbeat_owner, release_owner
 
     if not os.path.isdir(args.data_dir):
@@ -210,15 +222,18 @@ def cmd_compact(args) -> int:
     owner = _claim_for_oneshot(args.data_dir, args.force)
     if owner is None:
         return 1
-    hb_stop = heartbeat_owner(args.data_dir, owner)
+    # lease-lost signal: a forced takeover fences this one-shot mid-run;
+    # the bucket loop polls it and aborts between rewrites (ADVICE r12 #1)
+    lost = threading.Event()
+    hb_stop = heartbeat_owner(args.data_dir, owner, lost=lost)
     try:
-        return _compact_owned(args)
+        return _compact_owned(args, lost)
     finally:
         hb_stop.set()
         release_owner(args.data_dir, owner)
 
 
-def _compact_owned(args) -> int:
+def _compact_owned(args, lost=None) -> int:
     from jetstream_spark.atproto.log import US_PER_HOUR, compact_bucket, recover_compaction
 
     spark = _spark(args.cpus)
@@ -228,6 +243,11 @@ def _compact_owned(args) -> int:
     current = int(time.time() * 1_000_000) // US_PER_HOUR
     n = skipped = 0
     for entry in sorted(os.listdir(args.data_dir)):
+        if lost is not None and lost.is_set():
+            # lease no longer ours (forced takeover / marker swept): stop
+            # between rewrites rather than finish a full run unfenced
+            print(f"aborting: maintenance lease lost after {n} compaction(s)")
+            return 1
         if not entry.startswith("hour_bucket="):
             continue
         bucket = int(entry.split("=", 1)[1])

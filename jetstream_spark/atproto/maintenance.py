@@ -32,11 +32,18 @@ ticker survives as long as the process does).
 
 from __future__ import annotations
 
+import contextlib
+import errno
 import json
 import os
 import threading
 import time
 from collections.abc import Callable
+
+try:
+    import fcntl
+except ImportError:  # non-POSIX: takeover degrades to replace-then-verify
+    fcntl = None  # type: ignore[assignment]
 
 from pyspark.sql import SparkSession
 
@@ -144,6 +151,53 @@ def _refuse_claim(log_dir: str, info: dict | None) -> None:
     )
 
 
+TAKEOVER_LOCK = OWNER_MARKER + ".lock"
+
+
+@contextlib.contextmanager
+def _takeover_lock(log_dir: str):
+    """Mutual exclusion for the marker-TAKEOVER path (ADVICE r12 #1): an
+    fcntl.flock on a sidecar lock file serializes check-then-replace, so
+    two stale-takeovers (or two one-shot CLIs racing over a dead owner's
+    marker) can never both see their own marker and proceed — the r12
+    replace-then-verify narrowed but could not close that window, and
+    one-shots hold the lease for their whole run, so a residual overlap
+    there was a full-duration double-maintenance. The lock file is tiny,
+    `_`-prefixed (invisible to Spark listings like the marker), and never
+    removed — flock on an unlinked file would silently stop excluding.
+    Without fcntl (non-POSIX) this degrades to the r12 replace+verify."""
+    if fcntl is None:
+        yield
+        return
+    fd = os.open(os.path.join(log_dir, TAKEOVER_LOCK), os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        os.close(fd)  # releases the flock
+
+
+def _sweep_stale_claims(log_dir: str, aged_s: float = OWNER_FRESH_S) -> None:
+    """Remove `.claim.*` staging litter older than the freshness window —
+    a claimant that crashed between writing and removing its staging file
+    (ADVICE r12 #3) must not leave it in the log dir forever. Age-gated
+    so a live concurrent claimant's fresh staging file is never swept."""
+    prefix = OWNER_MARKER + ".claim."
+    try:
+        entries = os.listdir(log_dir)
+    except OSError:
+        return
+    for e in entries:
+        if not e.startswith(prefix):
+            continue
+        p = os.path.join(log_dir, e)
+        try:
+            if time.time() - os.stat(p).st_mtime > aged_s:
+                os.remove(p)
+        except OSError:
+            continue  # raced with its owner or another sweeper: fine
+
+
 def claim_owner(log_dir: str, interval_s: float, owner: str, force: bool = False) -> None:
     """Write (or re-assert) the owner marker. Raises RuntimeError when a
     FRESH marker belongs to a different owner — the enforced form of the
@@ -155,39 +209,49 @@ def claim_owner(log_dir: str, interval_s: float, owner: str, force: bool = False
     Two racing claimants cannot both win the CREATE path: the marker is
     made with an atomic exclusive hard-link (so check-then-write cannot
     interleave, and a concurrent reader never sees a half-written
-    marker). A stale-TAKEOVER os.replace is RE-READ afterward, so a lost
-    takeover refuses rather than proceeding unfenced; the verify narrows
-    but cannot fully close the two-replacer window (replace/verify pairs
-    can interleave so both see their own marker) — the loser in that
-    residual window self-corrects at its next tick, which re-reads the
-    marker and refuses under the winner's fresh foreign lease."""
+    marker). The TAKEOVER path (stale / own / forced marker) runs under
+    an fcntl.flock (`_takeover_lock`), so check-then-replace is mutually
+    exclusive — the r12 two-replacer window (both takeovers verify their
+    own marker) is closed; the post-replace re-read stays as a
+    belt-and-braces verify and as the whole guard on filesystems without
+    flock. On filesystems without hard-link support (EPERM/EOPNOTSUPP —
+    ADVICE r12 #3) the create falls through to the locked takeover path,
+    which handles the marker-absent case too. The staging file is
+    removed on ALL exit paths, and aged `.claim.*` litter from crashed
+    claimants is swept opportunistically."""
     os.makedirs(log_dir, exist_ok=True)
+    _sweep_stale_claims(log_dir)
     path = _owner_path(log_dir)
     # per-claimant staging name: concurrent claimants must not share it
     tmp = f"{path}.claim.{owner.replace(':', '-')}"
     with open(tmp, "w") as f:
         json.dump({"owner": owner, "pid": os.getpid(), "interval_s": interval_s}, f)
     try:
-        os.link(tmp, path)  # atomic exclusive create, full content visible
-    except FileExistsError:
-        pass
-    else:
-        os.remove(tmp)
-        return
-    info = owner_info(log_dir)
-    if _marker_fences(info) and info.get("owner") != owner and not force:
         try:
-            os.remove(tmp)
+            os.link(tmp, path)  # atomic exclusive create, full content visible
+        except FileExistsError:
+            pass
+        except OSError:
+            # no hard-link support on this filesystem: the flock below is
+            # itself exclusive, and os.replace covers the absent-marker case
+            pass
+        else:
+            return
+        with _takeover_lock(log_dir):
+            info = owner_info(log_dir)
+            if _marker_fences(info) and info.get("owner") != owner and not force:
+                _refuse_claim(log_dir, info)
+            os.replace(tmp, path)
+            # verify the takeover stuck: redundant under the flock, the
+            # whole guard without it (non-POSIX degradation)
+            after = owner_info(log_dir)
+        if after is None or after.get("owner") != owner:
+            _refuse_claim(log_dir, after)
+    finally:
+        try:
+            os.remove(tmp)  # already gone when os.replace consumed it
         except OSError:
             pass
-        _refuse_claim(log_dir, info)
-    # stale / own / forced marker: take it over, then verify the takeover
-    # actually stuck — with two concurrent os.replace calls the last
-    # writer wins, so the loser must refuse instead of proceeding unfenced
-    os.replace(tmp, path)
-    after = owner_info(log_dir)
-    if after is None or after.get("owner") != owner:
-        _refuse_claim(log_dir, after)
 
 
 def touch_owner(log_dir: str) -> None:
@@ -200,7 +264,12 @@ def touch_owner(log_dir: str) -> None:
 HEARTBEAT_S = OWNER_FRESH_S / 4.0
 
 
-def heartbeat_owner(log_dir: str, owner: str, interval_s: float = HEARTBEAT_S) -> threading.Event:
+def heartbeat_owner(
+    log_dir: str,
+    owner: str,
+    interval_s: float = HEARTBEAT_S,
+    lost: threading.Event | None = None,
+) -> threading.Event:
     """Keep a HELD lease fresh from a side thread while long maintenance
     work is in flight — per-tick touches alone let the lease expire
     mid-work whenever a single trim+compact pass runs longer than
@@ -209,13 +278,20 @@ def heartbeat_owner(log_dir: str, owner: str, interval_s: float = HEARTBEAT_S) -
     can sweep the live _compact_tmp_ stage mid-swap. The beat re-reads
     the marker and touches it only while it is still OURS, so a
     heartbeat can never fight a forced takeover or a post-release
-    adopter. Returns the stop Event; set it when the work completes."""
+    adopter. Returns the stop Event; set it when the work completes.
+
+    ``lost`` (optional) is set by the beat when it observes the marker is
+    no longer ours (a forced takeover fenced us, or the marker vanished)
+    — one-shot holders poll it between work units and abort instead of
+    finishing a full run under somebody else's lease (ADVICE r12 #1)."""
     stop = threading.Event()
 
     def _beat() -> None:
         while not stop.wait(interval_s):
             info = owner_info(log_dir)
             if info is None or info.get("owner") != owner:
+                if lost is not None:
+                    lost.set()
                 return  # no longer ours: never heartbeat a foreign marker
             touch_owner(log_dir)
 

@@ -23,75 +23,75 @@ from jetstream_spark.queries.spec import QuerySpec
 #   3. then the rest, OLDEST driver evidence first — every in-window entry
 #      must be at least as stale as every out-of-window entry (pinned by
 #      tests/test_registry_priority.py::test_window_is_oldest_evidence_first).
-# Round-12 rotation (VERDICT r11 #2: steady-state continues): the 47
-# remaining entries whose latest driver evidence is r8 lead, in their r8
-# driver order, then the OLDEST 3 of the 50 r9-stale entries in their r9
-# driver order (profile_columns_fast, kneser_ney_perplexity,
-# hbos_outliers) — exactly 50. After this round the evidence histogram
-# reads r9:47 / r10:50 / r11:50 / r12:50 and the ~50-due-per-round
-# rotation stays steady-state.
+# Round-13 rotation (VERDICT r12 #1: steady-state continues): the 47
+# remaining entries whose latest driver evidence is r9 lead, in their r9
+# driver order, then the OLDEST 3 of the 50 r10-stale entries in their
+# r10 driver order (sample_split, doc_packing, embedding_downproject) —
+# exactly 50. After this round the evidence histogram reads r10:47 /
+# r11:50 / r12:50 / r13:50 and the ~50-due-per-round rotation is
+# steady-state for a third consecutive round.
 
 # Entries whose engine/oracle CODE changed this round: they re-enter the
 # window ahead of the staleness order so the change gets driver evidence
 # in the round it ships. Reset this tuple each round.
-_CODE_CHANGED = ()  # r12 touches no query module (maintenance/bench only)
+_CODE_CHANGED = ()  # r13 touches no query module (maintenance/tooling only)
 
 _PRIORITY = (
-    # ---- r8-latest driver evidence (the stalest block), r8 driver order ----
-    "pmi_collocations",
-    "dup_ratio_by_source",
-    "naive_bayes_domain",
-    "kmeans_train",
-    "latest_order_per_customer",
-    "regexp_extract_ids",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ab_test_conversion",
-    "timeseries_gapfill",
-    "ewma_hourly",
-    "negative_samples",
-    "scd2_user_tiers",
-    "phrase_search",
-    "domain_temperature_sample",
-    "profile_columns",
-    "profile_numeric",
-    "profile_histogram",
-    "profile_skew",
-    "fk_integrity",
-    "hll_distinct",
-    "fuzzy_join_names",
-    "pagerank_copurchase",
-    "triangle_count",
-    "degree_profile",
-    "quantile_norm",
-    "rate_anomaly",
-    "split_drift_psi",
-    "knn_graph_ivf",
-    "dedup_containment_kmv",
-    "embedding_covariance",
-    "knn_graph",
-    "weighted_sample",
-    "multimodal_audio_stats",
-    "multimodal_video_frames",
-    "multimodal_resize",
-    "retention_cohorts",
-    "bigram_perplexity",
-    "cluster_aware_split",
-    "dedup_span_scrub",
-    "dedup_two_tier",
-    "dedup_common_spans",
-    "decontaminate_bloom",
-    "corpus_budget_selection",
-    "bpe_pair_counts",
-    "bpe_learn_merges",
-    # ---- r9-latest driver evidence (oldest 3), r9 driver order ----
-    "profile_columns_fast",
-    "kneser_ney_perplexity",
-    "hbos_outliers",
+    # ---- r9-latest driver evidence (the stalest block), r9 driver order ----
+    "fingerprint_winnowing",
+    "profile_columns_approx",
+    "embedding_pca_project",
+    "bpe_encode_stats",
+    "compression_ratio",
+    "embedding_outliers",
+    "cube_segment_priority",
+    "range_frame_window",
+    "ntile_quartiles",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "replay_scan",
+    "subscribe_filter",
+    "monotonic_delivery",
+    "per_key_ordering",
+    "asof_join_purchases",
+    "anti_join_idle_customers",
+    "window_running_revenue",
+    "rollup_revenue",
+    "set_symdiff_buyers",
+    "full_outer_nation_activity",
+    "percentiles_price",
+    "unpivot_measures",
+    "dedup_embedding_cosine",
+    "semi_join_late_orders",
+    "grouping_sets_status",
+    "range_join_part_pairs",
+    "pivot_segment_revenue",
+    "scalar_functions",
+    "tumbling_window_hourly",
+    "json_props_stats",
+    "conversion_funnel",
+    "ann_brute_force_topk",
+    "doc_chunking",
+    "null_semantics",
+    "variant_props_stats",
+    "geomean_value",
+    "text_token_count",
+    "text_quality_score",
+    "embedding_norms",
+    "text_repetition",
+    "text_lang_id",
+    "text_fingerprint",
+    "multimodal_metadata",
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
+    # ---- r10-latest driver evidence (oldest 3), r10 driver order ----
+    "sample_split",
+    "doc_packing",
+    "embedding_downproject",
     # ================= driver window boundary (50) ==================
-    # r13 window: the remaining 47 r9-stale entries lead (in r9 driver
-    # order), then the oldest r10-stale entries fill out the 50.
+    # r14 window: the remaining 47 r10-stale entries lead (in r10 driver
+    # order), then the oldest r11-stale entries fill out the 50.
     # Everything else follows in module order.
 )
 

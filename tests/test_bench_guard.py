@@ -796,6 +796,51 @@ def test_ab_verdict_flags_monotone_drift():
     )
 
 
+def test_pair_ratio_median_is_unbiased_for_even_pair_counts():
+    """ADVICE r12 #4: taking the upper-middle element for an even number
+    of adjacent pairs biased the drift check toward the LARGER ratio
+    (less likely to annotate drift). The true median averages the two
+    middle elements."""
+    from tools.probe_queries import ab_verdict
+
+    # 5 alternating windows -> 4 adjacent pairs with ratios
+    # [1.0, 1.2, 1.2, 1.0]: true median 1.1, biased upper-middle 1.2
+    windows = {
+        "W1_head": {"side": "head", "queries": {"q": 1.0}},
+        "W2_baseline": {"side": "base", "queries": {"q": 1.0}},
+        "W3_head": {"side": "head", "queries": {"q": 1.2}},
+        "W4_baseline": {"side": "base", "queries": {"q": 1.0}},
+        "W5_head": {"side": "head", "queries": {"q": 1.0}},
+    }
+    v = ab_verdict(windows)
+    assert v["q"]["pair_ratio_median"] == 1.1, v
+
+
+def test_needs_escalation_rule():
+    """VERDICT r12 #5: a regression verdict annotated low_power or
+    drift_suspect self-escalates (run_ab extends the alternating run
+    toward 6 windows) instead of relying on the operator to read the
+    flag — the r12 window-4 incident showed the 4-window verdict gets
+    believed. At 6+ windows the verdict stands either way."""
+    from tools.probe_queries import needs_escalation
+
+    low = {"q": {"engine_regression": True, "low_power": True}}
+    drift = {"q": {"engine_regression": True, "drift_suspect": True}}
+    clean_reg = {"q": {"engine_regression": True}}
+    no_reg = {"q": {"engine_regression": False, "low_power": True}}
+    assert needs_escalation(low, 4)
+    assert needs_escalation(drift, 4)
+    assert not needs_escalation(clean_reg, 4), "a full-power clean verdict stands"
+    assert not needs_escalation(no_reg, 4), "no regression -> nothing to escalate"
+    assert not needs_escalation(low, 6), "6 windows is the escalation ceiling"
+    # mixed verdicts: any annotated regression escalates the whole run
+    mixed = {
+        "a": {"engine_regression": False},
+        "b": {"engine_regression": True, "drift_suspect": True},
+    }
+    assert needs_escalation(mixed, 4)
+
+
 def test_band_excludes_self_flagged_values(tmp_path):
     """A value a run ITSELF flagged must not become band evidence — else
     a genuine regression's first flagged run poisons the band and the

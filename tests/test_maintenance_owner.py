@@ -11,6 +11,7 @@ start, touched every tick, released on clean stop, adoptable once stale.
 
 from __future__ import annotations
 
+import errno
 import os
 import threading
 import time
@@ -236,8 +237,10 @@ def test_claim_is_atomic_under_racing_claimants(tmp_path):
     winners = [r for r in results if r is not None]
     assert len(winners) == 1, f"exactly one racing claimant may win, got {winners}"
     assert owner_info(log_dir)["owner"] == winners[0]
-    # no staging leftovers from the losers
-    leftovers = [e for e in os.listdir(log_dir) if e != maint_mod.OWNER_MARKER]
+    # no staging leftovers from the losers (the persistent takeover lock
+    # file is deliberate infrastructure, not litter)
+    allowed = {maint_mod.OWNER_MARKER, maint_mod.TAKEOVER_LOCK}
+    leftovers = [e for e in os.listdir(log_dir) if e not in allowed]
     assert not leftovers, f"losers must clean their staging files: {leftovers}"
 
 
@@ -383,6 +386,198 @@ def test_marker_invisible_to_log_readers(spark, tmp_path):
     eventlog.ingest_batch(normalized, log_dir, wall_clock_us=1_000_000, batch_id=0)
     claim_owner(log_dir, 15.0, owner="reader-test:1")
     assert eventlog.replay(spark, log_dir, cursor=0).count() == n
+
+
+def test_heartbeat_vs_forced_takeover_interleave(spark, tmp_path, monkeypatch):
+    """VERDICT r12 ask #4 (the last untested lease branch): --force claims
+    WHILE the previous owner's heartbeat thread is live mid-tick. The
+    beat's foreign-marker early-return (maintenance.py _beat) must fire —
+    it never touches the forced owner's marker — and the fenced loop's
+    next tick must refuse into tick_errors, then re-adopt once the forced
+    claimant releases."""
+    log_dir = str(tmp_path / "log")
+    entered, release = threading.Event(), threading.Event()
+    calls = {"n": 0}
+
+    def trim(spark_, data_dir, now_us, ttl_us):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            entered.set()
+            release.wait(30)
+        return 0
+
+    monkeypatch.setattr(maint_mod, "trim_events", trim)
+    loop = MaintenanceLoop(
+        spark, log_dir, interval_s=0.1, compact=False, heartbeat_s=0.05
+    )
+    loop.start()
+    try:
+        assert entered.wait(10)
+        # the forced takeover lands while tick 1's heartbeat is beating
+        claim_owner(log_dir, 0.0, "oneshot:force", force=True)
+        path = os.path.join(log_dir, maint_mod.OWNER_MARKER)
+        # a beat that read the marker JUST before the replace may land one
+        # touch right after it — let any in-flight touch settle first
+        time.sleep(0.2)
+        m0 = os.stat(path).st_mtime
+        time.sleep(0.5)  # ~10 beat intervals
+        assert owner_info(log_dir)["owner"] == "oneshot:force"
+        assert os.stat(path).st_mtime == m0, (
+            "the fenced heartbeat must never touch the forced owner's marker"
+        )
+        release.set()  # in-flight tick completes; the NEXT tick is fenced
+        deadline = time.time() + 10
+        while loop.counters["errors"] == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert loop.counters["errors"] >= 1, (
+            "the fenced loop's next tick must refuse into tick_errors"
+        )
+        ticks_fenced = loop.counters["ticks"]
+        release_owner(log_dir, "oneshot:force")
+        deadline = time.time() + 10
+        while loop.counters["ticks"] <= ticks_fenced and time.time() < deadline:
+            time.sleep(0.05)
+        assert loop.counters["ticks"] > ticks_fenced, (
+            "the loop must re-adopt once the forced claimant releases"
+        )
+    finally:
+        release.set()
+        loop.stop()
+
+
+def test_concurrent_stale_takeovers_exactly_one_wins(tmp_path):
+    """ADVICE r12 #1: the two-replacer window is CLOSED — the takeover
+    path runs under an fcntl.flock, so N claimants racing over a STALE
+    marker (e.g. two one-shot CLIs after the owner died) serialize:
+    exactly one wins and every loser refuses under the winner's fresh
+    lease; no interleaving lets two actors each verify their own marker."""
+    log_dir = str(tmp_path / "log")
+    claim_owner(log_dir, 15.0, owner="dead:1")
+    path = os.path.join(log_dir, maint_mod.OWNER_MARKER)
+    old = time.time() - OWNER_FRESH_S - 1
+    os.utime(path, (old, old))
+    n = 8
+    barrier = threading.Barrier(n)
+    results: list = [None] * n
+
+    def racer(i: int) -> None:
+        owner = f"takeover:{i}"
+        barrier.wait()
+        try:
+            claim_owner(log_dir, 15.0, owner)
+            results[i] = owner
+        except RuntimeError:
+            results[i] = None
+
+    threads = [threading.Thread(target=racer, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [r for r in results if r is not None]
+    assert len(winners) == 1, f"exactly one takeover may win, got {winners}"
+    assert owner_info(log_dir)["owner"] == winners[0]
+
+
+def test_claim_without_hardlink_support(tmp_path, monkeypatch):
+    """ADVICE r12 #3: on filesystems without hard links os.link raises a
+    plain OSError (EPERM/EOPNOTSUPP) — claiming must fall through to the
+    flock-guarded takeover path instead of failing outright, leave no
+    staging litter, and still fence rivals."""
+
+    def no_link(src, dst):
+        raise OSError(errno.EPERM, "Operation not permitted")
+
+    monkeypatch.setattr(maint_mod.os, "link", no_link)
+    log_dir = str(tmp_path / "log")
+    claim_owner(log_dir, 15.0, owner="nolink:1")
+    assert owner_info(log_dir)["owner"] == "nolink:1"
+    with pytest.raises(RuntimeError, match="another maintenance owner"):
+        claim_owner(log_dir, 15.0, owner="rival:1")
+    litter = [e for e in os.listdir(log_dir) if ".claim." in e]
+    assert not litter, f"staging files must be removed on all exit paths: {litter}"
+
+
+def test_aged_claim_litter_swept(tmp_path):
+    """ADVICE r12 #3: a claimant that crashed between writing and removing
+    its staging file leaves `.claim.*` litter; the next claim sweeps
+    entries older than the freshness window and keeps fresh ones (a live
+    concurrent claimant's staging must never be swept)."""
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+    aged = os.path.join(log_dir, maint_mod.OWNER_MARKER + ".claim.crashed-1")
+    fresh = os.path.join(log_dir, maint_mod.OWNER_MARKER + ".claim.live-2")
+    for p in (aged, fresh):
+        with open(p, "w") as f:
+            f.write("{}")
+    old = time.time() - OWNER_FRESH_S - 1
+    os.utime(aged, (old, old))
+    claim_owner(log_dir, 15.0, owner="sweeper:1")
+    assert not os.path.exists(aged), "aged claim litter must be swept"
+    assert os.path.exists(fresh), "a fresh rival's staging file must be kept"
+    # a REFUSED claim also leaves no staging behind (the finally path)
+    with pytest.raises(RuntimeError, match="another maintenance owner"):
+        claim_owner(log_dir, 15.0, owner="loser:9")
+    assert not os.path.exists(
+        os.path.join(log_dir, maint_mod.OWNER_MARKER + ".claim.loser-9")
+    ), "a refused claimant must remove its staging file"
+
+
+def test_oneshot_trim_reports_partial_failure(tmp_path, monkeypatch, capsys):
+    """ADVICE r12 #2: a partially-failed one-shot trim must print the
+    partitions that DID drop and the entries that failed, exit nonzero
+    cleanly (no traceback), and release the lease."""
+    from jetstream_spark import __main__ as cli
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir)
+
+    def partial_trim(spark, data_dir, now_us, ttl_us):
+        raise eventlog.TrimPartialFailure(failed=["hour_bucket=2"], dropped=2)
+
+    monkeypatch.setattr(cli, "_spark", lambda cpus: None)
+    monkeypatch.setattr(eventlog, "trim_events", partial_trim)
+    assert cli.main(["trim", "--data-dir", log_dir]) == 1
+    out = capsys.readouterr().out
+    assert "dropped 2" in out and "hour_bucket=2" in out
+    assert owner_info(log_dir) is None, "lease must be released after a partial failure"
+
+
+def test_heartbeat_signals_lost_on_foreign_marker(tmp_path):
+    """The one-shot's heartbeat sets ``lost`` when a forced takeover
+    fences it mid-run (ADVICE r12 #1) — the abort signal the compact
+    bucket loop polls between rewrites."""
+    from jetstream_spark.atproto.maintenance import heartbeat_owner
+
+    log_dir = str(tmp_path / "log")
+    claim_owner(log_dir, 0.0, owner="oneshot:1")
+    lost = threading.Event()
+    hb = heartbeat_owner(log_dir, "oneshot:1", interval_s=0.05, lost=lost)
+    try:
+        assert not lost.wait(0.3), "lost must not fire while the lease is ours"
+        claim_owner(log_dir, 0.0, owner="forcer:1", force=True)
+        assert lost.wait(5), "the beat must signal the lease loss"
+    finally:
+        hb.set()
+        release_owner(log_dir, "forcer:1")
+
+
+def test_oneshot_compact_aborts_when_lease_lost(tmp_path, monkeypatch, capsys):
+    """A fenced one-shot compact stops between bucket rewrites instead of
+    finishing a full run under somebody else's lease (ADVICE r12 #1)."""
+    import argparse
+
+    from jetstream_spark import __main__ as cli
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(os.path.join(log_dir, "hour_bucket=1"))
+    monkeypatch.setattr(cli, "_spark", lambda cpus: None)
+    monkeypatch.setattr(eventlog, "recover_compaction", lambda d: 0)
+    lost = threading.Event()
+    lost.set()
+    args = argparse.Namespace(data_dir=log_dir, cpus=1)
+    assert cli._compact_owned(args, lost) == 1
+    assert "lease lost" in capsys.readouterr().out
 
 
 def test_dead_pid_marker_is_adopted_immediately(spark, tmp_path):

@@ -40,6 +40,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -125,8 +126,10 @@ def ab_verdict(windows: dict, factor: float = AB_FACTOR) -> dict:
         }
         pairs = _pair_ratios(q)
         if pairs:
-            pairs.sort()
-            pair_median = round(pairs[len(pairs) // 2], 3)
+            # true median (ADVICE r12 #4): taking the upper-middle element
+            # for even-length lists biased the drift annotation toward the
+            # larger ratio, making drift_suspect LESS likely to fire
+            pair_median = round(statistics.median(pairs), 3)
             entry["pair_ratio_median"] = pair_median
             if regression and pair_median <= factor:
                 entry["drift_suspect"] = True
@@ -147,6 +150,26 @@ def ab_verdict(windows: dict, factor: float = AB_FACTOR) -> dict:
                 entry["low_power"] = True
         verdict[q] = entry
     return verdict
+
+
+ESCALATE_WINDOWS = 6  # the r12 incident's decisive rerun size (3 per side)
+
+
+def needs_escalation(verdict: dict, n_windows: int, target: int = ESCALATE_WINDOWS) -> bool:
+    """PROTOCOL self-escalation (VERDICT r12 #5): a regression verdict
+    annotated ``low_power`` or ``drift_suspect`` must not be BELIEVED at
+    its current window count — the r12 window-4 incident showed a 2+2
+    verdict gets acted on even with the flag printed. Instead of relying
+    on the operator to read the annotation, run_ab extends the run with
+    further alternating windows until either the annotations clear, the
+    regression clears, or ``target`` total windows have been sampled
+    (at which point the verdict stands on full power)."""
+    if n_windows >= target:
+        return False
+    return any(
+        e.get("engine_regression") and (e.get("low_power") or e.get("drift_suspect"))
+        for e in verdict.values()
+    )
 
 
 # Bench rate metrics probe-able by name like queries — so a below-floor
@@ -223,13 +246,36 @@ def run_ab(args) -> int:
     shutil.copy2(os.path.abspath(__file__), os.path.join(tree, "tools", "probe_queries.py"))
 
     windows: dict = {}
-    sides = ["head", "base"] * ((args.windows + 1) // 2)
-    for i, side in enumerate(sides[: args.windows], start=1):
+
+    def _window(i: int, side: str) -> None:
         name = f"W{i}_{'head' if side == 'head' else 'baseline'}"
         print(f"[ab] window {name}", file=sys.stderr, flush=True)
         w = _run_window(repo if side == "head" else tree, args.queries, args.sf_dir, args.runs)
         w["side"] = side
         windows[name] = w
+
+    sides = ["head", "base"] * ((args.windows + 1) // 2)
+    for i, side in enumerate(sides[: args.windows], start=1):
+        _window(i, side)
+    verdict = ab_verdict(windows)
+    escalated_from = None
+    # self-escalation (VERDICT r12 #5): a low_power/drift_suspect
+    # regression verdict extends itself to ESCALATE_WINDOWS instead of
+    # relying on the operator to read the annotation — both sides keep
+    # alternating, so the added windows sample the same host weather
+    while needs_escalation(verdict, len(windows)):
+        if escalated_from is None:
+            escalated_from = len(windows)
+        i = len(windows) + 1
+        print(
+            f"[ab] verdict under-powered/drift-suspect at {len(windows)} windows: "
+            f"escalating toward {ESCALATE_WINDOWS}",
+            file=sys.stderr,
+            flush=True,
+        )
+        _window(i, "head" if i % 2 == 1 else "base")
+        _window(i + 1, "base" if i % 2 == 1 else "head")
+        verdict = ab_verdict(windows)
     out = {
         "purpose": (
             "PROTOCOL step 3 (bench.py): settled-host worktree A/B — "
@@ -243,8 +289,11 @@ def run_ab(args) -> int:
         "baseline_commit": base_sha,
         "worktree": tree,
         "windows": windows,
-        "verdict": ab_verdict(windows),
+        "verdict": verdict,
     }
+    if escalated_from is not None:
+        out["escalated_from_windows"] = escalated_from
+        out["escalated_to_windows"] = len(windows)
     print(json.dumps(out, indent=1, sort_keys=True))
     return 0
 
