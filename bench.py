@@ -587,14 +587,17 @@ def _history_band(current_sf, here: str | None = None, last_n: int = 6, min_samp
 # values reset), kept separate because the rotation test requires
 # _CODE_CHANGED names to sit inside the driver window and these are not
 # registry entries. Reset each round.
-# r13: the r12 maintenance-lease declaration is retired — its band
-# re-formed from three settled r12 rows (28.1-31.9k ev/s) and the lease
-# A/B read neutral (ratio 1.034, BENCH_AB_r12_maint.json). The r13
-# takeover-flock change (ADVICE r12 #1) touches only the CLAIM path —
-# executed once per ticker start / one-shot, never inside the per-tick
-# loop the maintenance-tax measurement samples — and is A/B'd neutral
-# rather than band-reset (see COVERAGE.md Round 13).
-_BENCH_CODE_CHANGED = ()
+# r13: the r12 maintenance-lease declaration is retired (band re-formed
+# from three settled r12 rows, 28.1-31.9k ev/s; lease A/B neutral at
+# 1.034, BENCH_AB_r12_maint.json) — but the r13 takeover-flock work
+# (ADVICE r12 #1) ALSO made the per-tick ownership re-assert atomic
+# (touch_owner_if_held: one flock open/lock/close per tick and per
+# heartbeat, maintenance.py), which runs inside the ticks the
+# maintenance-tax measurement samples. Same declaration discipline as
+# r12: a regression there must hard-flag, not band-absorb; the A/B
+# against the pre-round commit is the attribution evidence
+# (BENCH_AB_r13_maint.json). Plain ingest and fan-out are untouched.
+_BENCH_CODE_CHANGED = ("ingest_under_maintenance_events_per_sec",)
 
 
 def _code_changed_queries() -> frozenset:

@@ -261,6 +261,22 @@ def touch_owner(log_dir: str) -> None:
         pass  # marker swept (e.g. log dir recreated): reclaimed next tick
 
 
+def touch_owner_if_held(log_dir: str, owner: str) -> bool:
+    """Atomic check-then-touch under the takeover lock: re-read the marker
+    and touch it only while it is still OURS. Plain read+touch has a
+    TOCTOU — a touch landing just after a forced takeover's os.replace
+    refreshes the NEW owner's marker — which the flock closes, since the
+    takeover itself replaces under the same lock. Used by the heartbeat
+    and the tick re-assert; returns False when the lease is no longer
+    ours (fenced / released / swept)."""
+    with _takeover_lock(log_dir):
+        info = owner_info(log_dir)
+        if info is None or info.get("owner") != owner:
+            return False
+        touch_owner(log_dir)
+        return True
+
+
 HEARTBEAT_S = OWNER_FRESH_S / 4.0
 
 
@@ -288,12 +304,12 @@ def heartbeat_owner(
 
     def _beat() -> None:
         while not stop.wait(interval_s):
-            info = owner_info(log_dir)
-            if info is None or info.get("owner") != owner:
+            # atomic under the takeover lock: a beat can never land a
+            # touch on a marker a forced takeover replaced mid-check
+            if not touch_owner_if_held(log_dir, owner):
                 if lost is not None:
                     lost.set()
                 return  # no longer ours: never heartbeat a foreign marker
-            touch_owner(log_dir)
 
     threading.Thread(
         target=_beat, daemon=True, name="jetstream-maintenance-heartbeat"
@@ -372,15 +388,13 @@ class MaintenanceLoop:
     # --- one tick (public so tests and operators can drive it directly) ----
 
     def tick(self) -> None:
-        # re-assert ownership first: claim when the marker is missing
-        # (fresh log dir, or swept with a recreated directory), touch when
-        # ours, and REFUSE the tick when a different live owner holds the
-        # log (raises -> the error counter; trimming under a foreign
-        # owner is the exact race the marker exists to prevent)
-        info = owner_info(self.log_dir)
-        if info is not None and info.get("owner") == self._owner:
-            touch_owner(self.log_dir)
-        else:
+        # re-assert ownership first: touch when ours (atomic under the
+        # takeover lock), claim when the marker is missing/stale (fresh
+        # log dir, or swept with a recreated directory), and REFUSE the
+        # tick when a different live owner holds the log (raises -> the
+        # error counter; trimming under a foreign owner is the exact race
+        # the marker exists to prevent)
+        if not touch_owner_if_held(self.log_dir, self._owner):
             claim_owner(self.log_dir, self.interval_s, self._owner)  # adopts only if absent/stale
         # heartbeat for the tick's duration: a single slow trim+compact
         # pass must not outlive the freshness window while the loop is

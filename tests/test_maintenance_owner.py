@@ -413,12 +413,12 @@ def test_heartbeat_vs_forced_takeover_interleave(spark, tmp_path, monkeypatch):
     loop.start()
     try:
         assert entered.wait(10)
-        # the forced takeover lands while tick 1's heartbeat is beating
+        # the forced takeover lands while tick 1's heartbeat is beating;
+        # check-then-touch is atomic under the takeover lock
+        # (touch_owner_if_held), so NO beat can land a touch after the
+        # replace — m0 is stable from the moment the claim returns
         claim_owner(log_dir, 0.0, "oneshot:force", force=True)
         path = os.path.join(log_dir, maint_mod.OWNER_MARKER)
-        # a beat that read the marker JUST before the replace may land one
-        # touch right after it — let any in-flight touch settle first
-        time.sleep(0.2)
         m0 = os.stat(path).st_mtime
         time.sleep(0.5)  # ~10 beat intervals
         assert owner_info(log_dir)["owner"] == "oneshot:force"
