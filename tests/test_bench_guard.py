@@ -841,6 +841,27 @@ def test_needs_escalation_rule():
     assert needs_escalation(mixed, 4)
 
 
+def test_weather_classify_gates_on_session_stable_axes():
+    """tools/weather.py settled-gate rule: serial + python probe ratios
+    gate at the 1.05 noise threshold (the same one host_shift_factor
+    uses); the parallel axis is advisory by default because a fresh
+    session samples it high vs bench.py's end-of-session read, and
+    joins only under --strict."""
+    from tools.weather import classify
+
+    prev = {"parallel": 0.055, "serial": 0.973, "python": 0.425}
+    v = classify({"parallel": 0.2, "serial": 0.95, "python": 0.43}, prev)
+    assert v["settled"] and v["ratios"]["parallel"] > 1.05, v
+    assert not classify(
+        {"parallel": 0.2, "serial": 0.95, "python": 0.43}, prev, strict=True
+    )["settled"], "strict mode must gate on the parallel axis too"
+    v2 = classify({"parallel": 0.05, "serial": 1.25, "python": 0.43}, prev)
+    assert not v2["settled"] and v2["worst"][0] == "serial", v2
+    # no gating axis with a baseline -> never settled (vacuous pass is
+    # exactly the sf0.001 probe's misleading "shift 1.0, signals {}" read)
+    assert not classify({"parallel": 0.05}, {"parallel": 0.055})["settled"]
+
+
 def test_band_excludes_self_flagged_values(tmp_path):
     """A value a run ITSELF flagged must not become band evidence — else
     a genuine regression's first flagged run poisons the band and the
