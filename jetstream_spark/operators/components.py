@@ -59,13 +59,16 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
-        # eager localCheckpoint = materialize AND truncate lineage, so round
-        # i+1's plan starts from a leaf instead of embedding rounds 0..i
-        new_labels = _hash_to_min_round(sym, labels).localCheckpoint()
+        # lazy localCheckpoint + the convergence sum in ONE job (r13; was
+        # eager + a second collect job per round): the full-aggregate sum
+        # covers every partition, so it materializes the checkpoint as a
+        # side effect — lineage is truncated exactly as before, round i+1
+        # still starts from a leaf
+        new_labels = _hash_to_min_round(sym, labels).localCheckpoint(eager=False)
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
         if cur_sum == prev_sum:

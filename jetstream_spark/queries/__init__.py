@@ -34,10 +34,49 @@ from jetstream_spark.queries.spec import QuerySpec
 # Entries whose engine/oracle CODE changed this round: they re-enter the
 # window ahead of the staleness order so the change gets driver evidence
 # in the round it ships. Reset this tuple each round.
-_CODE_CHANGED = ()  # r13 touches no query module (maintenance/tooling only)
+# r13 (optimization round): every query whose PLAN changed — directly
+# (profile_columns_approx single-scan, dedup_substring_spans one-exchange
+# df>=2, textrank broadcast rounds, pagerank nodes-from-deg + lazy cuts)
+# or through a shared helper (learn_bpe lazy cuts -> all three tokenizer
+# consumers; connected_components fused convergence -> the three
+# components consumers). All were re-verified against the oracle at
+# sf0.001 + sf0.01 (and the two float-sum rank loops at sf0.1 too)
+# before this declaration; the driver re-hashes them this round.
+_CODE_CHANGED = (
+    "profile_columns_approx",
+    "dedup_substring_spans",
+    "bpe_learn_merges",
+    "bpe_encode_stats",
+    "wordpiece_encode_stats",
+    "pagerank_copurchase",
+    "textrank_keywords",
+    "dedup_components",
+    "dedup_keep_canonical",
+    "dedup_two_tier",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+)
 
 _PRIORITY = (
-    # ---- r9-latest driver evidence (the stalest block), r9 driver order ----
+    # ---- code-changed this round (rotation rule 2): the 10 entries not
+    # already due by staleness; evicted to make room were the 3 r10-stale
+    # fillers (sample_split, doc_packing, embedding_downproject) and the
+    # 7 youngest r9-stale entries (the three multimodal_* rows,
+    # text_lang_id, text_fingerprint, text_repetition, embedding_norms) —
+    # in-window non-changed evidence stays r9 == the stalest
+    # out-of-window evidence, so the oldest-first invariant holds ----
+    "dedup_substring_spans",
+    "bpe_learn_merges",
+    "wordpiece_encode_stats",
+    "pagerank_copurchase",
+    "textrank_keywords",
+    "dedup_components",
+    "dedup_keep_canonical",
+    "dedup_two_tier",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # ---- r9-latest driver evidence (the stalest block), r9 driver order;
+    # profile_columns_approx and bpe_encode_stats are ALSO code-changed ----
     "fingerprint_winnowing",
     "profile_columns_approx",
     "embedding_pca_project",
@@ -78,20 +117,12 @@ _PRIORITY = (
     "geomean_value",
     "text_token_count",
     "text_quality_score",
-    "embedding_norms",
-    "text_repetition",
-    "text_lang_id",
-    "text_fingerprint",
-    "multimodal_metadata",
-    "multimodal_byte_stats",
-    "multimodal_frame_sample",
-    # ---- r10-latest driver evidence (oldest 3), r10 driver order ----
-    "sample_split",
-    "doc_packing",
-    "embedding_downproject",
     # ================= driver window boundary (50) ==================
-    # r14 window: the remaining 47 r10-stale entries lead (in r10 driver
-    # order), then the oldest r11-stale entries fill out the 50.
+    # r14 window: the 7 evicted r9-stale entries (embedding_norms,
+    # text_repetition, text_lang_id, text_fingerprint,
+    # multimodal_metadata/byte_stats/frame_sample) lead, then the 50
+    # r10-stale entries in r10 driver order, then the oldest r11-stale
+    # entries fill out the 50.
     # Everything else follows in module order.
 )
 

@@ -222,18 +222,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_pairs(docs: DataFrame, sh: DataFrame) -> DataFrame:
     """MinHash-LSH pair core over an arbitrary (doc_id, text) frame with
     its shingle frame — shared by the full-corpus query and the two-tier
-    representative pass."""
+    representative pass.
+
+    r13 plan audit (plans/r13/dedup_minhash_lsh_before.txt): the band
+    self-join planned as a BroadcastHashJoin, so the ReuseExchange this
+    code used to count on never fired — the Arrow signature kernel ran
+    TWICE over the corpus — and each verification join independently
+    re-shingled and BROADCAST the corpus-scale shingle frame (a shape
+    that only looks fine under the 32 MB threshold at bench SF). Two
+    fixes, output-identical:
+
+    - the narrow band frame (8 rows/doc of 3 numerics) is cut once with
+      a lazy localCheckpoint; both self-join sides read the stored
+      blocks, so the kernel runs ONCE (the build side is explicitly
+      broadcast — band frames are docs-scale, and AQE cannot size an
+      ExistingRDD leaf, the LPA lesson).
+    - verification is a MELT join: each candidate pair explodes into its
+      two doc ids (candidate-scale, broadcast), ONE pass over the
+      shingle frame attaches arrays, and one candidate-scale pair
+      aggregate reassembles (a_sh, b_sh). The corpus is shingled once,
+      nothing corpus-scale is broadcast or re-keyed, and the only new
+      exchange carries candidate docs' arrays — ≪ corpus whenever the
+      dup rate is (guide §8's decide-small/move-once rule)."""
     from jetstream_spark.operators.dedup_index import minhash_bands
 
-    # No cache on bands: the self-join's two identical sides share one
-    # shuffle write via ReuseExchange, so the kernel already runs once —
-    # an explicit cache only adds a materialization barrier (measured).
-    bands = minhash_bands(docs)
+    bands = minhash_bands(docs).localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -241,22 +259,20 @@ def _minhash_pairs(docs: DataFrame, sh: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification of candidates only. Scale knob, measured here and
-    # rejected at this corpus size: restricting the shingle build to
-    # candidate docs (semi join on the candidate ids) requires
-    # materializing `candidates` once for reuse, and both cache() and
-    # localCheckpoint() cost more than the full-corpus shingle pass they
-    # save (~4 s vs ~3 s at sf0.1). At a dup-rate where candidates ≪
-    # corpus AND the corpus is large, flip to: semi-join documents on
-    # candidate ids first, then shingle only those.
-    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh"))
-    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh"))
+    melted = candidates.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    # sh has exactly one row per doc, so each pair group reassembles from
+    # exactly two rows; max(when(...)) picks the single non-null array
+    both = F.broadcast(melted).join(sh, "doc_id")
+    pairs = both.groupBy("doc_a", "doc_b").agg(
+        F.max(F.when(F.col("doc_id") == F.col("doc_a"), F.col("shingles"))).alias("a_sh"),
+        F.max(F.when(F.col("doc_id") == F.col("doc_b"), F.col("shingles"))).alias("b_sh"),
+    )
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     jac = inter / (F.size("a_sh") + F.size("b_sh") - inter)
     return (
-        candidates.join(sa, F.col("doc_a") == F.col("a_id"))
-        .join(sb, F.col("doc_b") == F.col("b_id"))
-        .where(jac >= JACCARD_T)
+        pairs.where(jac >= JACCARD_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -316,7 +332,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, hamming ≤ 3, found via 4×8-bit banded
     equi-join (exact by pigeonhole — ≤3 flipped bits cannot touch all 4
     bands), then xor+bit_count verification. No all-pairs pass."""
-    sims = _simhash_df(spark, sf_dir)
+    # lazy cut (r13): the banded self-join plans as a broadcast join, so
+    # without it BOTH sides run the SimHash kernel over the full corpus
+    # (the minhash_pairs r13 plan-audit finding); the checkpointed frame
+    # is 1 narrow row per doc, and the build side is explicitly broadcast
+    # because AQE cannot size an ExistingRDD leaf
+    sims = _simhash_df(spark, sf_dir).localCheckpoint(eager=False)
     band_structs = [
         F.struct(
             F.lit(j).alias("band_idx"),
@@ -334,7 +355,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bands.alias("b")
     pairs = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1512,12 +1533,15 @@ def q_dedup_substring_spans(
     # md5 doesn't run twice (the KMV single-materialization precedent;
     # measured ~25% at sf0.1: 9.3-9.9 s -> 7.1-8.5 s)
     wins = wins.localCheckpoint(eager=False)
+    # "h appears in ≥2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id): one
+    # hash exchange with map-side min/max partials (≤ |distinct h| rows
+    # shuffle) instead of the previous distinct-pairs exchange + count
+    # exchange, which shuffled the FULL corpus-chars window frame once
+    # more just to dedup (doc_id, h) before counting (r13; guide §2.3-2.4)
     rep = (
-        wins.select("doc_id", "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") >= 2)
+        wins.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
         .select("h")
     )
     hits = wins.join(rep, "h").select(

@@ -478,12 +478,18 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage (the components-operator lesson; ranks are node-scale, cheap)
     edges = _copurchase_edges(li).localCheckpoint()
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("outd")).localCheckpoint()
-    nodes = edges.select(F.col("s").alias("node")).distinct()
-    n = nodes.count()  # scalar action: 1 number, not a data collect
+    # deg's keys ARE the distinct sources (symmetric graph ⇒ all nodes):
+    # deriving nodes from the checkpointed degree frame drops the edge-
+    # scale distinct exchange the old nodes build paid (r13; guide §2.4)
+    nodes = deg.select(F.col("s").alias("node"))
+    n = deg.count()  # scalar action on the checkpointed frame: 1 number
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - PR_DAMP) / n
     for _ in range(PR_ROUNDS):
-        ranks = _pagerank_round(edges, deg, ranks, base).localCheckpoint()
+        # lazy cut (r13; was eager): the next round's broadcast build (or
+        # the final sink) covers all partitions and materializes it — one
+        # job per round instead of two, same lineage truncation
+        ranks = _pagerank_round(edges, deg, ranks, base).localCheckpoint(eager=False)
     return ranks.select(
         F.col("node").alias("part_key"), F.round("rank", 9).alias("pagerank")
     )
@@ -1726,40 +1732,57 @@ def _hll_estimate_expr():
 
 
 def q_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """profile_columns' scale twin: exact n_rows/n_nulls (plain counts —
-    cheap at any scale) + deterministic-HLL approximate distincts per
-    column. Register build is one (column, bucket) exchange of
-    ≤ |cols|·{_APPROX_HLL_M} rows; no full-key dedup anywhere."""
+    """profile_columns' scale twin: exact n_rows/n_nulls + deterministic-HLL
+    approximate distincts per column, in ONE pass over ONE canonical-string
+    rendering (r13: the counts previously came from a SECOND full stack
+    scan that re-rendered every canonical string just to count nulls —
+    measured ~10 s → ~6 s at sf0.1 by folding them into the register
+    aggregate). Topology now matches q_profile_columns_fast exactly
+    (the structural-parity contract, r9 review): null values land in a
+    NULL register bucket — md5(NULL) is NULL, so bucket/rho are
+    naturally NULL for them, unlike the xxhash64 twin which needs an
+    explicit guard — and ONE (column, bucket) partial-agg exchange of
+    ≤ |cols|·({_APPROX_HLL_M}+1) rows carries n_rows/n_nulls AND the
+    registers. No full-key dedup anywhere."""
     li = table(spark, sf_dir, "lineitem")
     stack = ", ".join(f"'{c}', {expr}" for c, expr, _ in _CANON_COLS)
     up = li.selectExpr(f"stack({len(_CANON_COLS)}, {stack}) AS (column_name, v)")
-    counts = up.groupBy("column_name").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        (F.count(F.lit(1)) - F.count("v")).alias("n_nulls"),
-    )
     h = F.conv(F.substring(F.md5(F.col("v").cast("binary")), 1, 15), 16, 10).cast("long")
-    keyed = up.where(F.col("v").isNotNull()).select(
+    w = F.shiftright(h, _APPROX_HLL_P)
+    keyed = up.select(
         "column_name",
+        # h is NULL iff v is NULL, so NULL rows keep a NULL bucket — the
+        # null-count register, exactly the fast twin's topology
         h.bitwiseAND(F.lit(_APPROX_HLL_M - 1).cast("long")).alias("bucket"),
-        F.shiftright(h, _APPROX_HLL_P).alias("w"),
-    ).withColumn(
-        "rho",
-        F.when(F.col("w") == 0, F.lit(_APPROX_RHO_MAX)).otherwise(
-            _APPROX_RHO_MAX - F.length(F.bin("w"))
-        ),
+        F.when(w == 0, F.lit(_APPROX_RHO_MAX)).otherwise(
+            _APPROX_RHO_MAX - F.length(F.bin(w))
+        ).alias("rho"),
     )
-    regs = keyed.groupBy("column_name", "bucket").agg(F.max("rho").alias("m_j"))
-    z = regs.groupBy("column_name").agg(
-        F.sum(
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_APPROX_RHO_MAX} - CAST(m_j AS INT))")
-        ).alias("zsum"),
-        F.count(F.lit(1)).alias("present"),
-    ).select("column_name", *_hll_zint_cols())
-    return counts.join(
-        z.select(
-            "column_name", F.round(_hll_estimate_expr(), 2).alias("approx_distinct")
+    z = keyed.groupBy("column_name", "bucket").agg(
+        F.count(F.lit(1)).alias("c"), F.max("rho").alias("m_j")
+    ).groupBy("column_name").agg(
+        F.sum("c").alias("n_rows"),
+        F.sum(F.when(F.col("bucket").isNull(), F.col("c")).otherwise(F.lit(0))).alias(
+            "n_nulls"
         ),
+        F.sum(
+            F.when(
+                F.col("bucket").isNotNull(),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {_APPROX_RHO_MAX} - CAST(m_j AS INT))"
+                ),
+            ).otherwise(F.lit(0))
+        ).alias("zsum"),
+        F.count("bucket").alias("present"),  # count() skips the NULL bucket
+    ).select("column_name", "n_rows", "n_nulls", "present", *_hll_zint_cols())
+    # present = 0 (an all-NULL column) would have been dropped by the old
+    # counts ⋈ estimate inner join (and is absent from the oracle's keyed
+    # CTE) — keep that contract on this 13-row frame
+    return z.where(F.col("present") > 0).select(
         "column_name",
+        "n_rows",
+        "n_nulls",
+        F.round(_hll_estimate_expr(), 2).alias("approx_distinct"),
     )
 
 

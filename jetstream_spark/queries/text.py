@@ -844,16 +844,23 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("wt"))
         .localCheckpoint()
     )
-    outw = edges.groupBy("s").agg(F.sum("wt").alias("outw"))
-    nodes = edges.select(F.col("s").alias("node")).distinct()
+    # out-weights are static across rounds: cut once (lazy — the first
+    # round's broadcast build materializes it) instead of re-aggregating
+    # the edge frame every round (r13)
+    outw = edges.groupBy("s").agg(F.sum("wt").alias("outw")).localCheckpoint(eager=False)
+    nodes = outw.select(F.col("s").alias("node"))  # outw keys = distinct sources
     n_nodes = nodes.groupBy().agg(F.count(F.lit(1)).alias("n"))
     rank = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(TR_ROUNDS):
+        # EXPLICIT broadcast of the vocab-scale rank/outw frames (the LPA
+        # r7 precedent, r13 here): AQE cannot size checkpointed ExistingRDD
+        # sides, so without the hint each round pays a sort-merge shuffle
+        # of the edge frame; both build sides are Heaps-law vocab-bounded
         contrib = (
-            edges.join(rank.withColumnRenamed("node", "s"), "s")
-            .join(outw, "s")
+            edges.join(F.broadcast(rank.withColumnRenamed("node", "s")), "s")
+            .join(F.broadcast(outw), "s")
             .select(F.col("t").alias("node"), (F.col("wt") / F.col("outw") * F.col("rank")).alias("c"))
         )
         rank = (
@@ -867,7 +874,7 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(TR_DAMP) * F.col("inflow")
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return (
         rank.select(F.col("node").alias("word"), F.round("rank", 9).alias("textrank"))
