@@ -232,11 +232,16 @@ def _minhash_pairs(docs: DataFrame, sh: DataFrame) -> DataFrame:
     that only looks fine under the 32 MB threshold at bench SF). Two
     fixes, output-identical:
 
-    - the narrow band frame (8 rows/doc of 3 numerics) is cut once with
-      a lazy localCheckpoint; both self-join sides read the stored
-      blocks, so the kernel runs ONCE (the build side is explicitly
-      broadcast — band frames are docs-scale, and AQE cannot size an
-      ExistingRDD leaf, the LPA lesson).
+    - the self-join is pinned to a SHUFFLE_HASH join: both sides then
+      demand the identical Exchange on (band_idx, band_key), Spark's
+      ReuseExchange dedups them, and the kernel runs ONCE with its
+      output shared through shuffle files — no materialization barrier
+      (a lazy localCheckpoint was measured first: +6% wall from the
+      extra stage), no block-cache entry a later identical build could
+      silently reuse (cache() was rejected for exactly that: the
+      bench's second sample would skip the kernel), and shuffling by
+      band key is the canonical LSH partitioning at 100 TB where the
+      old broadcast build would OOM. AQE skew-split owns hot buckets.
     - verification is a MELT join: each candidate pair explodes into its
       two doc ids (candidate-scale, broadcast), ONE pass over the
       shingle frame attaches arrays, and one candidate-scale pair
@@ -246,12 +251,12 @@ def _minhash_pairs(docs: DataFrame, sh: DataFrame) -> DataFrame:
       dup rate is (guide §8's decide-small/move-once rule)."""
     from jetstream_spark.operators.dedup_index import minhash_bands
 
-    bands = minhash_bands(docs).localCheckpoint(eager=False)
+    bands = minhash_bands(docs)
     a = bands.alias("a")
-    b = bands.alias("b")
+    b = bands.hint("shuffle_hash").alias("b")
     candidates = (
         a.join(
-            F.broadcast(b),
+            b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -332,12 +337,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, hamming ≤ 3, found via 4×8-bit banded
     equi-join (exact by pigeonhole — ≤3 flipped bits cannot touch all 4
     bands), then xor+bit_count verification. No all-pairs pass."""
-    # lazy cut (r13): the banded self-join plans as a broadcast join, so
-    # without it BOTH sides run the SimHash kernel over the full corpus
-    # (the minhash_pairs r13 plan-audit finding); the checkpointed frame
-    # is 1 narrow row per doc, and the build side is explicitly broadcast
-    # because AQE cannot size an ExistingRDD leaf
-    sims = _simhash_df(spark, sf_dir).localCheckpoint(eager=False)
+    # r13: the banded self-join used to plan as a broadcast join, so BOTH
+    # sides ran the SimHash kernel over the full corpus (the
+    # minhash_pairs plan-audit finding). Pinning it to SHUFFLE_HASH makes
+    # both sides demand the identical band-key Exchange, ReuseExchange
+    # dedups them, and the kernel runs once — no materialization barrier,
+    # no cross-build block-cache reuse, and band-key shuffling is the
+    # at-scale LSH shape (see _minhash_pairs for the measured rationale)
+    sims = _simhash_df(spark, sf_dir)
     band_structs = [
         F.struct(
             F.lit(j).alias("band_idx"),
@@ -352,10 +359,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "simhash", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
     )
     a = bands.alias("a")
-    b = bands.alias("b")
+    b = bands.hint("shuffle_hash").alias("b")
     pairs = (
         a.join(
-            F.broadcast(b),
+            b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
