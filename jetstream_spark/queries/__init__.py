@@ -55,16 +55,18 @@ _CODE_CHANGED = (
     "dedup_two_tier",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "mutual_information",
 )
 
 _PRIORITY = (
-    # ---- code-changed this round (rotation rule 2): the 10 entries not
+    # ---- code-changed this round (rotation rule 2): the 11 entries not
     # already due by staleness; evicted to make room were the 3 r10-stale
     # fillers (sample_split, doc_packing, embedding_downproject) and the
-    # 7 youngest r9-stale entries (the three multimodal_* rows,
-    # text_lang_id, text_fingerprint, text_repetition, embedding_norms) —
-    # in-window non-changed evidence stays r9 == the stalest
-    # out-of-window evidence, so the oldest-first invariant holds ----
+    # 8 youngest r9-stale entries (the three multimodal_* rows,
+    # text_lang_id, text_fingerprint, text_repetition, embedding_norms,
+    # text_quality_score) — in-window non-changed evidence stays r9 ==
+    # the stalest out-of-window evidence, so the oldest-first invariant
+    # holds ----
     "dedup_substring_spans",
     "bpe_learn_merges",
     "wordpiece_encode_stats",
@@ -75,6 +77,7 @@ _PRIORITY = (
     "dedup_two_tier",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "mutual_information",
     # ---- r9-latest driver evidence (the stalest block), r9 driver order;
     # profile_columns_approx and bpe_encode_stats are ALSO code-changed ----
     "fingerprint_winnowing",
@@ -116,10 +119,9 @@ _PRIORITY = (
     "variant_props_stats",
     "geomean_value",
     "text_token_count",
-    "text_quality_score",
     # ================= driver window boundary (50) ==================
-    # r14 window: the 7 evicted r9-stale entries (embedding_norms,
-    # text_repetition, text_lang_id, text_fingerprint,
+    # r14 window: the 8 evicted r9-stale entries (text_quality_score,
+    # embedding_norms, text_repetition, text_lang_id, text_fingerprint,
     # multimodal_metadata/byte_stats/frame_sample) lead, then the 50
     # r10-stale entries in r10 driver order, then the oldest r11-stale
     # entries fill out the 50.

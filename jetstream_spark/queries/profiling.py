@@ -950,10 +950,19 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(x_expr).cast("string").alias("x"),
             F.expr(y_expr).cast("string").alias("y"),
         )
-        nrow = df.groupBy().agg(F.count(F.lit(1)).alias("n"))
-        cxy = df.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
-        cx = df.groupBy("x").agg(F.count(F.lit(1)).alias("c_x"))
-        cy = df.groupBy("y").agg(F.count(F.lit(1)).alias("c_y"))
+        # ONE fact scan per pair (r13 — the shape the module note always
+        # claimed): marginals and the total REDUCE from the joint-count
+        # frame, which is bounded by the category-pair cardinality. The
+        # lazy cut materializes cxy in its first consumer's job; before,
+        # nrow/cx/cy each re-scanned the fact table (4 scans per pair).
+        cxy = (
+            df.groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("c_xy"))
+            .localCheckpoint(eager=False)
+        )
+        nrow = cxy.groupBy().agg(F.sum("c_xy").alias("n"))
+        cx = cxy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+        cy = cxy.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
         mi = (
             cxy.join(cx, "x")
             .join(cy, "y")
