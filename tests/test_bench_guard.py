@@ -380,11 +380,21 @@ def test_r8_six_flag_shape_cleared_by_serial_probe_normalization(tmp_path):
     assert flags == {}, flags
 
 
-def test_band_suppresses_revisited_values_keeps_evidence(tmp_path):
+def test_band_suppresses_revisited_values_keeps_evidence(tmp_path, monkeypatch):
     """Secondary fix: a would-be flag whose value sits inside the
     committed cross-round band on untouched code (cusum 0.744 <= 0.771,
     textrank 1.924 <= 2.037 across rows 13-16) is environment revisiting
-    its own band — reported as within_band evidence, not a hard flag."""
+    its own band — reported as within_band evidence, not a hard flag.
+
+    The fixture queries must count as UNTOUCHED here regardless of what the
+    live round declares in _CODE_CHANGED (r13 declared textrank_keywords,
+    which correctly bypasses the band and broke the unpatched fixture), so
+    the code-changed set is pinned empty."""
+    import bench as bench_mod
+
+    monkeypatch.setattr(
+        bench_mod, "_code_changed_queries", lambda: frozenset()
+    )
     d = _r8_fixture(tmp_path, with_band=True)
     subset = {
         "cusum_changepoint": R8_MEASURED["cusum_changepoint"],

@@ -35,7 +35,7 @@ AUDIT = {
     "replay_scan": "partition pruning (hour_bucket) + row-group pushdown (time_us)",
     "topk_brand_revenue": "TakeOrderedAndProject, no global sort",
     "dedup_exact": "one shuffle on md5 hash",
-    "dedup_minhash_lsh": "one kernel pass (checkpointed band frame, broadcast build side); melt-join verification shingles the corpus once",
+    "dedup_minhash_lsh": "shuffled-hash band self-join (identical exchanges dedup at runtime: kernel once); melt-join verification shingles the corpus once, pair reassembly is a candidate-scale SortAggregate (array max falls back from hash agg)",
     "dedup_incremental": "bucketed index scan (SelectedBucketsCount, no Exchange below it); only the incoming batch shuffles; broadcast semi join restricts verification",
     "ann_brute_force_topk": "mapInPandas scoring + per-query top-k window",
     "vocab_top_terms": "explode -> partial count -> exchange -> TakeOrderedAndProject",
