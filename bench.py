@@ -1162,6 +1162,15 @@ SF1_QUERIES = [
     # sessionization bound).
     "profile_columns_approx",
     "funnel_steps_strict",
+    # r14 (VERDICT r13 #9): sessionization's 8↔32-core ratio reads ~1.0 at
+    # sf0.1 (0.4 s — per-job scheduling overhead is the floor there), so the
+    # driver's scaling block cannot discriminate parallelism from overhead
+    # for it; at 10× the events the user-keyed exchange + per-user ordered
+    # fold has real work and the ratio becomes meaningful. q1 and
+    # window_running_revenue (the other two flat-ratio sub-second rows)
+    # already have sf1 datapoints above. users are replica-linear — expect
+    # linear like funnel_steps_strict, the same shape.
+    "sessionization",
     # r9 (VERDICT r8 #4): the remaining r8 debuts. PMI is one map-side
     # zip_with bigram exchange into a bigram-type-bound (Heaps-law,
     # replica-invariant) pair table — expect sub-linear like textrank;
@@ -1328,7 +1337,10 @@ def main() -> None:
     # leaves most of local[32] idle — overlap them from a small thread
     # pool so the next build's tasks back-fill the current one's
     # stragglers (guide §2.6). Job descriptions are thread-local, so each
-    # build stays correctly labelled in the UI. The metric is unchanged:
+    # build stays correctly labelled in the UI (this relies on PySpark's
+    # pinned-thread mode, the default since 3.2 — if PYSPARK_PIN_THREAD=false
+    # the labels can leak across the three builds; cosmetic only, the wall
+    # metric is unaffected). The metric is unchanged:
     # wall-clock until ALL three indexes are built and probed once.
     from concurrent.futures import ThreadPoolExecutor
 

@@ -23,7 +23,11 @@ from jetstream_spark.queries.spec import QuerySpec
 #   3. then the rest, OLDEST driver evidence first — every in-window entry
 #      must be at least as stale as every out-of-window entry (pinned by
 #      tests/test_registry_priority.py::test_window_is_oldest_evidence_first).
-# Round-13 rotation (VERDICT r12 #1: steady-state continues): the 47
+# Round-14 rotation (see r13 note in git history): after r13 the
+# evidence histogram reads r9:8 / r10:46 / r11:48 / r12:45 / r13:50;
+# this window takes the code-changed entry, the 8 r9-stale, then 41 of
+# the 46 r10-stale in r10 driver order — exactly 50.
+# Previous narrative (r13): the 47
 # remaining entries whose latest driver evidence is r9 lead, in their r9
 # driver order, then the OLDEST 3 of the 50 r10-stale entries in their
 # r10 driver order (sample_split, doc_packing, embedding_downproject) —
@@ -34,97 +38,79 @@ from jetstream_spark.queries.spec import QuerySpec
 # Entries whose engine/oracle CODE changed this round: they re-enter the
 # window ahead of the staleness order so the change gets driver evidence
 # in the round it ships. Reset this tuple each round.
-# r13 (optimization round): every query whose PLAN changed — directly
-# (profile_columns_approx single-scan, dedup_substring_spans one-exchange
-# df>=2, textrank broadcast rounds, pagerank nodes-from-deg + lazy cuts)
-# or through a shared helper (learn_bpe lazy cuts -> all three tokenizer
-# consumers; connected_components fused convergence -> the three
-# components consumers). All were re-verified against the oracle at
-# sf0.001 + sf0.01 (and the two float-sum rank loops at sf0.1 too)
-# before this declaration; the driver re-hashes them this round.
+# r14 (final optimization round): label_propagation's round body was
+# rewritten from the two-exchange count->struct-max argmax to ONE
+# mode(label, deterministic=true) exchange (identical semantics: most
+# frequent label, ties to the lowest). Oracle-verified hash-green at
+# sf0.001 + sf0.01 and row-identical at sf0.1 BEFORE this declaration;
+# the driver re-hashes it this round.
 _CODE_CHANGED = (
-    "profile_columns_approx",
-    "dedup_substring_spans",
-    "bpe_learn_merges",
-    "bpe_encode_stats",
-    "wordpiece_encode_stats",
-    "pagerank_copurchase",
-    "textrank_keywords",
-    "dedup_components",
-    "dedup_keep_canonical",
-    "dedup_two_tier",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "mutual_information",
+    "label_propagation",
 )
 
 _PRIORITY = (
-    # ---- code-changed this round (rotation rule 2): the 11 entries not
-    # already due by staleness; evicted to make room were the 3 r10-stale
-    # fillers (sample_split, doc_packing, embedding_downproject) and the
-    # 8 youngest r9-stale entries (the three multimodal_* rows,
-    # text_lang_id, text_fingerprint, text_repetition, embedding_norms,
-    # text_quality_score) — in-window non-changed evidence stays r9 ==
-    # the stalest out-of-window evidence, so the oldest-first invariant
-    # holds ----
-    "dedup_substring_spans",
-    "bpe_learn_merges",
-    "wordpiece_encode_stats",
-    "pagerank_copurchase",
-    "textrank_keywords",
-    "dedup_components",
-    "dedup_keep_canonical",
-    "dedup_two_tier",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "mutual_information",
-    # ---- r9-latest driver evidence (the stalest block), r9 driver order;
-    # profile_columns_approx and bpe_encode_stats are ALSO code-changed ----
-    "fingerprint_winnowing",
-    "profile_columns_approx",
-    "embedding_pca_project",
-    "bpe_encode_stats",
-    "compression_ratio",
-    "embedding_outliers",
-    "cube_segment_priority",
-    "range_frame_window",
-    "ntile_quartiles",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "replay_scan",
-    "subscribe_filter",
-    "monotonic_delivery",
-    "per_key_ordering",
-    "asof_join_purchases",
-    "anti_join_idle_customers",
-    "window_running_revenue",
-    "rollup_revenue",
-    "set_symdiff_buyers",
-    "full_outer_nation_activity",
-    "percentiles_price",
-    "unpivot_measures",
-    "dedup_embedding_cosine",
-    "semi_join_late_orders",
-    "grouping_sets_status",
-    "range_join_part_pairs",
-    "pivot_segment_revenue",
-    "scalar_functions",
-    "tumbling_window_hourly",
-    "json_props_stats",
-    "conversion_funnel",
-    "ann_brute_force_topk",
-    "doc_chunking",
-    "null_semantics",
-    "variant_props_stats",
-    "geomean_value",
-    "text_token_count",
+    # ---- code-changed this round (rotation rule 2) ----
+    "label_propagation",
+    # ---- r9-latest driver evidence (the stalest block — the 8 entries
+    # evicted from the r13 window to make room for that round's
+    # code-changed tier), r9 driver order ----
+    "text_quality_score",
+    "embedding_norms",
+    "text_repetition",
+    "text_lang_id",
+    "text_fingerprint",
+    "multimodal_metadata",
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
+    # ---- r10-latest driver evidence, r10 driver order (the first 41 of
+    # the 46 r10-stale entries; the 5 left out — ann_ivf_indexed,
+    # vocab_top_terms, text_pii_scrub, stratified_sample,
+    # dedup_incremental — share the same r10 staleness as the in-window
+    # tail, so the oldest-first invariant holds with max_in == min_out) ----
+    "sample_split",
+    "doc_packing",
+    "embedding_downproject",
+    "hopping_window_hourly",
+    "zipf_alpha",
+    "quality_classifier_lr",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "multimodal_phash_dedup",
+    "ab_bootstrap_ci",
+    "training_shards",
+    "dedup_exact",
+    "salted_join_revenue",
+    "bm25_topk",
+    "dedup_containment",
+    "q2_min_cost_supplier",
+    "q4_priority_checking",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_by_linestatus",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q20_excess_shippers",
+    "q13_order_count_distribution",
+    "q11_revenue_concentration",
+    "q21_sole_blame_suppliers",
+    "q22_idle_rich_customers",
+    "cms_heavy_hitters",
+    "kmeans_cluster_stats",
+    "semdedup_pairs",
+    "curation_pipeline",
+    "quality_gopher_rules",
+    "unigram_perplexity",
+    "domain_mix_weights",
+    "importance_weights_dsir",
+    "sessionization",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_lsh_indexed",
     # ================= driver window boundary (50) ==================
-    # r14 window: the 8 evicted r9-stale entries (text_quality_score,
-    # embedding_norms, text_repetition, text_lang_id, text_fingerprint,
-    # multimodal_metadata/byte_stats/frame_sample) lead, then the 50
-    # r10-stale entries in r10 driver order, then the oldest r11-stale
-    # entries fill out the 50.
+    # r15+ window: the 5 remaining r10-stale entries lead, then the 48
+    # r11-stale entries in r11 driver order.
     # Everything else follows in module order.
 )
 

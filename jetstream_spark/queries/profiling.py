@@ -488,7 +488,11 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PR_ROUNDS):
         # lazy cut (r13; was eager): the next round's broadcast build (or
         # the final sink) covers all partitions and materializes it — one
-        # job per round instead of two, same lineage truncation
+        # job per round instead of two, same lineage truncation. NOTE: with
+        # no in-loop action, all rounds execute as nested broadcast-exchange
+        # futures under the single final action, so spark.sql.broadcastTimeout
+        # (300 s default) bounds the WHOLE chain, not one round; at cluster
+        # scale either raise it or restore an eager cut every K rounds.
         ranks = _pagerank_round(edges, deg, ranks, base).localCheckpoint(eager=False)
     return ranks.select(
         F.col("node").alias("part_key"), F.round("rank", 9).alias("pagerank")
@@ -793,13 +797,20 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     convert the checkpoint-lineage-cut SMJ was measured 90 s vs 16 s for
     the 3 rounds at sf1/24M edges, because the ExistingRDD build side
     only converts after a full edge sort has been scheduled) + ONE
-    (node, label) count exchange + ONE node argmax exchange — the argmax
-    is a struct-max aggregate (max over (count, −label) pairs), not a
-    window, so no per-group sort. Label frames are localCheckpointed per
-    round (lineage cut, the iterative-operator house rule). All-integer
-    arithmetic — no cross-engine float risk anywhere. At 1e9+ nodes the
-    label frame outgrows a broadcast; the fallback is pre-partitioning
-    edges by t once and reusing that partitioning across rounds.
+    exchange on s for a mode aggregate (r14; was TWO: a (node, label)
+    count exchange + a node struct-max argmax exchange).
+    mode(label, deterministic=true) IS the round's semantics by
+    definition — the most frequent value, ties broken by the LOWEST —
+    and it is a TypedImperativeAggregate whose label→count partial
+    states merge map-side, so the per-round shuffle count halves
+    (guide §2.3-2.4). Per-group state is bounded by the node's distinct
+    neighbor labels (≤ degree), with ObjectHashAggregate's sort-based
+    fallback owning hub nodes instead of OOMing. Label frames are
+    localCheckpointed per round (lineage cut, the iterative-operator
+    house rule). All-integer arithmetic — no cross-engine float risk
+    anywhere. At 1e9+ nodes the label frame outgrows a broadcast; the
+    fallback is pre-partitioning edges by t once and reusing that
+    partitioning across rounds.
     """
     li = table(spark, sf_dir, "lineitem")
     edges = _copurchase_edges(li).localCheckpoint(eager=False)
@@ -807,23 +818,33 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.col("node")
     )
     for _ in range(_LPA_ROUNDS):
-        counted = (
-            edges.join(
-                F.broadcast(labels.withColumnRenamed("node", "nbr")),
-                F.col("t") == F.col("nbr"),
-            )
-            .groupBy("s", "label")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        best = counted.groupBy("s").agg(
-            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m")
-        )
-        labels = best.select(
-            F.col("s").alias("node"), (-F.col("m.nl")).alias("label")
-        ).localCheckpoint(eager=False)
+        labels = _lpa_round(edges, labels).localCheckpoint(eager=False)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("csize"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("part_key"), F.col("label").alias("community"), "csize"
+    )
+
+
+def _lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE synchronous LPA round as a frame: broadcast the node-scale
+    label frame onto the edge list, then ONE exchange on s carrying
+    map-side-merged mode partials. Equivalence to the old two-exchange
+    count→argmax form: argmax over (count, −label) struct-max picks the
+    most frequent label with ties to the smallest label, which is
+    EXACTLY mode(label, deterministic=true) ("the most frequent value;
+    when multiple values share the greatest frequency the lowest is
+    returned"); labels are never NULL (they are node ids), so mode's
+    NULL-skipping clause never engages. Extracted (like _pagerank_round)
+    so the per-round physical plan is test-assertable — the engine-wide
+    plan sweep only sees final frames, not loop bodies."""
+    return (
+        edges.join(
+            F.broadcast(labels.withColumnRenamed("node", "nbr")),
+            F.col("t") == F.col("nbr"),
+        )
+        .groupBy("s")
+        .agg(F.mode("label", True).alias("label"))
+        .select(F.col("s").alias("node"), "label")
     )
 
 
@@ -1745,8 +1766,10 @@ def q_profile_columns_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate distincts per column, in ONE pass over ONE canonical-string
     rendering (r13: the counts previously came from a SECOND full stack
     scan that re-rendered every canonical string just to count nulls —
-    measured ~10 s → ~6 s at sf0.1 by folding them into the register
-    aggregate). Topology now matches q_profile_columns_fast exactly
+    folding them into the register aggregate halves the SCANS; wall-neutral
+    at local[32]/sf0.1 (A/B 1.007, BENCH_AB_r13_opt1) because the md5
+    canonical pipeline dominates there — the scan halving is the at-scale
+    payoff). Topology now matches q_profile_columns_fast exactly
     (the structural-parity contract, r9 review): null values land in a
     NULL register bucket — md5(NULL) is NULL, so bucket/rho are
     naturally NULL for them, unlike the xxhash64 twin which needs an

@@ -198,31 +198,38 @@ def test_lr_round_plan(spark):
 def test_lpa_round_plan(spark):
     from pyspark.sql import functions as F
 
-    from jetstream_spark.queries.profiling import _copurchase_edges
+    from jetstream_spark.queries.profiling import _copurchase_edges, _lpa_round
     from jetstream_spark.tables import table
 
     edges = _copurchase_edges(table(spark, SF_DIR, "lineitem")).localCheckpoint()
-    labels = edges.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
-    counted = (
-        edges.join(
-            F.broadcast(labels.withColumnRenamed("node", "nbr")),
-            F.col("t") == F.col("nbr"),
-        )
-        .groupBy("s", "label")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # checkpoint the label frame like the real loop does (rounds >= 1 see a
+    # checkpoint LEAF, not the distinct's lineage) so the asserted plan is
+    # exactly one round body
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
-    best = counted.groupBy("s").agg(
-        F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m")
-    )
+    best = _lpa_round(edges, labels)
     plan = _plan(best)
     _assert_clean("lpa_round", plan)
-    # node-scale label frame broadcasts onto the edges; the argmax is a
-    # struct-max AGGREGATE (no per-group window sort); two count/argmax
-    # exchanges, never an edge re-shuffle beyond them
+    # node-scale label frame broadcasts onto the edges; the round is ONE
+    # mode aggregate with map-side partial merge (r14: was a (s,label)
+    # count exchange + an s argmax exchange) — no per-group window sort,
+    # never an edge re-shuffle beyond the single mode exchange
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
-    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    assert "mode(" in plan, plan[:2000]
+    # partial (map-side) mode below the exchange, final above — exactly two
+    # ObjectHashAggregate nodes and no other aggregate in the round body
+    assert plan.count("ObjectHashAggregate") == 2, plan[:2000]
+    assert "partial_mode" in plan, plan[:2000]
+    # exchange count is asserted on the POST-EnsureRequirements plan
+    # (sparkPlan precedes exchange insertion): exactly one hash exchange
+    executed = best._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("Exchange hashpartitioning") == 1, executed[:2000]
 
 
 def test_kcenter_round_plan(spark):

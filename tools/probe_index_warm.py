@@ -86,7 +86,12 @@ def main() -> None:
     if args.ab:
         rows: dict[str, list[float]] = {"seq": [], "overlap": []}
         for i in range(args.ab):
-            for mode in ("seq", "overlap"):  # alternate within each window pair
+            # Alternate the PAIR order per window (seq-first on even windows,
+            # overlap-first on odd) so neither arm systematically inherits the
+            # other's OS page-cache warming (r13 advice: seq-always-first gave
+            # overlap a warm-cache edge in the earliest windows).
+            order = ("seq", "overlap") if i % 2 == 0 else ("overlap", "seq")
+            for mode in order:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--mode", mode,
                      "--sf-dir", args.sf_dir],
