@@ -38,19 +38,31 @@ from jetstream_spark.queries.spec import QuerySpec
 # Entries whose engine/oracle CODE changed this round: they re-enter the
 # window ahead of the staleness order so the change gets driver evidence
 # in the round it ships. Reset this tuple each round.
-# r14 (final optimization round): label_propagation's round body was
-# rewritten from the two-exchange count->struct-max argmax to ONE
-# mode(label, deterministic=true) exchange (identical semantics: most
-# frequent label, ties to the lowest). Oracle-verified hash-green at
-# sf0.001 + sf0.01 and row-identical at sf0.1 BEFORE this declaration;
-# the driver re-hashes it this round.
+# r14 (final optimization round), all oracle-verified BEFORE declaration:
+# - label_propagation: round body rewritten from the two-exchange
+#   count->struct-max argmax to ONE mode(label, deterministic=true)
+#   exchange (identical semantics: most frequent label, ties to the
+#   lowest). Hash-green at sf0.001 + sf0.01, row-identical at sf0.1.
+# - adamic_adar_linkpred: wedge join rebuilt to broadcast the query-edge
+#   frame (with deg pre-attached) instead of the corpus edge frame;
+#   same wedge multiset, same round-6 scores. Hash-green sf0.001+sf0.01.
+# - mutual_information: r13's reduce-from-joint-counts form reverted to
+#   the four independent fact scans (two A/Bs priced the one-scan form
+#   ~7% slower at bench SF). Hash-green at sf0.01.
 _CODE_CHANGED = (
     "label_propagation",
+    "adamic_adar_linkpred",
+    "mutual_information",
 )
 
 _PRIORITY = (
-    # ---- code-changed this round (rotation rule 2) ----
+    # ---- code-changed this round (rotation rule 2); to make room the 2
+    # youngest r10-stale fillers (ann_ivf_topk, ann_lsh_indexed) moved
+    # back out — they share r10 staleness with the out-of-window tail, so
+    # the oldest-first invariant still holds with max_in == min_out ----
     "label_propagation",
+    "adamic_adar_linkpred",
+    "mutual_information",
     # ---- r9-latest driver evidence (the stalest block — the 8 entries
     # evicted from the r13 window to make room for that round's
     # code-changed tier), r9 driver order ----
@@ -106,10 +118,8 @@ _PRIORITY = (
     "importance_weights_dsir",
     "sessionization",
     "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_lsh_indexed",
     # ================= driver window boundary (50) ==================
-    # r15+ window: the 5 remaining r10-stale entries lead, then the 48
+    # r15+ window: the 7 remaining r10-stale entries lead, then the 48
     # r11-stale entries in r11 driver order.
     # Everything else follows in module order.
 )

@@ -951,10 +951,10 @@ def _zipf_oracle() -> str:
 # the one float sum per statistic is rounded to 6 digits (the PSI
 # contract, split_drift_psi).
 #
-# Scale (100 TB): per pair, one groupBy(x,y) shuffle whose output is
-# bounded by the category-pair cardinality (tiny), marginals reduce from
-# the same pass's partials, and the 1-row totals frame broadcasts back.
-# Linear scans, no joins on the fact table.
+# Scale (100 TB): per pair, groupBy shuffles whose outputs are bounded
+# by category cardinality (tiny), and the 1-row totals frame broadcasts
+# back. Linear scans, no joins on the fact table; see the in-function
+# note for the measured 4-scan vs reduce-from-joint-counts trade.
 
 _MI_PAIRS = (
     # (name, table, x expr/sql, y expr/sql)
@@ -971,19 +971,19 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(x_expr).cast("string").alias("x"),
             F.expr(y_expr).cast("string").alias("y"),
         )
-        # ONE fact scan per pair (r13 — the shape the module note always
-        # claimed): marginals and the total REDUCE from the joint-count
-        # frame, which is bounded by the category-pair cardinality. The
-        # lazy cut materializes cxy in its first consumer's job; before,
-        # nrow/cx/cy each re-scanned the fact table (4 scans per pair).
-        cxy = (
-            df.groupBy("x", "y")
-            .agg(F.count(F.lit(1)).alias("c_xy"))
-            .localCheckpoint(eager=False)
-        )
-        nrow = cxy.groupBy().agg(F.sum("c_xy").alias("n"))
-        cx = cxy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
-        cy = cxy.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+        # Four independent fact scans per pair — deliberately NOT the
+        # reduce-from-cxy one-scan form. r13 shipped marginals/total
+        # reduced from a checkpointed joint-count frame (1 scan per pair);
+        # two alternating A/Bs both priced it ~7% SLOWER at local[32]/sf0.1
+        # (1.075 r13, 1.07 r14 — the checkpoint materialization is a job
+        # barrier, while these columnar scans are near-free), so r14
+        # reverted per the measured-wall rule. At real scale the trade
+        # flips: re-derive nrow/cx/cy from cxy (sum("c_xy") over the
+        # category-bounded frame) when the fact scan dominates.
+        nrow = df.groupBy().agg(F.count(F.lit(1)).alias("n"))
+        cxy = df.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+        cx = df.groupBy("x").agg(F.count(F.lit(1)).alias("c_x"))
+        cy = df.groupBy("y").agg(F.count(F.lit(1)).alias("c_y"))
         mi = (
             cxy.join(cx, "x")
             .join(cy, "y")
@@ -1103,11 +1103,20 @@ def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     qe = edges.filter(F.col("s") <= AA_QUERY_MAX).select(
         F.col("s").alias("u"), F.col("t").alias("z")
     )
-    wedges = (
-        qe.join(edges.select(F.col("s").alias("z"), F.col("t").alias("v")), "z")
-        .filter(F.col("v") != F.col("u"))
-        .join(deg.withColumnRenamed("s", "z"), "z")
-    )
+    # r14 (guide §3.1): build the broadcast from the QUERY side, not the
+    # corpus. Unhinted, Spark built the wedge join's hash relation from the
+    # full (z, v) edge frame (corpus-scale BroadcastExchange — fine at bench
+    # SF, an OOM at real scale) and then probed the wedge frame against a
+    # second node-scale deg broadcast. Attaching deg to the tiny query-edge
+    # frame FIRST (deg(z) is defined for every z: the co-purchase graph is
+    # symmetric, so z always has out-edges) and broadcasting that instead
+    # leaves the corpus edge frame streamed — never broadcast, never
+    # shuffled. Wedge multiset and per-wedge d are unchanged, so the
+    # round-6 scores are identical.
+    qe_d = deg.withColumnRenamed("s", "z").join(F.broadcast(qe), "z")
+    wedges = edges.select(F.col("s").alias("z"), F.col("t").alias("v")).join(
+        F.broadcast(qe_d), "z"
+    ).filter(F.col("v") != F.col("u"))
     scored = wedges.groupBy("u", "v").agg(
         F.round(F.sum(F.lit(1.0) / F.log(F.col("d"))), 6).alias("aa_score"),
         F.count(F.lit(1)).alias("common_neighbors"),
