@@ -25,8 +25,9 @@ from jetstream_spark.queries.spec import QuerySpec
 #      tests/test_registry_priority.py::test_window_is_oldest_evidence_first).
 # Round-14 rotation (see r13 note in git history): after r13 the
 # evidence histogram reads r9:8 / r10:46 / r11:48 / r12:45 / r13:50;
-# this window takes the code-changed entry, the 8 r9-stale, then 41 of
-# the 46 r10-stale in r10 driver order — exactly 50.
+# this window takes the code-changed tier (grown through the round as
+# optimizations landed), the 8 r9-stale, then the oldest of the 46
+# r10-stale in r10 driver order up to exactly 50.
 # Previous narrative (r13): the 47
 # remaining entries whose latest driver evidence is r9 lead, in their r9
 # driver order, then the OLDEST 3 of the 50 r10-stale entries in their
@@ -49,10 +50,46 @@ from jetstream_spark.queries.spec import QuerySpec
 # - mutual_information: r13's reduce-from-joint-counts form reverted to
 #   the four independent fact scans (two A/Bs priced the one-scan form
 #   ~7% slower at bench SF). Hash-green at sf0.01.
+# - cusum_changepoint: baseline d0/(mu, sd) stats collapsed from two
+#   groupBy+broadcast round-trips into per-type window aggregates over
+#   the one daily frame (3 corpus scans -> 1). Hash-green sf0.001+sf0.01.
+# - markov_transitions: row totals/entropies ride one per-prev_type
+#   window over the tiny transition frame (4 corpus passes -> 1).
+# - zorder_layout: both layout audits melted into one exploded
+#   (layout, bucket) pass (4 orders scans -> 2).
+# - hbos_outliers: three per-feature bin-count broadcast joins replaced
+#   by one 30-column conditional aggregate + element_at lookups.
+# - weak_label_analysis: the 3-row union (each branch re-running the
+#   corpus tokenize+aggregate) became explode(array(structs)) over the
+#   ONE 1-row aggregate (3 corpus passes -> 1).
+# - embedding_drift_mmd: the 4-way self-join + 3-way union (12 corpus
+#   scans) became one groupBy(j) struct pivot + explode over the 1-row
+#   sum frame (-> 1 corpus scan pair).
+# - benford_audit: grand total + chi-square were two agg+crossJoin
+#   round-trips re-deriving the digit table (8 orders scans); both ride
+#   whole-frame windows over the 9-row aggregate (-> 1 scan).
+# - basket_lift_rules: the basket frame's four pruning-divergent
+#   consumers (no ReusedExchange fired) read a lazy in-run
+#   localCheckpoint instead (4 lineitem scans -> 1).
+# - attribution_last_touch: the conversion total was an agg+crossJoin
+#   re-deriving the events corpus + per-user window; it rides a
+#   whole-frame window over the |channels|-row aggregate (2 corpus
+#   window passes -> 1).
+# All nine hash-green at sf0.001 + sf0.01 (record in
+# OPTIMIZATION_r14.md; A/B in BENCH_AB_r14_opt4/opt5/opt6/opt7.json).
 _CODE_CHANGED = (
     "label_propagation",
     "adamic_adar_linkpred",
     "mutual_information",
+    "cusum_changepoint",
+    "markov_transitions",
+    "zorder_layout",
+    "hbos_outliers",
+    "weak_label_analysis",
+    "embedding_drift_mmd",
+    "benford_audit",
+    "basket_lift_rules",
+    "attribution_last_touch",
 )
 
 _PRIORITY = (
@@ -63,6 +100,15 @@ _PRIORITY = (
     "label_propagation",
     "adamic_adar_linkpred",
     "mutual_information",
+    "cusum_changepoint",
+    "markov_transitions",
+    "zorder_layout",
+    "hbos_outliers",
+    "weak_label_analysis",
+    "embedding_drift_mmd",
+    "benford_audit",
+    "basket_lift_rules",
+    "attribution_last_touch",
     # ---- r9-latest driver evidence (the stalest block — the 8 entries
     # evicted from the r13 window to make room for that round's
     # code-changed tier), r9 driver order ----
@@ -74,11 +120,16 @@ _PRIORITY = (
     "multimodal_metadata",
     "multimodal_byte_stats",
     "multimodal_frame_sample",
-    # ---- r10-latest driver evidence, r10 driver order (the first 41 of
-    # the 46 r10-stale entries; the 5 left out — ann_ivf_indexed,
+    # ---- r10-latest driver evidence, r10 driver order (the first 32 of
+    # the 46 r10-stale entries; the 14 left out — ann_ivf_indexed,
     # vocab_top_terms, text_pii_scrub, stratified_sample,
-    # dedup_incremental — share the same r10 staleness as the in-window
-    # tail, so the oldest-first invariant holds with max_in == min_out) ----
+    # dedup_incremental, and the 9 youngest of this block evicted for the
+    # nine extra r14 code-changed entries (kmeans_cluster_stats,
+    # semdedup_pairs, curation_pipeline, quality_gopher_rules,
+    # unigram_perplexity, domain_mix_weights, importance_weights_dsir,
+    # sessionization, ann_lsh_topk) — share the same r10 staleness as the
+    # in-window tail, so the oldest-first invariant holds with
+    # max_in == min_out) ----
     "sample_split",
     "doc_packing",
     "embedding_downproject",
@@ -109,15 +160,6 @@ _PRIORITY = (
     "q21_sole_blame_suppliers",
     "q22_idle_rich_customers",
     "cms_heavy_hitters",
-    "kmeans_cluster_stats",
-    "semdedup_pairs",
-    "curation_pipeline",
-    "quality_gopher_rules",
-    "unigram_perplexity",
-    "domain_mix_weights",
-    "importance_weights_dsir",
-    "sessionization",
-    "ann_lsh_topk",
     # ================= driver window boundary (50) ==================
     # r15+ window: the 7 remaining r10-stale entries lead, then the 48
     # r11-stale entries in r11 driver order.

@@ -1115,19 +1115,25 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("channel"),
         )
     )
-    total = conv.groupBy().agg(F.count(F.lit(1)).alias("total"))
+    # r14 (guide §6/§2.4): the conversion total was an agg+crossJoin
+    # round-trip re-deriving `conv` — the events corpus and its per-user
+    # window ran TWICE per run. The total is the sum of the per-channel
+    # counts, so it rides a whole-frame window over the |channels|-row
+    # aggregate instead: one corpus scan, one window pass.
+    w_all = Window.partitionBy()
     return (
         conv.groupBy("channel")
         .agg(
             F.count(F.lit(1)).alias("n_conversions"),
             F.round(F.sum("value"), 6).alias("credited_value"),
         )
-        .crossJoin(F.broadcast(total))
         .select(
             "channel",
             "n_conversions",
             "credited_value",
-            F.round(F.col("n_conversions") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("n_conversions") / F.sum("n_conversions").over(w_all), 6
+            ).alias("share"),
         )
     )
 
@@ -1294,14 +1300,21 @@ def flag_cusum_drift(daily: DataFrame) -> DataFrame:
     """The CUSUM flagging core over an (event_type, day, n) daily-count
     frame — shared by the batch query above and the standing streaming
     monitor (streaming/cusum_stream.py), so both flag identically."""
-    first = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
-    ref = daily.join(F.broadcast(first), "event_type").where(
-        F.col("day") < F.col("d0") + F.expr(f"INTERVAL {CUSUM_REF_DAYS} DAYS")
+    # r14 (guide §6/§2.4): the baseline stats were two groupBy+broadcast
+    # round-trips, each re-deriving `daily` — for the batch query that
+    # meant three event-corpus scans per run. d0 and the first-week
+    # (mu, sd) are whole-partition window aggregates over the ONE daily
+    # frame instead: a single corpus scan, and the windows ride the same
+    # per-type exchange the running sums below already need. mu stays
+    # order-exact (avg over longs); sd matches the old form within the
+    # round-6 contract, same as the cross-engine oracle already requires.
+    w_type = Window.partitionBy("event_type")
+    in_ref = F.col("day") < F.col("d0") + F.expr(f"INTERVAL {CUSUM_REF_DAYS} DAYS")
+    j = (
+        daily.withColumn("d0", F.min("day").over(w_type))
+        .withColumn("mu", F.avg(F.when(in_ref, F.col("n"))).over(w_type))
+        .withColumn("sd", F.stddev_pop(F.when(in_ref, F.col("n"))).over(w_type))
     )
-    stats = ref.groupBy("event_type").agg(
-        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sd")
-    )
-    j = daily.join(F.broadcast(stats), "event_type")
     yp = F.round(F.col("n") - F.col("mu") - F.lit(CUSUM_SLACK) * F.col("sd"), 6)
     ym = F.round(F.col("mu") - F.col("n") - F.lit(CUSUM_SLACK) * F.col("sd"), 6)
     j = j.select("event_type", "day", "n", "sd", yp.alias("yp"), ym.alias("ym"))
@@ -1393,21 +1406,20 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = pairs.groupBy(
         F.col("prev").alias("prev_type"), F.col("event_type").alias("next_type")
     ).agg(F.count(F.lit(1)).alias("n_trans"))
-    tot = trans.groupBy("prev_type").agg(F.sum("n_trans").alias("tot"))
-    j = trans.join(F.broadcast(tot), "prev_type")
-    p = F.col("n_trans") / F.col("tot")
-    ent = j.groupBy("prev_type").agg(
-        F.round(-F.sum(p * F.log(p)), 6).alias("state_entropy")
-    )
-    return (
-        j.join(F.broadcast(ent), "prev_type")
-        .select(
-            "prev_type",
-            "next_type",
-            "n_trans",
-            F.round(p, 6).alias("p_trans"),
-            "state_entropy",
-        )
+    # r14 (guide §6/§2.4): row totals and entropies were two
+    # groupBy+broadcast round-trips off `trans`, and each consumer
+    # re-derived it — up to four corpus window passes per run. Both are
+    # per-prev_type aggregates, so they ride ONE whole-partition window
+    # over the tiny |types|^2 frame instead: a single corpus pass, and
+    # the window exchange moves |types|^2 rows, not events.
+    w_prev = Window.partitionBy("prev_type")
+    p = F.col("n_trans") / F.sum("n_trans").over(w_prev)
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(p, 6).alias("p_trans"),
+        F.round(-F.sum(p * F.log(p)).over(w_prev), 6).alias("state_entropy"),
     )
 
 

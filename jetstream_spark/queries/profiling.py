@@ -1433,25 +1433,39 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_Z_INTERLEAVE).alias("z"),
     )
 
-    def audit(bucket: F.Column, layout: str) -> DataFrame:
-        per = keyed.groupBy(bucket.alias("bucket")).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("xi").alias("x0"), F.max("xi").alias("x1"),
-            F.min("yi").alias("y0"), F.max("yi").alias("y1"),
-        )
-        hit_x = (F.col("x1") >= _Z_BAND_LO) & (F.col("x0") <= _Z_BAND_HI)
-        hit_y = (F.col("y1") >= _Z_BAND_LO) & (F.col("y0") <= _Z_BAND_HI)
-        area = (F.col("x1") - F.col("x0") + 1) * (F.col("y1") - F.col("y0") + 1)
-        return per.agg(
-            F.lit(layout).alias("layout"),
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.round(F.sum(hit_x.cast("long")) / F.count(F.lit(1)), 6).alias("x_band_scan_frac"),
-            F.round(F.sum(hit_y.cast("long")) / F.count(F.lit(1)), 6).alias("y_band_scan_frac"),
-            F.round(F.sum(area) / (F.count(F.lit(1)) * float(scale) * scale), 6).alias("avg_bbox_area"),
-        )
-
-    return audit(F.shiftright("z", _Z_BUCKET_SHIFT), "zorder").unionByName(
-        audit(F.shiftright("xi", _L_BUCKET_SHIFT), "linear")
+    # r14 (guide §6): the two layout audits each re-derived the keyed
+    # frame (scan + stats broadcast) — four orders scans per run. Melting
+    # both layouts into one exploded (layout, bucket) pass does the whole
+    # audit in ONE keyed pass: map-side partials collapse to ≤64 rows
+    # before the exchange, and the per-layout summary groups on layout.
+    # Same integer zone-map arithmetic per (layout, bucket), same
+    # fractions — output rows are identical.
+    both = F.array(
+        F.struct(
+            F.lit("zorder").alias("layout"),
+            F.shiftright("z", _Z_BUCKET_SHIFT).alias("bucket"),
+        ),
+        F.struct(
+            F.lit("linear").alias("layout"),
+            F.shiftright("xi", _L_BUCKET_SHIFT).alias("bucket"),
+        ),
+    )
+    melted = keyed.select("xi", "yi", F.explode(both).alias("lb")).select(
+        "xi", "yi", F.col("lb.layout").alias("layout"), F.col("lb.bucket").alias("bucket")
+    )
+    per = melted.groupBy("layout", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("xi").alias("x0"), F.max("xi").alias("x1"),
+        F.min("yi").alias("y0"), F.max("yi").alias("y1"),
+    )
+    hit_x = (F.col("x1") >= _Z_BAND_LO) & (F.col("x0") <= _Z_BAND_HI)
+    hit_y = (F.col("y1") >= _Z_BAND_LO) & (F.col("y0") <= _Z_BAND_HI)
+    area = (F.col("x1") - F.col("x0") + 1) * (F.col("y1") - F.col("y0") + 1)
+    return per.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(F.sum(hit_x.cast("long")) / F.count(F.lit(1)), 6).alias("x_band_scan_frac"),
+        F.round(F.sum(hit_y.cast("long")) / F.count(F.lit(1)), 6).alias("y_band_scan_frac"),
+        F.round(F.sum(area) / (F.count(F.lit(1)) * float(scale) * scale), 6).alias("avg_bbox_area"),
     )
 
 
@@ -1572,21 +1586,24 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits = orders.where(F.col("o_totalprice") > 0).select(
         F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
     )
+    from pyspark.sql import Window
+
     per = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    tot = per.agg(F.sum("n").alias("nt"))
-    j = per.crossJoin(F.broadcast(tot))
-    obs = F.col("n") / F.col("nt")
+    # r14 (guide §6/§2.4): the grand total and the chi-square sum were two
+    # agg+crossJoin(broadcast) round-trips, each re-deriving the digit
+    # table — 8 order scans per run. Both are whole-frame aggregates of
+    # the 9-row `per`, so they ride ONE empty-frame window instead: a
+    # single corpus scan, and the window moves 9 rows to one partition.
+    w_all = Window.partitionBy()
+    obs = F.col("n") / F.sum("n").over(w_all)
     ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
-    scored = j.select(
+    chi_term = F.sum("n").over(w_all) * (obs - ben) * (obs - ben) / ben
+    return per.select(
         "digit",
         "n",
         F.round(obs, 6).alias("obs_freq"),
         F.round(ben, 6).alias("benford_freq"),
-        (F.col("nt") * (obs - ben) * (obs - ben) / ben).alias("chi_term"),
-    )
-    chi = scored.agg(F.round(F.sum("chi_term"), 4).alias("chi_square"))
-    return scored.crossJoin(F.broadcast(chi)).select(
-        "digit", "n", "obs_freq", "benford_freq", "chi_square"
+        F.round(F.sum(chi_term).over(w_all), 4).alias("chi_square"),
     )
 
 
@@ -1630,7 +1647,20 @@ def q_basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame joined back ON THE ITEM KEYS; the top-{_BASKET_TOP} is a
     TakeOrdered. All-integer counts; ratios round at 6."""
     li = table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    # r14 (guide §6/§2.4): the basket frame fed four consumers (n_orders,
+    # the pair explode, and both item-join sides) whose column pruning
+    # made the subtrees non-identical — no ReusedExchange fired, so the
+    # lineitem corpus was scanned and collect_set-shuffled FOUR times per
+    # run (executed plan: 4 Scan parquet, 0 ReusedExchange). A lazy
+    # in-run localCheckpoint (the pagerank/hbos pattern) materializes
+    # baskets once; every consumer reads the checkpoint blocks, and AQE
+    # re-picks the item-join strategy from real runtime sizes at each
+    # stage boundary (broadcast at bench SF, exchange-based at scale).
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .localCheckpoint(eager=False)
+    )
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     pairs = (
         baskets.select(F.explode("ps").alias("a"), "ps")

@@ -856,12 +856,31 @@ def q_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = binned.select(
         "doc_id", "nn", *[bins[i].alias(f"b{i}") for i in (1, 2, 3)]
     )
+    # r14 (guide §6/§3.1): the three per-feature groupBy(b_i) count tables
+    # each re-derived `binned` (and its stats aggregate), so the
+    # checkpointed feature frame was scanned 8x per run. With B=10 fixed
+    # bins, all three count tables fit in ONE 30-column conditional
+    # aggregate (a single 1-row broadcast); scoring looks the counts up
+    # with element_at instead of three broadcast joins. Rows whose bin is
+    # NULL are filtered to mirror the old inner joins (a NULL key never
+    # matched), so the output is row-identical.
+    cnts = binned.agg(
+        *[
+            F.count(F.when(F.col(f"b{i}") == k, 1)).alias(f"c{i}_{k}")
+            for i in (1, 2, 3)
+            for k in range(HBOS_BINS)
+        ]
+    )
+    out = binned.where(
+        F.col("b1").isNotNull() & F.col("b2").isNotNull() & F.col("b3").isNotNull()
+    ).crossJoin(F.broadcast(cnts))
     score = None
-    out = binned
     for i in (1, 2, 3):
-        bc = binned.groupBy(f"b{i}").agg(F.count(F.lit(1)).alias(f"c{i}"))
-        out = out.join(F.broadcast(bc), f"b{i}")
-        term = -F.log(F.col(f"c{i}") / F.col("nn"))
+        c_i = F.element_at(
+            F.array(*[F.col(f"c{i}_{k}") for k in range(HBOS_BINS)]),
+            (F.col(f"b{i}") + 1).cast("int"),
+        )
+        term = -F.log(c_i / F.col("nn"))
         score = term if score is None else score + term
     return (
         out.select("doc_id", "b1", "b2", "b3", F.round(score, 6).alias("hbos_score"))
@@ -1093,18 +1112,32 @@ def q_weak_label_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((active & (v == F.col("gold"))).cast("long")).alias(f"{name}_correct"),
         ]
     wide = voted.agg(*aggs)
-    out = None
-    for name in _WL_LFS:
-        r = wide.select(
-            F.lit(name).alias("lf"),
-            F.col(f"{name}_votes").alias("n_votes"),
-            F.round(F.col(f"{name}_votes") / F.col("n_docs"), 6).alias("coverage"),
-            F.round(F.col(f"{name}_overlap") / F.col("n_docs"), 6).alias("overlaps"),
-            F.round(F.col(f"{name}_conflict") / F.col("n_docs"), 6).alias("conflicts"),
-            F.round(F.col(f"{name}_correct") / F.col(f"{name}_votes"), 6).alias("accuracy"),
-        )
-        out = r if out is None else out.unionByName(r)
-    return out
+    # r14 (guide §6): the 3-row output was a union whose every branch
+    # re-executed the wide aggregate — and with it the corpus-scale
+    # tokenize pass — three times per run. Exploding an array of structs
+    # over the ONE 1-row aggregate emits the same rows from one pass.
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("lf"),
+                F.col(f"{name}_votes").alias("n_votes"),
+                F.round(F.col(f"{name}_votes") / F.col("n_docs"), 6).alias(
+                    "coverage"
+                ),
+                F.round(F.col(f"{name}_overlap") / F.col("n_docs"), 6).alias(
+                    "overlaps"
+                ),
+                F.round(F.col(f"{name}_conflict") / F.col("n_docs"), 6).alias(
+                    "conflicts"
+                ),
+                F.round(
+                    F.col(f"{name}_correct") / F.col(f"{name}_votes"), 6
+                ).alias("accuracy"),
+            )
+            for name in _WL_LFS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
 
 
 def _wl_oracle() -> str:

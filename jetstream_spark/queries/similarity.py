@@ -1795,17 +1795,37 @@ def q_embedding_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
     )
 
-    def leg(pos: int, name: str) -> DataFrame:
-        return quad.where(F.col("pos") == pos).select("j", F.col("v").alias(name))
+    # r14 (guide §2.1/§6): quad assembly was a 4-way self-join on j whose
+    # three-gamma output union re-executed it — 12 corpus scans and 9
+    # corpus-scale leg broadcasts per run (an OOM shape at real scale).
+    # Now ONE groupBy(j) pivot: map-side partials collapse each quad
+    # before the single exchange (dense ids land the 4 legs in the same
+    # input split). Legs are struct-wrapped so a present-but-NULL vector
+    # stays distinguishable from a missing leg: the all-legs-present
+    # filter reproduces the old INNER join exactly (NULL v still counted
+    # in n_quads, its h NULL-skipped by sum — same as before).
+    def leg(pos: int, name: str):
+        return F.first(
+            F.when(F.col("pos") == pos, F.struct(F.col("v"))), ignorenulls=True
+        ).alias(name)
 
-    q4 = (
-        leg(0, "x1")
-        .join(leg(2, "x2"), "j")
-        .join(leg(1, "y1"), "j")
-        .join(leg(3, "y2"), "j")
+    legs = (
+        quad.groupBy("j")
+        .agg(leg(0, "l_x1"), leg(2, "l_x2"), leg(1, "l_y1"), leg(3, "l_y2"))
+        .where(
+            F.col("l_x1").isNotNull()
+            & F.col("l_x2").isNotNull()
+            & F.col("l_y1").isNotNull()
+            & F.col("l_y2").isNotNull()
+        )
+        .select(
+            F.col("l_x1.v").alias("x1"),
+            F.col("l_x2.v").alias("x2"),
+            F.col("l_y1.v").alias("y1"),
+            F.col("l_y2.v").alias("y2"),
+        )
     )
     dim = F.size("x1")
-    out = None
     aggs = []
     for i, g in enumerate(MMD_GAMMAS):
         gam = F.lit(g) / dim
@@ -1816,15 +1836,22 @@ def q_embedding_drift_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.exp(-gam * _sqdist("x2", "y1"))
         )
         aggs.append(F.sum(F.round(h * 1e6).cast("long")).alias(f"s{i}"))
-    sums = q4.agg(F.count(F.lit(1)).alias("n_quads"), *aggs)
-    for i, g in enumerate(MMD_GAMMAS):
-        r = sums.select(
-            F.lit(float(g)).alias("gamma_scale"),
-            "n_quads",
-            F.round(F.col(f"s{i}") / 1e6 / F.col("n_quads"), 6).alias("mmd2_lin"),
-        )
-        out = r if out is None else out.unionByName(r)
-    return out
+    sums = legs.agg(F.count(F.lit(1)).alias("n_quads"), *aggs)
+    # One row per gamma WITHOUT re-executing the aggregate per row: the
+    # old 3-way union re-ran the whole subtree for each output row.
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(float(g)).alias("gamma_scale"),
+                F.col("n_quads").alias("n_quads"),
+                F.round(F.col(f"s{i}") / 1e6 / F.col("n_quads"), 6).alias(
+                    "mmd2_lin"
+                ),
+            )
+            for i, g in enumerate(MMD_GAMMAS)
+        ]
+    )
+    return sums.select(F.explode(rows).alias("r")).select("r.*")
 
 
 def _mmd_oracle() -> str:
