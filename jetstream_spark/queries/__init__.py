@@ -75,8 +75,25 @@ from jetstream_spark.queries.spec import QuerySpec
 #   re-deriving the events corpus + per-user window; it rides a
 #   whole-frame window over the |channels|-row aggregate (2 corpus
 #   window passes -> 1).
-# All nine hash-green at sf0.001 + sf0.01 (record in
-# OPTIMIZATION_r14.md; A/B in BENCH_AB_r14_opt4/opt5/opt6/opt7.json).
+# - survival_km_retention: the risk-set total (an agg+crossJoin
+#   re-deriving the user-span frame) is Σ(d+c) as a whole-frame window
+#   over the tiny per-lifetime frame (4 corpus scans -> 2).
+# - domain_temperature_sample: mixture totals ride a whole-frame window
+#   over the |domains|-row frame and the tiny mix frame is lazily
+#   checkpointed once per run (5 corpus scans -> 2).
+# - k_anonymity_audit: the four generalization levels form a strict
+#   coarsening chain (floor-composition identity), so L1-L3 class sizes
+#   re-aggregate the checkpointed L0 class frame (4 corpus scans -> 1).
+# - cms_heavy_hitters: the CMS sketch re-aggregates the checkpointed
+#   vocab-scale exact-count frame (a bucket count IS the sum of its
+#   terms' exact counts) — 2 corpus explodes -> 1, and the (j, b)
+#   exchange moves vocab x D rows instead of corpus x D.
+# - sketch_theta_setops: the <=2K-row sketch frame and the 1-row exact
+#   frame are lazily checkpointed, so the corpus scan + distinct
+#   exchanges + per-set hash sort run once instead of up to 6x
+#   (8 corpus scans -> 2).
+# All fourteen hash-green at sf0.001 + sf0.01 (record in
+# OPTIMIZATION_r14.md; A/B in BENCH_AB_r14_opt4..opt11.json).
 _CODE_CHANGED = (
     "label_propagation",
     "adamic_adar_linkpred",
@@ -90,6 +107,11 @@ _CODE_CHANGED = (
     "benford_audit",
     "basket_lift_rules",
     "attribution_last_touch",
+    "survival_km_retention",
+    "domain_temperature_sample",
+    "k_anonymity_audit",
+    "cms_heavy_hitters",
+    "sketch_theta_setops",
 )
 
 _PRIORITY = (
@@ -109,6 +131,11 @@ _PRIORITY = (
     "benford_audit",
     "basket_lift_rules",
     "attribution_last_touch",
+    "survival_km_retention",
+    "domain_temperature_sample",
+    "k_anonymity_audit",
+    "cms_heavy_hitters",
+    "sketch_theta_setops",
     # ---- r9-latest driver evidence (the stalest block — the 8 entries
     # evicted from the r13 window to make room for that round's
     # code-changed tier), r9 driver order ----
@@ -120,16 +147,18 @@ _PRIORITY = (
     "multimodal_metadata",
     "multimodal_byte_stats",
     "multimodal_frame_sample",
-    # ---- r10-latest driver evidence, r10 driver order (the first 32 of
-    # the 46 r10-stale entries; the 14 left out — ann_ivf_indexed,
+    # ---- r10-latest driver evidence, r10 driver order (the first 30 of
+    # the 46 r10-stale entries; the rest left out — ann_ivf_indexed,
     # vocab_top_terms, text_pii_scrub, stratified_sample,
-    # dedup_incremental, and the 9 youngest of this block evicted for the
-    # nine extra r14 code-changed entries (kmeans_cluster_stats,
-    # semdedup_pairs, curation_pipeline, quality_gopher_rules,
-    # unigram_perplexity, domain_mix_weights, importance_weights_dsir,
-    # sessionization, ann_lsh_topk) — share the same r10 staleness as the
-    # in-window tail, so the oldest-first invariant holds with
-    # max_in == min_out) ----
+    # dedup_incremental, and the youngest of this block evicted to make
+    # room for the r14 code-changed tier (q11_revenue_concentration,
+    # q21_sole_blame_suppliers, q22_idle_rich_customers,
+    # kmeans_cluster_stats, semdedup_pairs, curation_pipeline,
+    # quality_gopher_rules, unigram_perplexity, domain_mix_weights,
+    # importance_weights_dsir, sessionization, ann_lsh_topk;
+    # cms_heavy_hitters re-entered AS code-changed) — all sharing the
+    # same r10 staleness as the in-window tail, so the oldest-first
+    # invariant holds with max_in == min_out ----
     "sample_split",
     "doc_packing",
     "embedding_downproject",
@@ -155,11 +184,6 @@ _PRIORITY = (
     "q16_supplier_diversity",
     "q17_small_quantity_revenue",
     "q20_excess_shippers",
-    "q13_order_count_distribution",
-    "q11_revenue_concentration",
-    "q21_sole_blame_suppliers",
-    "q22_idle_rich_customers",
-    "cms_heavy_hitters",
     # ================= driver window boundary (50) ==================
     # r15+ window: the 7 remaining r10-stale entries lead, then the 48
     # r11-stale entries in r11 driver order.

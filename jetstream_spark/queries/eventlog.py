@@ -1608,9 +1608,17 @@ def q_survival_km_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    total = tagged.agg(F.count(F.lit(1)).alias("nn"))
-    cur = per_t.crossJoin(F.broadcast(total)).withColumn(
-        "n_at_risk", F.col("nn") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+    # r14 (guide §6/§2.4): the risk-set total was an agg+crossJoin that
+    # re-derived `tagged` — a second events scan + user-scale exchange for
+    # ONE number. Every tagged row lands in exactly one per_t group as
+    # d or c, so |tagged| = Σ(d+c) over the tiny per_t frame: a
+    # whole-frame window on the single partition the ordered curve
+    # windows below already use.
+    w_all = Window.partitionBy()
+    cur = per_t.withColumn(
+        "n_at_risk",
+        F.sum(F.col("d") + F.col("c")).over(w_all)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0)),
     )
     ln_term = F.when(
         (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),

@@ -1192,22 +1192,44 @@ _KANON_LEVELS = (
 
 def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
-    out = None
-    for level, exprs in _KANON_LEVELS:
-        qi = [F.expr(e).alias(f"q{i}") for i, e in enumerate(exprs)]
-        classes = cust.select(*qi).groupBy(
-            *[f"q{i}" for i in range(len(exprs))]
-        ).agg(F.count(F.lit(1)).alias("sz"))
-        row = classes.groupBy().agg(
-            F.lit(level).alias("level"),
-            F.count(F.lit(1)).alias("n_classes"),
-            F.min("sz").alias("k_anonymity"),
-            F.sum(F.when(F.col("sz") < _KANON_K, 1).otherwise(0)).alias("risky_classes"),
-            F.sum(F.when(F.col("sz") < _KANON_K, F.col("sz")).otherwise(0)).alias("risky_rows"),
-            (F.min("sz") >= _KANON_K).alias("k_satisfied"),
+    # r14 (guide §6): the four levels each re-scanned the customer corpus
+    # for their own groupBy. The levels form a strict coarsening chain,
+    # and floor composes exactly — floor(floor(x/100)/10) == floor(x/1000)
+    # for all reals (the nearest 2-decimal input sits 1e-5 away from any
+    # bucket boundary after division, far above double epsilon) — so
+    # every coarser level's class key derives from the L0 key: ONE corpus
+    # scan builds the L0 classes, each class row melts into its 4 level
+    # keys (the zorder_layout explode pattern), and a (level, key)
+    # re-aggregation + per-level summary fold emits the same 4 rows.
+    # Output-identical to the per-level groupBys (the oracle computes
+    # each level directly from the corpus and hash-matches).
+    l0 = (
+        cust.select(
+            *[F.expr(e).alias(f"q{i}") for i, e in enumerate(_KANON_LEVELS[0][1])]
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        .groupBy("q0", "q1", "q2")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    nul = F.lit(None).cast("bigint")
+    lvl_keys = F.array(
+        F.struct(F.lit("L0_bal100").alias("level"), F.col("q0").cast("bigint").alias("k0"), F.col("q1").alias("k1"), F.col("q2").alias("k2")),
+        F.struct(F.lit("L1_bal1000").alias("level"), F.col("q0").cast("bigint").alias("k0"), F.col("q1").alias("k1"), F.expr("CAST(floor(q2 / 10) AS BIGINT)").alias("k2")),
+        F.struct(F.lit("L2_nation_segment").alias("level"), F.col("q0").cast("bigint").alias("k0"), F.col("q1").alias("k1"), nul.alias("k2")),
+        F.struct(F.lit("L3_segment").alias("level"), nul.alias("k0"), F.col("q1").alias("k1"), nul.alias("k2")),
+    )
+    assert len(_KANON_LEVELS) == 4, "level/derivation chain out of sync"
+    classes = (
+        l0.select("sz", F.explode(lvl_keys).alias("lk"))
+        .groupBy("lk.level", "lk.k0", "lk.k1", "lk.k2")
+        .agg(F.sum("sz").alias("sz"))
+    )
+    return classes.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("sz").alias("k_anonymity"),
+        F.sum(F.when(F.col("sz") < _KANON_K, 1).otherwise(0)).alias("risky_classes"),
+        F.sum(F.when(F.col("sz") < _KANON_K, F.col("sz")).otherwise(0)).alias("risky_rows"),
+        (F.min("sz") >= _KANON_K).alias("k_satisfied"),
+    ).select("level", "n_classes", "k_anonymity", "risky_classes", "risky_rows", "k_satisfied")
 
 
 def _kanon_oracle() -> str:

@@ -852,26 +852,32 @@ def q_domain_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     dom = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
     )
-    tot = dom.agg(
-        F.sum(F.pow("n_tokens", F.lit(TEMP_TAU))).alias("wsum"),
-        F.sum("n_tokens").alias("tok_total"),
-    )
-    mix = dom.crossJoin(F.broadcast(tot)).select(
+    # r14 (guide §6/§2.4): wsum/tok_total were an agg+crossJoin that
+    # re-derived dom (a second corpus tokenize+scan), and the mix frame's
+    # two consumers (the accept broadcast, the final join) re-derived the
+    # whole chain again — 5 corpus scans per run. The totals ride a
+    # whole-frame window over the |domains|-row dom frame, and the tiny
+    # mix frame is materialized ONCE per run via a lazy in-run
+    # localCheckpoint: 5 corpus scans -> 2 (dom build + accept filter).
+    w_all = Window.partitionBy()
+    wsum = F.sum(F.pow("n_tokens", F.lit(TEMP_TAU))).over(w_all)
+    tok_total = F.sum("n_tokens").over(w_all)
+    mix = dom.select(
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.pow("n_tokens", F.lit(TEMP_TAU)) / F.col("wsum"), 6).alias("target_share"),
+        F.round(F.pow("n_tokens", F.lit(TEMP_TAU)) / wsum, 6).alias("target_share"),
         F.round(
             F.least(
                 F.lit(1.0),
                 F.lit(TEMP_FRAC)
-                * F.col("tok_total")
-                * (F.pow("n_tokens", F.lit(TEMP_TAU)) / F.col("wsum"))
+                * tok_total
+                * (F.pow("n_tokens", F.lit(TEMP_TAU)) / wsum)
                 / F.col("n_tokens"),
             ),
             6,
         ).alias("accept_prob"),
-    )
+    ).localCheckpoint(eager=False)
     kept = (
         docs.join(F.broadcast(mix.select("source", "accept_prob")), "source")
         .filter(_uniform_expr() < F.col("accept_prob"))

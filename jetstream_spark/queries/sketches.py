@@ -49,16 +49,28 @@ def _cms_bucket_sql(j_expr: str, term_expr: str) -> str:
 
 def cms_estimates(terms: DataFrame) -> DataFrame:
     """(term, exact_count, cms_estimate, overcount) for the CMS_TOP_N
-    heavy hitters of a (term) stream. The sketch and the exact counts are
-    built from the same exploded frame; the estimate is min over the D
-    hash rows of that row's bucket count."""
+    heavy hitters of a (term) stream; the estimate is min over the D
+    hash rows of that row's bucket count.
+
+    r14 (guide §2.2/§6): the sketch used to fan the CORPUS-scale term
+    stream ×D hash rows through the (j, b) exchange, and the exact counts
+    re-derived the same stream — two corpus passes and a D×corpus
+    shuffle. A CMS bucket count is EXACTLY the sum of the exact counts of
+    the terms hashing into it, so the sketch now re-aggregates the
+    vocab-scale exact frame (lazily checkpointed in-run: the sketch, the
+    top-N, and the probe all consume it): one corpus pass, and the
+    (j, b) exchange moves vocab×D rows, not corpus×D."""
     spark = terms.sparkSession
     js = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("j"))
-    keyed = terms.crossJoin(F.broadcast(js)).select(
-        "term", "j", _cms_bucket(F.col("j"), F.col("term")).alias("b")
+    exact = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .localCheckpoint(eager=False)
     )
-    sketch = keyed.groupBy("j", "b").agg(F.count(F.lit(1)).alias("bucket_count"))
-    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    keyed = exact.crossJoin(F.broadcast(js)).select(
+        "term", "j", _cms_bucket(F.col("j"), F.col("term")).alias("b"), "exact_count"
+    )
+    sketch = keyed.groupBy("j", "b").agg(F.sum("exact_count").alias("bucket_count"))
     top = exact.orderBy(F.desc("exact_count"), "term").limit(CMS_TOP_N)
     probe = top.crossJoin(F.broadcast(js)).select(
         "term", "exact_count", "j", _cms_bucket(F.col("j"), F.col("term")).alias("b")
@@ -183,10 +195,18 @@ def q_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = keyed.select("s", _kmv_hash(F.col("key")).alias("h")).distinct()
     w = Window.partitionBy("s").orderBy("h")
+    # r14 (guide §6): the sketch frame is <=2·KMV_K rows but every
+    # downstream branch (thetas, merged-union flags, base counts) used to
+    # re-derive it — the corpus scan, the distinct exchanges, and the
+    # per-set hash sort ran up to 6x per run (before-plan: 8 corpus
+    # scans). A lazy in-run localCheckpoint of the <=2K-row sketch runs
+    # that chain ONCE; the 1-row exact-count frame below gets the same
+    # cut for the two output branches that cross-join it.
     sk = (
         hashed.select("s", "h", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= KMV_K)
         .select("s", "h")
+        .localCheckpoint(eager=False)
     )
     th = sk.groupBy("s").agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("mx"))
     th = th.select(
@@ -255,12 +275,16 @@ def q_sketch_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("s") == _KMV_A).alias("ia"),
         F.max(F.col("s") == _KMV_B).alias("ib"),
     )
-    exacts = exact.groupBy().agg(
-        F.sum(F.when(F.col("ia"), 1).otherwise(0)).alias("x_a"),
-        F.sum(F.when(F.col("ib"), 1).otherwise(0)).alias("x_b"),
-        F.count(F.lit(1)).alias("x_u"),
-        F.sum(F.when(F.col("ia") & F.col("ib"), 1).otherwise(0)).alias("x_i"),
-        F.sum(F.when(F.col("ia") & ~F.col("ib"), 1).otherwise(0)).alias("x_d"),
+    exacts = (
+        exact.groupBy()
+        .agg(
+            F.sum(F.when(F.col("ia"), 1).otherwise(0)).alias("x_a"),
+            F.sum(F.when(F.col("ib"), 1).otherwise(0)).alias("x_b"),
+            F.count(F.lit(1)).alias("x_u"),
+            F.sum(F.when(F.col("ia") & F.col("ib"), 1).otherwise(0)).alias("x_i"),
+            F.sum(F.when(F.col("ia") & ~F.col("ib"), 1).otherwise(0)).alias("x_d"),
+        )
+        .localCheckpoint(eager=False)
     )
 
     def est(cnt: F.Column, theta: F.Column) -> F.Column:

@@ -45,6 +45,21 @@ def _scan_counts(df) -> tuple[int, int]:
         # conversion total rides a whole-frame window over the
         # per-channel aggregate
         ("attribution_last_touch", 1),
+        # risk-set total is a whole-frame window over the per-lifetime
+        # frame (spans scan + the pruned horizon scan remain)
+        ("survival_km_retention", 2),
+        # mixture totals are windows over the |domains| frame; the tiny
+        # mix frame is checkpointed once per run
+        ("domain_temperature_sample", 1),
+        # every L0 class row melts into its 4 level keys (floor-composition
+        # identity) — one corpus scan, no per-level re-scans
+        ("k_anonymity_audit", 1),
+        # the CMS sketch re-aggregates the checkpointed vocab-scale exact
+        # frame — no second corpus explode, no corpus x D shuffle
+        ("cms_heavy_hitters", 0),
+        # the <=2K-row sketch + 1-row exact frames are checkpointed; no
+        # branch re-derives the corpus distinct/sort chain
+        ("sketch_theta_setops", 0),
     ],
 )
 def test_single_pass_scan_counts(spark, name, max_parquet):
