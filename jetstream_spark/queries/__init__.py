@@ -92,8 +92,20 @@ from jetstream_spark.queries.spec import QuerySpec
 #   frame are lazily checkpointed, so the corpus scan + distinct
 #   exchanges + per-set hash sort run once instead of up to 6x
 #   (8 corpus scans -> 2).
-# All fourteen hash-green at sf0.001 + sf0.01 (record in
-# OPTIMIZATION_r14.md; A/B in BENCH_AB_r14_opt4..opt11.json).
+# - q21_sole_blame_suppliers: the EXISTS/NOT-EXISTS semi+anti self-joins
+#   (3 lineitem scans) collapsed into per-order supplier-set aggregates
+#   — one scan, one broadcast supplier join (PLAN_AUDIT sweep).
+# - tfidf_top_terms: tf/doc-length/df were three tokenize passes glued
+#   by joins; doc_tokens and doc_freq ride windows over the ONE
+#   (doc, term) count frame (3 tokenizes -> 1, joins gone).
+# - fuzzy_join_names: the vocab-scale distinct-names frame feeds six
+#   consumers; a lazy in-run localCheckpoint runs the part scan once
+#   (6 scans -> 1).
+# - skyline_parts: the frontier-sized survivor frame is lazily
+#   checkpointed; the exact pass and final join stop re-deriving the
+#   grid-prune chain (8 part scans -> 3).
+# All eighteen hash-green at sf0.001 + sf0.01 (record in
+# OPTIMIZATION_r14.md; A/B in BENCH_AB_r14_opt4..opt12.json).
 _CODE_CHANGED = (
     "label_propagation",
     "adamic_adar_linkpred",
@@ -112,6 +124,10 @@ _CODE_CHANGED = (
     "k_anonymity_audit",
     "cms_heavy_hitters",
     "sketch_theta_setops",
+    "q21_sole_blame_suppliers",
+    "tfidf_top_terms",
+    "fuzzy_join_names",
+    "skyline_parts",
 )
 
 _PRIORITY = (
@@ -136,6 +152,14 @@ _PRIORITY = (
     "k_anonymity_audit",
     "cms_heavy_hitters",
     "sketch_theta_setops",
+    # (PLAN_AUDIT sweep, late r14: 4 more rewrites — to make room the 4
+    # youngest r10-stale fillers (q15/q16/q17/q20) moved back out; they
+    # share r10 staleness with the out-of-window tail, so oldest-first
+    # still holds with max_in == min_out. q21 re-enters AS code-changed.)
+    "q21_sole_blame_suppliers",
+    "tfidf_top_terms",
+    "fuzzy_join_names",
+    "skyline_parts",
     # ---- r9-latest driver evidence (the stalest block — the 8 entries
     # evicted from the r13 window to make room for that round's
     # code-changed tier), r9 driver order ----
@@ -180,10 +204,6 @@ _PRIORITY = (
     "q8_market_share",
     "q9_product_profit",
     "q12_priority_by_linestatus",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q20_excess_shippers",
     # ================= driver window boundary (50) ==================
     # r15+ window: the 7 remaining r10-stale entries lead, then the 48
     # r11-stale entries in r11 driver order.

@@ -371,9 +371,21 @@ def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     never fans out). Candidate generation is lossless by construction:
     long×long pairs must share a {_FUZZY_Q}-gram (survival bound above),
     every pair involving a short string falls in a |len| <= {FUZZY_D}
-    band enumerated by key explosion. Only candidates pay levenshtein."""
+    band enumerated by key explosion. Only candidates pay levenshtein.
+
+    r14 (guide §6/§2.4): `names` feeds SIX consumers (both long q-gram
+    legs, the short band's two sides, and the two count joins) and each
+    used to re-derive the part scan + distinct exchange — six corpus
+    scans per run. The frame is vocab-scale (distinct names), so one
+    lazy in-run localCheckpoint (the basket/pagerank pattern;
+    materialized once per run, nothing persists across runs) lets every
+    consumer read the checkpoint blocks: part scanned ONCE."""
     part = table(spark, sf_dir, "part")
-    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .localCheckpoint(eager=False)
+    )
 
     def grams(col: str) -> F.Column:
         s = F.col(col)

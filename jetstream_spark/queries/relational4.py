@@ -108,32 +108,36 @@ def q21_sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern. EXISTS(same order, other supplier) AND NOT EXISTS(same order,
     other supplier, also 'R'), counted per supplier.
 
-    All three lineitem legs join on l_orderkey (one co-partitioned shuffle
-    key); semi/anti joins keep the plan set-based — no correlated
-    re-execution, no fact broadcast."""
+    r14 (guide §6/§2.3): the EXISTS/NOT-EXISTS legs used to be a semi +
+    anti self-join — THREE lineitem scans and three l_orderkey exchanges.
+    Both quantifiers are per-order facts about supplier SETS, so one scan
+    derives them exactly: per (l_orderkey, l_suppkey) note whether the
+    supplier has a returned line (map-side partial agg), then per order
+    count suppliers and returned-suppliers. An 'R' line of supplier s is
+    blamed iff another supplier exists in the order (n_supp >= 2) and no
+    OTHER supplier has a returned line (returned-supplier set == {{s}},
+    i.e. n_ret == 1 and s is its one member — recovered as max(suppkey)
+    over returned suppliers, no extra pass). numwait counts DISTINCT
+    qualifying orders, and a qualifying order has exactly ONE blamed
+    supplier, so each order row contributes exactly one count — identical
+    to the oracle's count(DISTINCT l1.l_orderkey). One lineitem scan, two
+    narrowing exchanges ((orderkey, suppkey) partials then orderkey),
+    broadcast supplier join."""
     lineitem = table(spark, sf_dir, "lineitem")
     supplier = table(spark, sf_dir, "supplier")
-    l1 = lineitem.filter(F.col("l_returnflag") == "R").alias("l1")
-    l2 = lineitem.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").alias("l3")
-    blamed = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
+    per_supp = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret")
     )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("ret").alias("n_ret"),
+        F.max(F.when(F.col("ret") == 1, F.col("l_suppkey"))).alias("blamed_supp"),
+    )
+    blamed = per_order.where((F.col("n_supp") >= 2) & (F.col("n_ret") == 1))
     return (
-        blamed.join(supplier, F.col("l1.l_suppkey") == supplier.s_suppkey)
+        blamed.join(F.broadcast(supplier), F.col("blamed_supp") == supplier.s_suppkey)
         .groupBy("s_name")
-        .agg(F.countDistinct("l1.l_orderkey").alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
 
@@ -246,10 +250,19 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bmax = bucketed.groupBy("b").agg(F.max("p_size").alias("bmax"))
     wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
     bprev = bmax.select("b", F.max("bmax").over(wb).alias("prev_bmax"))  # ≤256 rows
+    # r14 (guide §6/§2.4): survivors feeds both the exact-pass group frame
+    # and the final frontier join, and each consumer used to re-derive the
+    # whole grid-prune chain (rng + bucketed + bmax + bprev) — eight part
+    # scans per run. Survivors are frontier-sized (frontier + same-bucket
+    # stragglers), so one lazy in-run localCheckpoint (the basket/pagerank
+    # pattern) runs the chain once: part scans 8 → 3 (rng, bmax, the
+    # survivors materialization), everything downstream reads the
+    # checkpoint blocks.
     survivors = (
         bucketed.join(F.broadcast(bprev), "b")
         .filter(F.col("prev_bmax").isNull() | (F.col("p_size") > F.col("prev_bmax")))
         .select("p_partkey", "p_retailprice", "p_size")
+        .localCheckpoint(eager=False)
     )
     grp = survivors.groupBy("p_retailprice").agg(F.max("p_size").alias("grp_max"))
     wp = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)

@@ -342,20 +342,35 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-50 (doc, term) pairs by score — the relevance-weighting shape of
     quality filtering and topic probes over a training corpus.
 
-    Shuffle shape: one explode → (doc_id, term) groupBy for tf, one term
-    groupBy for df, one broadcast-size join of the df table back on term
-    (vocab ≪ corpus; at 100 TB the df side is still only the vocabulary),
-    then distributed top-k (TakeOrderedAndProject, no global sort). N is a
-    scalar agg folded in via a literal-free cross join of one row.
+    Shuffle shape — r14 (guide §6/§2.4): tf, doc length, and df used to be
+    THREE independent aggregates over the exploded corpus (three regex
+    tokenize passes). All three are exact functions of the ONE
+    (doc_id, term) count frame: doc_tokens = sum(term_count) per doc_id
+    and doc_freq = row count per term (tf rows are distinct (doc, term)
+    pairs, so count(*) == the old countDistinct(doc_id)). tf is lazily
+    checkpointed in-run (the basket/fuzzy pattern) and doc_len/df
+    re-aggregate the checkpointed pair frame — corpus tokenized ONCE,
+    hash aggregates and the broadcast df join preserved (a first cut
+    rode two whole-partition windows over tf instead, but WindowExec
+    sorts the pair frame twice and A/B'd 1.28x AGAINST — the sorts cost
+    more than the saved tokenizes at bench SF). Then distributed top-k
+    (TakeOrderedAndProject, no global sort). N is a scalar agg folded in
+    via a literal-free cross join of one row (kept a separate count-only
+    scan: N counts ALL docs, including zero-token docs the explode
+    drops).
 
     Ties: equal (tf, df) pairs produce bit-identical scores in both
     engines (same IEEE ops, same order), broken by (doc_id, term)."""
     docs = table(spark, sf_dir, "documents")
     n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
-    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_tokens"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("term_count"))
-    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .localCheckpoint(eager=False)
+    )
+    doc_len = tf.groupBy("doc_id").agg(F.sum("term_count").alias("doc_tokens"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     scored = (
         tf.join(doc_len, "doc_id")
         .join(F.broadcast(df_), "term")
